@@ -1,0 +1,178 @@
+package graft.plans
+
+import graft.Document
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Iceberg-semantics emulation on plain Parquet (SURVEY.md §7.6).
+  *
+  * The north rule names Iceberg for two properties: snapshot-idempotent
+  * reruns and per-partition checkpoint manifests for resume-from-failure.
+  * No Iceberg runtime jar exists in this sandbox (offline coursier), so
+  * those semantics are implemented directly:
+  *
+  *  - output is bucketed by `pmod(hash(doc_id), nBuckets)`; each bucket is
+  *    a parquet partition directory `data/bucket=<b>/`
+  *  - a committed bucket is recorded as a JSON line in
+  *    `_manifest/run-<runId>.json` with (bucket, docCount, spanCount,
+  *    contentHash, status) — contentHash is an order-independent sum of
+  *    per-document hashes, so equal content ⇒ equal hash regardless of
+  *    task scheduling
+  *  - resume = anti-join of input buckets vs committed buckets: a rerun
+  *    (same input) finds every bucket committed and writes nothing
+  *    (idempotent); a partially-failed run reprocesses only missing
+  *    buckets (the reference's skip-and-continue/resume analog,
+  *    eval_script_field_level.py:461-463)
+  *
+  * Behind an interface so a real Iceberg catalog can replace it where the
+  * jar exists; callers only see write/read/committedBuckets.
+  */
+final case class BucketManifest(
+    bucket: Int, docCount: Long, spanCount: Long, contentHash: Long, status: String)
+
+object ManifestIO {
+
+  private def manifestDir(outDir: String) = s"$outDir/_manifest"
+  private def dataDir(outDir: String)     = s"$outDir/data"
+
+  def committedBuckets(spark: SparkSession, outDir: String): Set[Int] =
+    readManifests(spark, outDir).filter(_.status == "committed").map(_.bucket).toSet
+
+  def readManifests(spark: SparkSession, outDir: String): Seq[BucketManifest] = {
+    val dir = Paths.get(manifestDir(outDir))
+    if (!Files.isDirectory(dir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala.filter(_.toString.endsWith(".json")).flatMap { p =>
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.flatMap(parseLine)
+    }.toSeq
+  }
+
+  // fixed-shape JSON lines, hand-rolled to stay dependency-free
+  private def parseLine(line: String): Option[BucketManifest] = {
+    val kv = "\"(\\w+)\"\\s*:\\s*(\"[^\"]*\"|-?\\d+)".r
+      .findAllMatchIn(line)
+      .map(m => m.group(1) -> m.group(2).stripPrefix("\"").stripSuffix("\""))
+      .toMap
+    try Some(BucketManifest(
+      kv("bucket").toInt, kv("docCount").toLong, kv("spanCount").toLong,
+      kv("contentHash").toLong, kv("status")))
+    catch { case _: Exception => None }
+  }
+
+  private def render(m: BucketManifest): String =
+    s"""{"bucket":${m.bucket},"docCount":${m.docCount},"spanCount":${m.spanCount},""" +
+      s""""contentHash":${m.contentHash},"status":"${m.status}"}"""
+
+  /** Resume-prune: drop documents whose bucket is already committed.
+    * Bucket is a function of `doc_id` alone, so this runs on the INPUT
+    * side — committed buckets never reach the (expensive) extraction
+    * kernel at all. This is the real resume semantics: skip the work,
+    * not just the write. */
+  def pruneCommitted(docs: Dataset[Document], outDir: String, nBuckets: Int): Dataset[Document] = {
+    val done = committedBuckets(docs.sparkSession, outDir)
+    if (done.isEmpty) docs
+    else docs.filter(!pmod(hash(col("doc_id")), lit(nBuckets)).isin(done.toSeq: _*))
+  }
+
+  /** Buckets whose data directory exists under `data/` (complete by the
+    * rename-after-complete invariant), regardless of manifest state. */
+  private def bucketsOnDisk(outDir: String): Set[Int] = {
+    val d = Paths.get(dataDir(outDir))
+    if (!Files.isDirectory(d)) return Set.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("bucket=") => s.stripPrefix("bucket=").toInt }
+      .toSet
+  }
+
+  /** Write `docs` into the bucketed table, skipping already-committed
+    * buckets. Returns the manifests committed by THIS run (empty on a
+    * clean rerun). `runId` must be caller-supplied and unique per attempt.
+    *
+    * Exactly-once protocol (Iceberg-snapshot emulation):
+    *  1. uncommitted input buckets are written to `_staging/<runId>/`
+    *     (the ONLY execution of the upstream plan — manifest stats come
+    *     from reading BACK the columnar output, never from re-running the
+    *     plan, which would double lineage accumulators and cost)
+    *  2. each staged bucket dir is atomically renamed into
+    *     `data/bucket=<b>` — rename happens only after the full staging
+    *     write succeeded, so a bucket dir under data/ is always complete
+    *  3. manifest lines are appended last
+    * A crash between 2 and 3 leaves complete-but-unmanifested "orphan"
+    * buckets; the next run ADOPTS them (recommits the manifest from
+    * read-back stats) instead of reprocessing — no duplicates, no lost
+    * work. A crash during 1 leaves only staging garbage, ignored forever.
+    */
+  def write(docs: Dataset[Document], outDir: String, nBuckets: Int, runId: String): Seq[BucketManifest] = {
+    val spark = docs.sparkSession
+    val done    = committedBuckets(spark, outDir)
+    val orphans = bucketsOnDisk(outDir) -- done
+
+    val bucketed = docs.toDF()
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+    val skip = done ++ orphans
+    val todo = if (skip.isEmpty) bucketed
+               else bucketed.filter(!col("bucket").isin(skip.toSeq: _*))
+
+    // 1. stage (single execution of the upstream plan)
+    val staging = s"$outDir/_staging/$runId"
+    todo.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+
+    // 2. atomic per-bucket publication
+    Files.createDirectories(Paths.get(dataDir(outDir)))
+    import scala.jdk.CollectionConverters._
+    val stagedBuckets = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("bucket=")).toSeq
+    val published = stagedBuckets.flatMap { src =>
+      val b   = src.getFileName.toString.stripPrefix("bucket=").toInt
+      val dst = Paths.get(dataDir(outDir), s"bucket=$b")
+      try { Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE); Some(b) }
+      catch { case _: java.nio.file.FileSystemException => None } // already published
+    }
+
+    // 3. commit manifests for newly published + adopted orphan buckets
+    val toCommit = published.toSet ++ orphans
+    val stats =
+      if (toCommit.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        spark.read.parquet(dataDir(outDir))
+          .filter(col("bucket").isin(toCommit.toSeq: _*))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("docCount"),
+            sum(coalesce(size(col("spans")), lit(0))).as("spanCount"),
+            // XOR-fold: commutative, overflow-free (ANSI mode) content hash
+            expr("bit_xor(xxhash64(doc_id, to_json(spans)))").as("contentHash"))
+          .as[(Int, Long, Long, Long)]
+          .collect() // one tiny row per bucket — bounded by nBuckets, not by data
+          .map { case (b, d, s, h) => BucketManifest(b, d, s, h, "committed") }
+          .toSeq
+      }
+    if (stats.nonEmpty) {
+      val dir = Paths.get(manifestDir(outDir))
+      Files.createDirectories(dir)
+      val body = stats.map(render).mkString("", "\n", "\n")
+      Files.write(dir.resolve(s"run-$runId.json"), body.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    // staging leftovers (empty dir or skipped duplicates) are dead weight
+    deleteRecursively(Paths.get(s"$outDir/_staging/$runId"))
+    stats
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!Files.exists(p)) return
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  def read(spark: SparkSession, outDir: String): Dataset[Document] = {
+    import spark.implicits._
+    spark.read.parquet(dataDir(outDir)).drop("bucket").as[Document]
+  }
+}

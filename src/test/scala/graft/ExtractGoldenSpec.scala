@@ -1,0 +1,72 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.extract.Extract
+import graft.plans.{ExtractJob, GoldenDiff, LineageAccumulator}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The north-rule verification: 100% span-sequence equality
+  * (kind, text, media_ref, order) per doc_id via a Dataset anti-join diff.
+  * Reference precedent: golden-JSON-per-document diffing
+  * (/root/reference/eval_script_field_level.py:100-102, 208-288). */
+class ExtractGoldenSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("local kernel matches goldens on 200 seeded docs (all doc types)") {
+    Corpus.pairs(200, seed = 42).foreach { case (in, golden) =>
+      val out = Extract.document(in)
+      assert(out == golden, s"doc ${in.doc_id} mismatch:\n got    $out\n wanted $golden")
+    }
+  }
+
+  test("media resolution drops dangling refs and resolves live ones") {
+    import Span.Kind
+    val doc = Document("d", Seq(
+      Span(Kind.Text, "before", "", 0),
+      Span(Kind.Image, "", "img1", 1),
+      Span(Kind.Table, "", "missing", 2),
+      Span(Kind.RefDef, "img1 -> mem://m/img1", "", 3)))
+    val out = Extract.document(doc)
+    assert(out.spans == Seq(
+      Span(Kind.Text, "before", "", 0),
+      Span(Kind.Image, "", "mem://m/img1", 1)))
+  }
+
+  test("extraction is idempotent on its own output") {
+    Corpus.pairs(50, seed = 7).foreach { case (_, golden) =>
+      assert(Extract.document(golden) == golden)
+    }
+  }
+
+  test("spark job: anti-join diff vs goldens is empty (1000 docs)") {
+    val spark = this.spark
+    val lineage = new LineageAccumulator
+    spark.sparkContext.register(lineage, "extract-lineage")
+
+    val inputs  = ExtractJob.generateInputs(spark, 1000, seed = 42, parts = 8)
+    val goldens = ExtractJob.generateGoldens(spark, 1000, seed = 42, parts = 8)
+    // cache: the diff has two anti-join legs; without it the extraction
+    // would re-run per leg and the accumulator would multi-count
+    val out = ExtractJob.extract(inputs, numPartitions = 8, lineage = Some(lineage)).cache()
+    out.count()
+
+    val diff = GoldenDiff.diff(out, goldens)
+    assert(diff.isEmpty, s"diff rows: ${diff.take(5).mkString("\n")}")
+
+    // lineage accumulator saw every doc, no errors, multiple partitions
+    val stats = lineage.value
+    assert(stats.values.map(_.docs).sum == 1000L)
+    assert(stats.values.map(_.errors).sum == 0L)
+    assert(stats.size > 1, "salted repartition should spread docs over partitions")
+  }
+
+  test("mega-doc skew spreads across partitions via salted repartition") {
+    val spark = this.spark
+    val lineage = new LineageAccumulator
+    spark.sparkContext.register(lineage, "skew-lineage")
+    // doc indices 1,2 mod 20 are mega docs (~400 blocks)
+    val inputs = ExtractJob.generateInputs(spark, 200, seed = 42, parts = 4)
+    ExtractJob.extract(inputs, numPartitions = 8, lineage = Some(lineage)).count()
+    val spansPerPart = lineage.value.values.map(_.spans).toSeq
+    assert(spansPerPart.size > 4, s"expected >4 partitions used, got $spansPerPart")
+  }
+}
