@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.plans.{ExtractJob, GoldenDiff}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory made runnable: one entry per
+  * implemented operator family (SURVEY.md §2 relational/scalar ops, the
+  * training-data ops — dedup / similarity / text analysis / multimodal —
+  * and the extraction pipeline itself). `oracleSql` carries an exact
+  * DuckDB equivalent for every SQL-expressible entry; the extraction/eval
+  * entries are verified by the golden-file ScalaTest suite instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the extraction pipeline end-to-end on a seeded interleaved
+    * corpus — extract, then self-verify against goldens; emits per-span
+    * rows of verified output (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val parts = spark.sparkContext.defaultParallelism
+    val n     = 2000L
+    val out   = ExtractJob.extract(ExtractJob.generateInputs(spark, n, 42L, parts), parts)
+    val bad   = GoldenDiff.diff(out, ExtractJob.generateGoldens(spark, n, 42L, parts))
+      .select(col("doc_id")).distinct()
+    GoldenDiff.explodeSpans(out)
+      .join(bad, Seq("doc_id"), "left_anti") // verified spans only
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * training-data pipeline ops. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextOps.queries ++ Multimodal.queries ++ ExtractQueries.queries
+
+  /** DuckDB-equivalent ANSI SQL per query (omitted for the non-SQL
+    * extraction/eval kernels → driver records a rows-only check). */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      TextOps.oracles ++ Multimodal.oracles
 }

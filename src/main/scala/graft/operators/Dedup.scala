@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.functions.TextKernels._
+import graft.functions.VectorKernels
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - nothing here ever compares all pairs: candidate generation is always
+  *    a shuffle-on-bucket-key equi-join (LSH band hash, simhash band, or
+  *    label bucket), so the cost is Σ bucket² not corpus²;
+  *  - signatures (8 minhashes / one 16-bit simhash / one bucket id) are
+  *    the only payload shuffled for candidate generation; full shingle
+  *    sets are re-joined by doc_id only for the candidates that survive
+  *    banding;
+  *  - everything is built-ins (HOFs + md5) → whole-stage codegen, and
+  *    every hash is engine-portable, so each query has an exact DuckDB
+  *    oracle.
+  *
+  * The sf corpora carry no real duplicates, so the pair-producing queries
+  * plant them: corpus ∪ a perturbed copy (one appended token / a tiny
+  * vector perturbation, ids offset by 1,000,000 resp. 100,000) — derived
+  * deterministically from the input table, never synthesized from thin
+  * air. The oracle plants the identical copies.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ near-dup copies (text + " zzz", doc_id + 1e6). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zzz")).as("text")))
+  }
+
+  private val MinhashK = 8 // 4 bands × rows of 2
+
+  /** doc_id + shingle set + 8 minhashes + 4 band hashes. */
+  private def signatures(corpus: DataFrame): DataFrame = {
+    val sh  = shingles3(tokens(col("text")))
+    val mhs = (0 until MinhashK).map(j => minhash(col("sh"), j).as(s"mh$j"))
+    corpus
+      .withColumn("sh", sh)
+      .select(col("doc_id") +: col("sh") +: mhs: _*)
+      .withColumn("bands", array((0 until MinhashK / 2).map(b =>
+        struct(lit(b).as("band"), bandHash(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bh"))): _*))
+  }
+
+  /** |A∩B| / |A∪B| over shingle SETS (distinct), 4 dp. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b))
+    round(i / (size(array_distinct(a)) + size(array_distinct(b)) - i), 4)
+  }
+
+  /** 16-bit SimHash of the whitespace tokens of `text` (multiset votes). */
+  private def simhash16(corpus: DataFrame): DataFrame = {
+    val toks  = corpus.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val votes = toks.withColumn("h", hex32(col("tok")))
+    val sums  = (0 until 16).map(j => sum(simhashVote(col("h"), j)).as(s"v$j"))
+    votes.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .withColumn("simhash",
+        (0 until 16).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content digest; keeper = min doc_id.
+    "dedup_exact" -> ((s, dir) =>
+      docs(s, dir).groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))),
+
+    // Per-doc MinHash signature (k=8 over word 3-gram shingles).
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val sig = signatures(docs(s, dir).select(col("doc_id"), col("text")))
+      sig.select(col("doc_id") +: (0 until MinhashK).map(j => col(s"mh$j")): _*)
+    }),
+
+    // Full MinHash → LSH band join → exact-Jaccard verify pipeline.
+    // Candidates carry only ids through the band shuffle; shingle sets are
+    // re-joined per side afterwards (the at-scale shape).
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sig    = signatures(dupCorpus(s, dir)).cache()
+      val banded = sig.select(col("doc_id"), explode(col("bands")).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bh"))
+      val cand = banded.as("l").join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      val sets = sig.select(col("doc_id"), col("sh"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }),
+
+    // Per-doc 16-bit SimHash.
+    "dedup_simhash" -> ((s, dir) => simhash16(docs(s, dir).select(col("doc_id"), col("text")))),
+
+    // SimHash near-dup pairs: 4 nibble-bands (pigeonhole: hamming ≤ 3 ⇒ at
+    // least one of 4 bands identical, so banding loses nothing) → verify
+    // with exact hamming distance.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val sh = simhash16(dupCorpus(s, dir)).cache()
+      val banded = sh.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"), shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("nib"))): _*)).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.band"), col("b.nib"))
+      banded.as("l").join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.nib") === col("r.nib") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    }),
+
+    // Direct n-gram Jaccard on adjacent-id pairs (the exact-verify kernel
+    // in isolation, linear in corpus size).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), array_distinct(shingles3(tokens(col("text")))).as("sh"))
+      d.as("l").join(d.as("r"), col("r.doc_id") === col("l.doc_id") + 1)
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+    }),
+
+    // Embedding-cosine near-dup: label-bucketed self-join (never all-pairs),
+    // planted near-dups = tiny deterministic perturbation; threshold 0.99
+    // separates them from the corpus's true cosine range (max ≈ 0.51).
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e    = emb(s, dir)
+      val base = e.select(col("vec_id"), col("label"), VectorKernels.toDouble(col("embedding")).as("v"))
+      val pert = e.select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) => x.cast("double") + lit(0.01) * ((i % 3) - 1)).as("v"))
+      val all = base.unionByName(pert)
+      all.as("l").join(all.as("r"),
+          col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+          round(VectorKernels.cosine(col("l.v"), col("r.v")), 4).as("cos"))
+        .filter(col("cos") >= 0.99)
+    }))
+
+  // --- DuckDB oracles -----------------------------------------------------
+
+  private val dkCorpus =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text FROM documents)""".stripMargin
+
+  private def dkSig(src: String): String = {
+    val mhs = (0 until MinhashK).map(j => s"${Dk.minhash("sh", j)} AS mh$j").mkString(", ")
+    s"""toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM $src),
+       |sig AS (SELECT doc_id, sh, $mhs
+       |        FROM (SELECT doc_id, ${Dk.shingles3("toks")} AS sh FROM toksrc)),
+       |banded AS (
+       |  SELECT doc_id, band, md5(CASE band ${(0 until 4).map(b => s"WHEN $b THEN mh${2 * b} || mh${2 * b + 1}").mkString(" ")} END) AS bh
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band))""".stripMargin
+  }
+
+  private val dkJaccard =
+    "round(len(list_intersect(l.sh, r.sh)) / " +
+      "(len(list_distinct(l.sh)) + len(list_distinct(r.sh)) - len(list_intersect(l.sh, r.sh))), 4)"
+
+  private def dkSimhash(src: String): String = {
+    val votes = (0 until 16).map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS v$j").mkString(", ")
+    val bits  = (0 until 16).map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""toks AS (SELECT doc_id, unnest(${Dk.tokens("text")}) AS tok FROM $src),
+       |hashed AS (SELECT doc_id, ${Dk.hex32("tok")} AS h FROM toks),
+       |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
+       |sh16 AS (SELECT doc_id, ($bits)::BIGINT AS simhash FROM votes)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS cnt, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH ${dkSig("documents")}
+         |SELECT doc_id, ${(0 until MinhashK).map(j => s"mh$j").mkString(", ")} FROM sig""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $dkCorpus,
+         |${dkSig("corpus")},
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b, $dkJaccard AS jaccard
+         |FROM cand
+         |JOIN sig l ON l.doc_id = doc_a
+         |JOIN sig r ON r.doc_id = doc_b
+         |WHERE $dkJaccard >= 0.8""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH ${dkSimhash("documents")}
+         |SELECT doc_id, simhash FROM sh16""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $dkCorpus,
+         |${dkSimhash("corpus")},
+         |banded AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (4 * band)) & 15 AS nib
+         |  FROM sh16, (SELECT unnest(generate_series(0, 3)) AS band))
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+         |FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.nib = r.nib AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |d AS (SELECT doc_id, list_distinct(${Dk.shingles3("toks")}) AS sh FROM toksrc)
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, $dkJaccard AS jaccard
+         |FROM d l JOIN d r ON r.doc_id = l.doc_id + 1""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, label,
+         |    [embedding[i]::DOUBLE + 0.01 * (((i - 1) % 3) - 1) for i in generate_series(1, 64)] AS v
+         |  FROM embeddings)
+         |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         |  round(${VectorKernels.Dk.cosine("l.v", "r.v", 64)}, 4) AS cos
+         |FROM base l JOIN base r ON l.label = r.label AND l.vec_id < r.vec_id
+         |WHERE round(${VectorKernels.Dk.cosine("l.v", "r.v", 64)}, 4) >= 0.99""".stripMargin)
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted inside a partition-batched kernel.
+  *
+  * The decode step is a STUB by design — no image/audio codecs exist in
+  * this container — but everything Spark-side is real and tested: the
+  * binary column, the typed output schema, the `mapPartitions` batch shape
+  * (the JVM analog of `mapInPandas`: one iterator per partition, rows
+  * streamed, nothing collected), and the per-kind metadata contract. The
+  * stub is a pure function of the leading payload bytes, so the whole
+  * query has an exact DuckDB oracle (bytes here are UTF-8 of ASCII text,
+  * so `ascii(substr(text, k, 1))` reproduces byte k).
+  *
+  * Swap [[MediaDecoder.decode]] for a real codec and nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed metadata a real decoder would emit. */
+  final case class MediaMeta(
+      doc_id: Long, byte_len: Long, fmt: String,
+      width: Long, height: Long, n_frames: Long)
+
+  object MediaDecoder {
+    /** STUB decode: deterministic fake parse of the payload header. A real
+      * implementation would hand `bytes` to a codec; the signature and the
+      * batch shape are the contract. */
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+      def b(i: Int): Long = if (i < bytes.length) bytes(i) & 0xFFL else 0L
+      val fmt = (b(0) % 3) match {
+        case 0 => "image"
+        case 1 => "audio"
+        case _ => "video"
+      }
+      val width  = (b(0) * 256 + b(1)) % 1024 + 16
+      val height = (b(1) * 256 + b(2)) % 1024 + 16
+      val frames = fmt match {
+        case "image" => 1L
+        case "audio" => b(3) % 64 + 1
+        case _       => b(3) % 240 + 1
+      }
+      MediaMeta(docId, bytes.length.toLong, fmt, width, height, frames)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary ingest → partition-batched decode → typed metadata table
+    "mm_decode_meta" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => MediaDecoder.decode(id, bytes) })
+        .toDF()
+    }),
+
+    // feature-extraction fan-out: frame sampling plan per media row — one
+    // output row per sampled frame (every 10th frame, capped at 4), the
+    // UDTF/explode shape a video pipeline needs. Pure column ops.
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val meta = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => MediaDecoder.decode(id, bytes) })
+        .toDF()
+      meta.filter(col("fmt") === "video")
+        .withColumn("frame_idx",
+          explode(sequence(lit(0L), least(floor((col("n_frames") - 1) / 10).cast("long"), lit(3L)))))
+        .select(col("doc_id"), (col("frame_idx") * 10).as("frame_no"), col("width"), col("height"))
+    }))
+
+  // --- DuckDB oracles (byte k of UTF-8(ASCII text) == ascii of char k) ----
+
+  private def b(k: Int) = s"(CASE WHEN length(text) >= ${k + 1} THEN ascii(substr(text, ${k + 1}, 1)) ELSE 0 END)::BIGINT"
+
+  private val dkMeta =
+    s"""meta AS (
+       |  SELECT doc_id,
+       |    length(text)::BIGINT AS byte_len,
+       |    (CASE ${b(0)} % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS fmt,
+       |    ((${b(0)} * 256 + ${b(1)}) % 1024 + 16)::BIGINT AS width,
+       |    ((${b(1)} * 256 + ${b(2)}) % 1024 + 16)::BIGINT AS height,
+       |    (CASE ${b(0)} % 3 WHEN 0 THEN 1 WHEN 1 THEN ${b(3)} % 64 + 1 ELSE ${b(3)} % 240 + 1 END)::BIGINT AS n_frames
+       |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      s"""WITH $dkMeta
+         |SELECT doc_id, byte_len, fmt, width, height, n_frames FROM meta""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH $dkMeta
+         |SELECT doc_id, frame_idx * 10 AS frame_no, width, height
+         |FROM meta, generate_series(0, 3) AS t(frame_idx)
+         |WHERE fmt = 'video' AND frame_idx <= least((n_frames - 1) // 10, 3)""".stripMargin)
+}

@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.functions.Kernels
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator catalog — one query per operator family from
+  * SURVEY.md §2 (scans, projections/filters, joins J1–J3, aggregations
+  * A1–A7, windows W1–W3, set ops SO1–SO2, scalar kernels F1–F15), each
+  * expressed Spark-first over the driver's TPC-H-ish parquet tables and
+  * paired with an exact DuckDB oracle in [[Relational.oracles]].
+  *
+  * Cross-engine determinism rules used throughout the catalog:
+  *  - money/measure sums go through DECIMAL (exact, order-independent)
+  *    and only the final result is cast back to double;
+  *  - every count/rank is cast to long (DuckDB's natural BIGINT);
+  *  - ratios are computed on the exact sums with one double division,
+  *    then `round(_, 4)` — identical IEEE ops on identical inputs;
+  *  - tie-breaks in every window/top-k are total (unique key appended).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A3/A4 — grouped aggregation with exact decimal sums (TPC-H Q1 shape).
+    // Map-side partial aggregation is automatic; the single shuffle is on the
+    // (returnflag, linestatus) grouping key — 6 groups, trivially balanced.
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+          round(sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // J1 — dim⋈fact with an explicit broadcast of the small side (nation is
+    // tiny at every scale; customer⋈orders shuffles on the join key once).
+    "q_join_customer_orders" -> ((s, dir) => {
+      val orders   = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation   = t(s, dir, "nation")
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_price"))
+    }),
+
+    // P2/S5 — left-semi join (the reference's skip-if-no-golden filter).
+    "q_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
+    // SO1 — anti-join (the golden-diff / missing-key primitive): orders
+    // with no returned line item, summarized per order priority.
+    "q_anti_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_unreturned"))
+    }),
+
+    // J3 — multiset compare: each occurrence on one side consumes one on the
+    // other (eval_script_field_level.py:262-281), here between the odd- and
+    // even-linenumber halves of lineitem.
+    "q_multiset_intersect" -> ((s, dir) => {
+      val li  = t(s, dir, "lineitem")
+      val odd = li.filter(col("l_linenumber") % 2 === 1)
+        .groupBy(col("l_returnflag").as("val")).agg(count(lit(1)).as("cnt_odd"))
+      val even = li.filter(col("l_linenumber") % 2 === 0)
+        .groupBy(col("l_returnflag").as("val")).agg(count(lit(1)).as("cnt_even"))
+      odd.join(even, Seq("val"), "full_outer")
+        .select(
+          col("val"),
+          coalesce(col("cnt_odd"), lit(0L)).as("cnt_odd"),
+          coalesce(col("cnt_even"), lit(0L)).as("cnt_even"),
+          least(coalesce(col("cnt_odd"), lit(0L)), coalesce(col("cnt_even"), lit(0L))).as("common"))
+    }),
+
+    // W2 — per-group top-N via row_number with a total order (argmax with
+    // deterministic ties, the J2 best-match precedent).
+    "q_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank"), col("o_totalprice"))
+    }),
+
+    // W1 + limit — global top-k with total tie-break. Spark plans this as
+    // TakeOrderedAndProject: no full sort, a per-partition heap + driver
+    // merge — the only top-k shape that survives 100 TB.
+    "q_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // SO2 — required-key union fill: every (region, nation) appears, absent
+    // aggregates coalesced to 0 (the _normalize_output subcat fill).
+    "q_union_fill" -> ((s, dir) => {
+      val sparse = t(s, dir, "customer").filter(col("c_acctbal") < 100)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(sparse, col("n_nationkey") === col("c_nationkey"), "left_outer")
+        .select(col("r_name"), col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_customers"))
+    }),
+
+    // F1/F2/F7/F9 + S-hash — the reference's string normalizers as codegen'd
+    // Column expressions over the documents corpus.
+    "q_scalar_normalize" -> ((s, dir) => {
+      val fenced = concat(lit("```json\n"), substring(col("text"), 1, 40), lit("\n```"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(Kernels.normalizeStr(col("text"))).cast("long").as("norm_len"),
+        Kernels.normalizeSubcat(col("source")).as("subcat"),
+        md5(col("text")).as("content_hash"),
+        Kernels.stripCodeFences(fenced).as("defenced"))
+    }),
+
+    // F4/F5/F6/F10 — lenient number parsing + tolerant equality, verified
+    // against independently computed expected values in the oracle.
+    "q_parse_number" -> ((s, dir) => {
+      val qtyStr = col("l_quantity").cast("string")
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 30).select(
+        col("l_orderkey"), col("l_linenumber"),
+        Kernels.parseNumber(concat(lit("("), qtyStr, lit(")"))).as("parsed_neg"),
+        Kernels.parseNumber(concat(lit("1,2"), col("l_linenumber").cast("string"), lit("4.00"))).as("comma_parsed"),
+        Kernels.numEqual(qtyStr, (col("l_quantity") + 0.005).cast("string")).as("near_eq"),
+        Kernels.numEqual(qtyStr, (col("l_quantity") + 1.0).cast("string")).as("far_eq"),
+        Kernels.parseQtyIsIntegral(qtyStr).as("qty_integral"))
+    }),
+
+    // F13 — JSON field extraction (from_json/get_json_object) + grouped agg.
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("k")).as("sum_k"),
+          count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(14,4)")).cast("double") / count(lit(1)), 4).as("avg_value"))
+    }),
+
+    // Rolling window aggregate over event time (batch analog of a sliding
+    // stream window); DECIMAL inside the frame keeps the sum exact.
+    "q_events_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-3, 0)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(14,2)")).over(w).cast("double").as("rolling_value"))
+    }),
+
+    // Sessionization — gap > 30 min starts a new session (lag + running
+    // flag sum; the batch shape of a streaming session window).
+    "q_sessionize" -> ((s, dir) => {
+      val w    = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      // parquet timestamps load as TIMESTAMP_NTZ; session TZ is pinned to
+      // UTC, so the LTZ reinterpretation is exact and matches epoch_us.
+      val micros = unix_micros(col("ts").cast("timestamp"))
+      val prev   = lag(micros, 1).over(w)
+      t(s, dir, "events")
+        .withColumn("new_sess",
+          when(prev.isNull || micros - prev > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+        | sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_price,
+        | round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_join_customer_orders" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_nationkey::BIGINT AS nationkey, count(*) AS n_active
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |GROUP BY 1""".stripMargin,
+    "q_anti_join" ->
+      """SELECT o_orderpriority, count(*) AS n_unreturned
+        |FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q_multiset_intersect" ->
+      """WITH odd AS (
+        |  SELECT l_returnflag AS val, count(*) AS cnt_odd FROM lineitem
+        |  WHERE l_linenumber % 2 = 1 GROUP BY 1),
+        |even AS (
+        |  SELECT l_returnflag AS val, count(*) AS cnt_even FROM lineitem
+        |  WHERE l_linenumber % 2 = 0 GROUP BY 1)
+        |SELECT val, coalesce(cnt_odd, 0) AS cnt_odd, coalesce(cnt_even, 0) AS cnt_even,
+        | least(coalesce(cnt_odd, 0), coalesce(cnt_even, 0)) AS common
+        |FROM odd FULL OUTER JOIN even USING (val)""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rank, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_union_fill" ->
+      """WITH sparse AS (
+        |  SELECT c_nationkey, count(*) AS cnt FROM customer
+        |  WHERE c_acctbal < 100 GROUP BY 1)
+        |SELECT r_name, n_name, coalesce(cnt, 0) AS n_customers
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |LEFT JOIN sparse ON n_nationkey = c_nationkey""".stripMargin,
+    "q_scalar_normalize" ->
+      """SELECT doc_id,
+        | length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))::BIGINT AS norm_len,
+        | regexp_replace(regexp_replace(upper(source), '[^A-Z0-9]+', '_', 'g'), '^_+|_+$', '', 'g') AS subcat,
+        | md5(text) AS content_hash,
+        | substr(text, 1, 40) AS defenced
+        |FROM documents""".stripMargin,
+    "q_parse_number" ->
+      """SELECT l_orderkey, l_linenumber,
+        | -l_quantity AS parsed_neg,
+        | (1204 + 10 * l_linenumber)::DOUBLE AS comma_parsed,
+        | true AS near_eq, false AS far_eq,
+        | (l_quantity = floor(l_quantity)) AS qty_integral
+        |FROM lineitem WHERE l_orderkey < 30""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        | sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        | count(*) AS n,
+        | round(sum(value::DECIMAL(14,4))::DOUBLE / count(*), 4) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_events_window" ->
+      """SELECT event_id, user_id,
+        | (sum(value::DECIMAL(14,2)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::DOUBLE AS rolling_value
+        |FROM events""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)
+        |SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+        |FROM x GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.functions.VectorKernels._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>` column).
+  *
+  * Two paths, as a real 100 TB pipeline would ship them:
+  *  - brute-force cosine top-k — the exact baseline. Queries are a tiny
+  *    set broadcast against the corpus; per-query top-k is a window over
+  *    the query partition (at scale: replace row_number with a per-
+  *    partition heap via the same plan shape — Spark's TakeOrdered per
+  *    group). Cost: |Q| × corpus, embarrassingly parallel, no all-pairs.
+  *  - sign-LSH bucketed top-k — the scale path: 4 deterministic md5-seeded
+  *    hyperplanes → 16 buckets; candidates only from the query's bucket,
+  *    so the join is a bucket-key equi-join (corpus²/16 per bucket instead
+  *    of corpus² — and at 1000× the data you add planes, not machines²).
+  *
+  * All vector math is HOF-based (zip_with/aggregate) — codegen'd, portable
+  * to the DuckDB oracle bit-for-bit (see VectorKernels).
+  */
+object Similarity {
+
+  private val Dims   = 64
+  private val Planes = 4
+  private val K      = 5
+  private val NQuery = 5
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+
+  private def topk(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact ANN baseline: broadcast the query set, scan the corpus once.
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQuery)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v")).as("cos"))
+      topk(pairs)
+    }),
+
+    // Per-vector LSH bucket assignment + bucket histogram (the index build).
+    "ann_lsh_buckets" -> ((s, dir) =>
+      emb(s, dir).withColumn("bucket", lshBucket(col("v"), Planes, Dims))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))),
+
+    // LSH-bucketed ANN: candidates restricted to the query's bucket.
+    "ann_lsh_topk" -> ((s, dir) => {
+      val b = emb(s, dir).withColumn("bucket", lshBucket(col("v"), Planes, Dims))
+      val q = b.filter(col("vec_id") < NQuery)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      val pairs = b.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v")).as("cos"))
+      topk(pairs)
+    }))
+
+  // --- DuckDB oracles -----------------------------------------------------
+
+  private val dkCos  = Dk.cosine("q.v", "c.v", Dims)
+  private val dkEmb  = "SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v FROM embeddings"
+  private val dkBkt  = Dk.lshBucket("v", Planes, Dims)
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      s"""WITH e AS ($dkEmb),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dkCos AS cos
+         |  FROM e q JOIN e c ON q.vec_id < $NQuery AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K""".stripMargin,
+    "ann_lsh_buckets" ->
+      s"""WITH e AS ($dkEmb)
+         |SELECT $dkBkt AS bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+         |FROM e GROUP BY 1""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH e AS ($dkEmb),
+         |b AS (SELECT vec_id, v, $dkBkt AS bucket FROM e),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dkCos AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < $NQuery AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + semantics checks for the SparkEntry operator catalog over the
+  * sf0.001 testdata. The exact cross-engine value check is the driver's
+  * DuckDB oracle compare (tools/check_oracles.py replays it locally);
+  * here we pin the invariants that don't need a second engine.
+  */
+class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every oracle key has a query and every query runs non-empty") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry() returns verified extracted spans") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("dedup_exact groups match distinct hashes") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out  = SparkEntry.queries("dedup_exact")(spark, dir)
+    assert(out.count() == docs.select(md5(col("text"))).distinct().count())
+    assert(out.agg(sum("cnt")).head.getLong(0) == docs.count())
+  }
+
+  test("dedup_minhash_lsh finds every planted near-dup pair") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // planted pairs are (id, id+1e6); all must survive LSH + jaccard>=0.8
+    // for docs with >= 9 tokens (jaccard (n-2)/(n-1) >= 0.875)
+    val out = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .filter(col("doc_b") === col("doc_a") + 1000000L)
+    val eligible = docs
+      .filter(size(split(trim(col("text")), "\\s+")) >= 9)
+      .count()
+    assert(out.count() >= eligible * 95 / 100, s"found ${out.count()} of $eligible planted pairs")
+  }
+
+  test("dedup_embedding_cosine finds exactly the planted pairs") {
+    val out = SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
+    assert(out.count() == 500)
+    assert(out.filter(col("vec_b") =!= col("vec_a") + 100000L).count() == 0)
+    assert(out.agg(min("cos")).head.getDouble(0) >= 0.99)
+  }
+
+  test("ann_bruteforce_topk returns k ranked neighbors per query") {
+    val out = SparkEntry.queries("ann_bruteforce_topk")(spark, dir)
+    assert(out.count() == 25) // 5 queries × k=5
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    // ranks are cosine-descending per query
+    val viol = out.as("a").join(out.as("b"),
+      col("a.query_id") === col("b.query_id") && col("a.rank") < col("b.rank") &&
+        col("a.cos") < col("b.cos"))
+    assert(viol.count() == 0)
+  }
+
+  test("ann_lsh_topk neighbors are a subset of brute-force candidates' scores") {
+    val bf  = SparkEntry.queries("ann_bruteforce_topk")(spark, dir)
+    val lsh = SparkEntry.queries("ann_lsh_topk")(spark, dir)
+    // every LSH hit must carry the same cosine the exact path computes
+    val joined = lsh.select(col("query_id"), col("neighbor_id"), col("cos").as("lsh_cos"))
+      .join(bf.select(col("query_id"), col("neighbor_id"), col("cos").as("bf_cos")),
+        Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("lsh_cos") =!= col("bf_cos")).count() == 0)
+  }
+
+  test("text_langid picks the alphabetically-first max-scoring language") {
+    val out  = SparkEntry.queries("text_langid")(spark, dir)
+    val best = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
+    val viol = out.filter(
+      (col("lang_pred") === "und" && best > 0) ||
+        (col("lang_pred") =!= "und" &&
+          (best === 0 || col("lang_pred") =!= when(col("s_de") === best, "de")
+            .when(col("s_en") === best, "en")
+            .when(col("s_es") === best, "es")
+            .otherwise("fr"))))
+    assert(viol.count() == 0)
+  }
+
+  test("mm_decode_meta covers every doc with sane metadata") {
+    val out = SparkEntry.queries("mm_decode_meta")(spark, dir)
+    assert(out.count() == 500)
+    assert(out.filter(col("width") < 16 || col("width") >= 1040).count() == 0)
+    assert(out.filter(!col("fmt").isin("image", "audio", "video")).count() == 0)
+  }
+}
