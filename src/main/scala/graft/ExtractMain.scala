@@ -10,26 +10,49 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.ExtractMain <nDocs> <seed> <outDir> [runId] [--check]
+  *                     [--input <parquetDir>] [--materialize <parquetDir>]
+  *                     [--noop]
   *
-  * Reads nothing external: the input corpus is generated distributed from
-  * (idx, seed) — swap `generateInputs` for a parquet/Iceberg scan in a
-  * real deployment. With `--check`, also verifies the north-rule golden
+  * Default input is the seeded corpus generated distributed from
+  * (idx, seed). `--input` scans a parquet documents table instead — the
+  * north-rule deployment shape (and the benchmarking shape: generation
+  * cost out of the timed path). `--materialize` writes the generated
+  * corpus to parquet and exits. `--noop` skips the manifest commit and
+  * discards output into the noop sink — isolates kernel+scan scaling from
+  * sink behavior. With `--check`, also verifies the north-rule golden
   * invariant (span-sequence equality) and prints the match rate.
   * Exit code 1 if the check fails.
   */
 object ExtractMain {
+  private def flagValue(args: Array[String], flag: String): Option[String] =
+    args.indexOf(flag) match {
+      case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
+      case _                                  => None
+    }
+
   def main(args: Array[String]): Unit = {
     val nDocs  = args.headOption.map(_.toLong).getOrElse(10000L)
     val seed   = if (args.length > 1) args(1).toLong else 42L
     val outDir = if (args.length > 2) args(2) else "/tmp/graft-extract-out"
     val runId  = if (args.length > 3 && !args(3).startsWith("--")) args(3) else s"run-$nDocs-$seed"
     val check  = args.contains("--check")
+    val noop   = args.contains("--noop")
+    val input  = flagValue(args, "--input")
+    val mat    = flagValue(args, "--materialize")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-extract")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan-stage parallelism must track the worker count, not the 128 MB
+      // default: documents decode (nested span arrays) is CPU-heavy per
+      // byte, so a scan split should be small enough that every core gets
+      // one — otherwise the scan stage caps the whole job at
+      // inputBytes/128MB tasks (measured: a 1 GB input ran its scan on ~8
+      // of 32 cores until this was sized).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", s"${16 * 1024 * 1024}"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -39,12 +62,32 @@ object ExtractMain {
     spark.sparkContext.register(lineage, "extract-lineage")
 
     val parts = cpus.toInt * 2 // 2 waves per core: keeps stragglers short
-    val t0    = System.nanoTime()
-    val input = ManifestIO.pruneCommitted( // resume: skip committed buckets pre-kernel
-      ExtractJob.generateInputs(spark, nDocs, seed, parts), outDir, nBuckets = parts)
-    val out   = ExtractJob.extract(input, numPartitions = parts, lineage = Some(lineage))
-    val committed = ManifestIO.write(out, outDir, nBuckets = parts, runId = runId)
-    val wallSec   = (System.nanoTime() - t0) / 1e9
+
+    if (mat.isDefined) { // pre-materialize the input table, untimed, and exit
+      val dir = mat.get
+      ExtractJob.generateInputs(spark, nDocs, seed, parts).write
+        .mode("overwrite").parquet(dir)
+      println(s"""{"materialized":$nDocs,"dir":"$dir"}""")
+      spark.stop()
+      return
+    }
+
+    def inputDocs = {
+      import spark.implicits._
+      input match {
+        case Some(dir) => spark.read.parquet(dir).as[graft.Document]
+        case None      => ExtractJob.generateInputs(spark, nDocs, seed, parts)
+      }
+    }
+
+    val t0  = System.nanoTime()
+    val in  = ManifestIO.pruneCommitted( // resume: skip committed buckets pre-kernel
+      inputDocs, outDir, nBuckets = parts)
+    val out = ExtractJob.extract(in, numPartitions = parts, lineage = Some(lineage))
+    val committed =
+      if (noop) { out.toDF().write.format("noop").mode("overwrite").save(); Seq.empty }
+      else ManifestIO.write(out, outDir, nBuckets = parts, runId = runId)
+    val wallSec = (System.nanoTime() - t0) / 1e9
 
     val stats   = lineage.value
     val docs    = stats.values.map(_.docs).sum

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: prints `explain("formatted")` for the queries whose
+  * plan shape matters at 100 TB, so regressions in pushdown / broadcast /
+  * whole-stage codegen / shuffle count are visible in review.
+  *
+  * What to look for (and what the current plans show):
+  *  - parquet scans carry `PushedFilters` + pruned `ReadSchema`
+  *  - small dims join as `BroadcastHashJoin`, not SortMerge
+  *  - top-k is `TakeOrderedAndProject`, not global Sort+Limit
+  *  - column-expression operators sit inside `WholeStageCodegen` spans
+  *  - exactly one Exchange per intended shuffle
+  *
+  * Usage: sbt -batch "runMain graft.PlanAudit [queryName ...]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_agg_pricing", "q_join_customer_orders", "q_topk_orders",
+        "q_anti_join", "dedup_minhash_lsh", "ann_bruteforce_topk",
+        "text_tokens", "q_window_topn")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

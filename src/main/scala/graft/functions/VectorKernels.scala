@@ -55,6 +55,42 @@ object VectorKernels {
     }.reduce(_ + _)
   }
 
+  /** Deterministic pseudo-centroids for an IVF-style coarse quantizer,
+    * md5-derived like [[hyperplane]] so both engines regenerate them:
+    * component i of centroid j is (nibble(md5("c<j>_<i>")) - 7.5) / 8
+    * — exact sixteenths, engine-stable doubles. (A production IVF trains
+    * centroids with k-means; the operator contract — assign to nearest
+    * cell, probe nprobe cells at query time — is what's built here, and a
+    * trained codebook drops in as literals the same way.) */
+  def centroid(j: Int, dims: Int): Seq[Double] =
+    hyperplane(1000 + j, dims).map(_ / 8.0)
+
+  /** Squared L2 distance to a literal centroid (left fold, engine-stable). */
+  def dist2(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+
+  /** IVF cell assignment: index of the nearest of `cells` centroids
+    * (first-wins tie-break). */
+  def ivfCell(v: Column, cells: Int, dims: Int): Column = {
+    val ds   = (0 until cells).map(j => dist2(v, centroid(j, dims)))
+    val dmin = least(ds: _*)
+    ds.zipWithIndex.foldRight(lit(-1L)) { case ((d, j), acc) =>
+      when(d === dmin, lit(j.toLong)).otherwise(acc)
+    }
+  }
+
+  /** Second probe cell: nearest centroid excluding `cell` (first-wins). */
+  def ivfSecondCell(v: Column, cell: Column, cells: Int, dims: Int): Column = {
+    val ds   = (0 until cells).map(j => dist2(v, centroid(j, dims)))
+    val masked = ds.zipWithIndex.map { case (d, j) =>
+      when(lit(j.toLong) === cell, lit(Double.PositiveInfinity)).otherwise(d)
+    }
+    val dmin = least(masked: _*)
+    masked.zipWithIndex.foldRight(lit(-1L)) { case ((d, j), acc) =>
+      when(d === dmin, lit(j.toLong)).otherwise(acc)
+    }
+  }
+
   /** DuckDB SQL twins. `e` is a list-typed SQL expression. */
   object Dk {
     def dot(a: String, b: String, dims: Int): String =
@@ -75,5 +111,18 @@ object VectorKernels {
       (0 until planes).map { j =>
         s"(case when ${dot(v, s"(${planeLit(j, dims)})", dims)} > 0 then ${1L << j} else 0 end)"
       }.mkString("(", " + ", ")::BIGINT")
+
+    /** Centroid j as a DuckDB list literal (values are exact sixteenths,
+      * so 4 decimals round-trips them exactly). */
+    def centroidLit(j: Int, dims: Int): String =
+      centroid(j, dims).map(d => f"$d%.4f").mkString("[", ",", "]")
+
+    /** Squared L2 distance of list expression `v` to centroid j. */
+    def dist2(v: String, j: Int, dims: Int): String = {
+      val c = s"(${centroidLit(j, dims)})"
+      s"list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"[($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i]) for i in generate_series(1, $dims)]), " +
+        "(x, y) -> x + y)"
+    }
   }
 }

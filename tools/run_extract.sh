@@ -1,0 +1,20 @@
+#!/bin/bash
+# Direct-JVM launcher for graft.ExtractMain: same --add-opens set as
+# build.sbt, no sbt startup (25s → ~3s per run) so the scaling protocol can
+# afford many interleaved samples on this noisy shared host.
+# Usage: run_extract.sh <cpus> <docs> <outDir> <runId> [extra ExtractMain flags...]
+set -eu
+CPUS=$1; DOCS=$2; OUTDIR=$3; RUNID=$4; shift 4
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec env SPARK_GRAFT_CPUS="$CPUS" SPARK_LOCAL_DIRS="${SPARK_LOCAL_DIRS:-/dev/shm/spark-local}" \
+  java $OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" graft.ExtractMain "$DOCS" 42 "$OUTDIR" "$RUNID" "$@"
