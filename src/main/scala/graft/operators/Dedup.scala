@@ -44,15 +44,18 @@ object Dedup {
 
   private val MinhashK = 8 // 4 bands × rows of 2
 
-  /** doc_id + shingle set + 8 minhashes + 4 band hashes. */
+  /** doc_id + shingle set + 8 minhashes + 4 (band, key-pair) structs.
+    * Base hashes live in their own named column so the one-md5-per-shingle
+    * pass is computed once and shared by all k families. */
   private def signatures(corpus: DataFrame): DataFrame = {
-    val sh  = shingles3(tokens(col("text")))
-    val mhs = (0 until MinhashK).map(j => minhash(col("sh"), j).as(s"mh$j"))
+    val mhs = (0 until MinhashK).map(j => minhash(col("hs"), j).as(s"mh$j"))
     corpus
-      .withColumn("sh", sh)
+      .withColumn("sh", shingles3(tokens(col("text"))))
+      .withColumn("hs", baseHashes(col("sh")))
       .select(col("doc_id") +: col("sh") +: mhs: _*)
       .withColumn("bands", array((0 until MinhashK / 2).map(b =>
-        struct(lit(b).as("band"), bandHash(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bh"))): _*))
+        struct(lit(b).as("band"),
+          col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))): _*))
   }
 
   /** |A∩B| / |A∪B| over shingle SETS (distinct), 4 dp. */
@@ -90,10 +93,10 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sig    = signatures(dupCorpus(s, dir)).cache()
       val banded = sig.select(col("doc_id"), explode(col("bands")).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.bh"))
+        .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
       val cand = banded.as("l").join(banded.as("r"),
-          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-            col("l.doc_id") < col("r.doc_id"))
+          col("l.band") === col("r.band") && col("l.k1") === col("r.k1") &&
+            col("l.k2") === col("r.k2") && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
       val sets = sig.select(col("doc_id"), col("sh"))
@@ -162,12 +165,15 @@ object Dedup {
       |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text FROM documents)""".stripMargin
 
   private def dkSig(src: String): String = {
-    val mhs = (0 until MinhashK).map(j => s"${Dk.minhash("sh", j)} AS mh$j").mkString(", ")
+    val mhs = (0 until MinhashK).map(j => s"${Dk.minhash("hs", j)} AS mh$j").mkString(", ")
     s"""toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM $src),
-       |sig AS (SELECT doc_id, sh, $mhs
-       |        FROM (SELECT doc_id, ${Dk.shingles3("toks")} AS sh FROM toksrc)),
+       |shsrc AS (SELECT doc_id, ${Dk.shingles3("toks")} AS sh FROM toksrc),
+       |hsrc AS (SELECT doc_id, sh, ${Dk.baseHashes("sh")} AS hs FROM shsrc),
+       |sig AS (SELECT doc_id, sh, $mhs FROM hsrc),
        |banded AS (
-       |  SELECT doc_id, band, md5(CASE band ${(0 until 4).map(b => s"WHEN $b THEN mh${2 * b} || mh${2 * b + 1}").mkString(" ")} END) AS bh
+       |  SELECT doc_id, band,
+       |    CASE band ${(0 until 4).map(b => s"WHEN $b THEN mh${2 * b}").mkString(" ")} END AS k1,
+       |    CASE band ${(0 until 4).map(b => s"WHEN $b THEN mh${2 * b + 1}").mkString(" ")} END AS k2
        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band))""".stripMargin
   }
 
@@ -197,7 +203,7 @@ object Dedup {
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+         |    ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.doc_id < r.doc_id)
          |SELECT doc_a, doc_b, $dkJaccard AS jaccard
          |FROM cand
          |JOIN sig l ON l.doc_id = doc_a
