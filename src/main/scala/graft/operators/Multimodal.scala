@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorKernels
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,6 +45,17 @@ object Multimodal {
       }
       MediaMeta(docId, bytes.length.toLong, fmt, width, height, frames)
     }
+
+    /** STUB feature extraction: a deterministic 16-dim embedding of the
+      * payload header bytes (a real pipeline runs a vision/audio encoder
+      * here; the contract — bytes in, fixed-dim vector out, batched per
+      * partition — is what the downstream ANN consumes). */
+    val EmbedDims = 16
+    def embed(bytes: Array[Byte]): Seq[Double] =
+      (0 until EmbedDims).map { i =>
+        val b = if (2 * i < bytes.length) bytes(2 * i) & 0xFF else 0
+        (b - 96) / 16.0
+      }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -71,6 +83,29 @@ object Multimodal {
         .withColumn("frame_idx",
           explode(sequence(lit(0L), least(floor((col("n_frames") - 1) / 10).cast("long"), lit(3L)))))
         .select(col("doc_id"), (col("frame_idx") * 10).as("frame_no"), col("width"), col("height"))
+    }),
+
+    // the full media pipeline: bytes → partition-batched feature
+    // extraction (stub encoder) → cosine top-3 media search. The shape a
+    // multimodal training-data pipeline needs end-to-end.
+    "mm_embed_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => (id, MediaDecoder.embed(bytes)) })
+        .toDF("doc_id", "v")
+        .withColumn("nrm", VectorKernels.norm(col("v")))
+      val q = emb.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val pairs = emb.join(broadcast(q), col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          (VectorKernels.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+      pairs.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
     }))
 
   // --- DuckDB oracles (byte k of UTF-8(ASCII text) == ascii of char k) ----
@@ -95,5 +130,23 @@ object Multimodal {
       s"""WITH $dkMeta
          |SELECT doc_id, frame_idx * 10 AS frame_no, width, height
          |FROM meta, generate_series(0, 3) AS t(frame_idx)
-         |WHERE fmt = 'video' AND frame_idx <= least((n_frames - 1) // 10, 3)""".stripMargin)
+         |WHERE fmt = 'video' AND frame_idx <= least((n_frames - 1) // 10, 3)""".stripMargin,
+    "mm_embed_ann" -> {
+      val dims = MediaDecoder.EmbedDims
+      val cos  = VectorKernels.Dk.cosine("q.v", "c.v", dims)
+      s"""WITH emb AS (
+         |  SELECT doc_id,
+         |    [((CASE WHEN length(text) >= 2 * i + 1 THEN ascii(substr(text, 2 * i + 1, 1)) ELSE 0 END) - 96)::DOUBLE / 16.0
+         |     for i in generate_series(0, ${dims - 1})] AS v
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, $cos AS cos
+         |  FROM emb q JOIN emb c ON q.doc_id < 3 AND c.doc_id <> q.doc_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= 3""".stripMargin
+    })
 }
