@@ -35,9 +35,11 @@ object SparkEntry {
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextOps.queries ++ Multimodal.queries ++ ExtractQueries.queries
 
-  /** DuckDB-equivalent ANSI SQL per query (omitted for the non-SQL
-    * extraction/eval kernels → driver records a rows-only check). */
+  /** DuckDB-equivalent ANSI SQL per query. The extraction/eval kernels are
+    * covered too: their queries materialize the independent second opinion
+    * (generator-side goldens / planted-defect counts) as aux parquet and
+    * the oracle re-derives the expected result from it (see OracleAux). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextOps.oracles ++ Multimodal.oracles
+      TextOps.oracles ++ Multimodal.oracles ++ ExtractQueries.oracles
 }

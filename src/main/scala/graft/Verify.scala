@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name filter (iteration aid)
+    val only = args.lift(2).map(_.split(",").toSet)
+    def selected(name: String) = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,11 +24,20 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val runs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Delete every query's previous output up front: a failed query must
+    // surface as MISSING in the oracle compare, never as a stale pass.
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val runs = SparkEntry.queries.toSeq.filter(q => selected(q._1)).map { case (name, fn) =>
+      rmTree(new java.io.File(s"$outDir/$name"))
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -49,5 +61,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (!failed.isEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries failed: $failed")
+      sys.exit(1)
+    }
   }
 }

@@ -121,4 +121,54 @@ object EvalCorpus {
     }
     walk(norm, numeric = false).asInstanceOf[JObj]
   }
+
+  /** The 9 flat scalar leaves of the normalized response shape
+    * (Normalize.groundTruthToResponse output), in emission order. */
+  private val FlatKeys = Vector(
+    "format", "bill_no", "provider_name", "patient_name", "ic/passport_no",
+    "visit_type", "admission_date_time", "discharge_date_time", "gl_reference_no")
+
+  /** Planted-defect prediction with KNOWN defect counts — the generator
+    * side of the driver-checkable eval oracle. Tolerance-covered noise
+    * (case flips, pads, ±0.005 shifts, list shuffles) is applied
+    * everywhere via [[prediction]] (defectRate 0), then exactly
+    * `nMismatched` value defects and `nMissing` dropped keys are planted
+    * in the flat scalar leaves — never inside line-item lists, so greedy
+    * alignment stays provably perfect (items within a list always differ
+    * in `service_code`, so the true twin's similarity 1.0 is a strict
+    * maximum) and the expected Compare verdict is exact by construction:
+    *
+    *   total = 9 + 7 × (line items), correct = total − nMissing − nMismatched.
+    *
+    * Returns (prediction, expectedTotal, nMissing, nMismatched). The
+    * independent path is Compare.scala DETECTING these counts through all
+    * the noise; this generator only declares what it planted.
+    */
+  def plantedPrediction(idx: Long, seed: Long): (JObj, Int, Int, Int) = {
+    val nMismatched = if (idx % 2 == 0) 0 else (idx % 3).toInt + 1       // 1..3
+    val nMissing    = if (idx % 2 == 0) 0 else ((idx / 3) % 3).toInt     // 0..2
+    val noised      = prediction(idx, seed, 0.0)
+
+    def lineItems(v: J): Int = v match {
+      case o: JObj  => o.fields.map(f => lineItems(f._2)).sum
+      case JArr(xs) => xs.size
+      case _        => 0
+    }
+    val norm  = graft.eval.Normalize.groundTruthToResponse(groundTruth(idx, seed))
+    val items = Vector("room_charges", "hospital_medical_services", "consultation_fees")
+      .map(k => lineItems(norm.get(k).getOrElse(JNull))).sum
+    val total = FlatKeys.size + Normalize_LineItemFieldCount * items
+
+    val mismatchKeys = FlatKeys.take(nMismatched).toSet
+    val missingKeys  = FlatKeys.takeRight(nMissing).toSet
+    val planted = JObj(noised.fields.flatMap {
+      case (k, _) if missingKeys.contains(k)  => None
+      case (k, v) if mismatchKeys.contains(k) => Some(k -> (JStr(J.pyStr(v) + "_wrong"): J))
+      case kv                                 => Some(kv)
+    })
+    (planted, total, nMissing, nMismatched)
+  }
+
+  /** 7 fields per normalized line item (Normalize.LineItemFields). */
+  private val Normalize_LineItemFieldCount = 7
 }

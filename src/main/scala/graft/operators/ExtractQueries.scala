@@ -1,55 +1,122 @@
 package graft.operators
 
-import graft.plans.{ExtractJob, GoldenDiff}
+import graft.corpus.EvalCorpus
+import graft.eval.{EvalJob, J}
+import graft.plans.{ExtractJob, GoldenDiff, OracleAux}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The extraction pipeline exposed through the query surface. These are
-  * not SQL-expressible (the kernel is a typed mapPartitions transform), so
-  * they carry no DuckDB oracle — their correctness gate is the golden
-  * span-sequence anti-join in the ScalaTest suite and ExtractMain --check;
-  * here the driver gets a rows>0 smoke signal plus deterministic output
-  * it can diff across rounds.
+/** The extraction/eval pipeline exposed through the query surface — WITH
+  * hard DuckDB oracles, so the flagship kernel is green in the driver's
+  * CORRECTNESS gate, not just in ScalaTest.
+  *
+  * The kernel itself is not SQL-expressible (typed mapPartitions), so each
+  * query materializes the INDEPENDENT second opinion as an aux parquet
+  * table (see [[graft.plans.OracleAux]]) and the oracle SQL re-derives the
+  * expected result from it in pure SQL:
+  *
+  *  - `extract_spans`: the aux table is the generator-side GOLDEN spans
+  *    (a code path that never touches the extraction kernel); hash match
+  *    ⇔ 100% span-sequence equality — the north rule's gate, driver-run.
+  *  - `extract_golden_match`: aux = raw extracted + golden span rows; the
+  *    oracle recomputes the symmetric anti-join diff and per-doc verdicts
+  *    in SQL (reference precedent: the golden JSON diff IS the test
+  *    strategy, eval_script_field_level.py:208-288).
+  *  - `eval_metrics`: predictions carry defects PLANTED with known counts
+  *    (EvalCorpus.plantedPrediction); aux = the generator's declared
+  *    per-doc (total, missing, mismatched); the oracle computes the
+  *    closed-form folder metrics, so Compare.scala must detect exactly
+  *    the planted defects through all the tolerance-covered noise.
   */
 object ExtractQueries {
 
   private val NDocs = 1000L
   private val Seed  = 7L
 
+  private def writeAux(df: DataFrame, name: String): Unit =
+    df.write.mode("overwrite").parquet(OracleAux.path(name))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Extracted span rows for a seeded corpus: the flagship kernel output.
+    // Oracle = the golden spans (independent generator path) ⇒ the driver's
+    // hash compare IS the 100%-span-sequence-equality check.
     "extract_spans" -> ((s, _) => {
       val parts = s.sparkContext.defaultParallelism
-      val in    = ExtractJob.generateInputs(s, NDocs, Seed, parts)
+      writeAux(
+        GoldenDiff.explodeSpans(ExtractJob.generateGoldens(s, NDocs, Seed, parts)),
+        "extract_spans_golden")
+      val in = ExtractJob.generateInputs(s, NDocs, Seed, parts)
       GoldenDiff.explodeSpans(ExtractJob.extract(in, numPartitions = parts))
     }),
 
     // North-rule verification as a query: per-doc golden equality flags.
+    // Aux carries both raw span tables; the oracle recomputes the
+    // anti-join diff + verdict join in SQL.
     "extract_golden_match" -> ((s, _) => {
-      val parts = s.sparkContext.defaultParallelism
-      val out   = ExtractJob.extract(ExtractJob.generateInputs(s, NDocs, Seed, parts), parts)
-      val bad   = GoldenDiff.diff(out, ExtractJob.generateGoldens(s, NDocs, Seed, parts))
-        .select(col("doc_id")).distinct().withColumn("matches", lit(false))
-      ExtractJob.generateGoldens(s, NDocs, Seed, parts).toDF()
+      val parts   = s.sparkContext.defaultParallelism
+      val out     = ExtractJob.extract(ExtractJob.generateInputs(s, NDocs, Seed, parts), parts)
+      val goldens = ExtractJob.generateGoldens(s, NDocs, Seed, parts)
+      writeAux(GoldenDiff.explodeSpans(out), "egm_extracted")
+      writeAux(GoldenDiff.explodeSpans(goldens), "egm_golden")
+      val docs = goldens.toDF()
         .select(col("doc_id"), size(col("spans")).cast("long").as("golden_spans"))
-        .join(bad, Seq("doc_id"), "left_outer")
+      writeAux(docs, "egm_golden_docs")
+      val bad = GoldenDiff.diff(out, goldens)
+        .select(col("doc_id")).distinct().withColumn("matches", lit(false))
+      docs.join(bad, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("golden_spans"), coalesce(col("matches"), lit(true)).as("matches"))
     }),
 
     // The reference's field-level evaluation (EP2) end-to-end on a seeded
-    // golden/prediction corpus: per-folder accuracy summary.
+    // golden/prediction corpus with PLANTED defect counts: per-folder
+    // accuracy summary, oracle-checked against the generator's declared
+    // counts in closed form.
     "eval_metrics" -> ((s, _) => {
       import s.implicits._
-      val n = 200L
+      val n    = 200L
+      val seed = 11L
+      def folder(i: Long) = if (i % 2 == 0) "set-clean" else "set-defect"
       val goldens = s.range(0, n, 1, 8).map { i =>
-        graft.eval.EvalJob.JsonDoc(f"doc_$i%06d", if (i % 2 == 0) "set-clean" else "set-defect",
-          graft.eval.J.canonical(graft.corpus.EvalCorpus.groundTruth(i, 11L)))
+        EvalJob.JsonDoc(f"doc_$i%06d", folder(i), J.canonical(EvalCorpus.groundTruth(i, seed)))
       }
-      val preds = s.range(0, n, 1, 8).map { i =>
-        val rate = if (i % 2 == 0) 0.0 else 0.15
-        graft.eval.EvalJob.JsonDoc(f"doc_$i%06d", if (i % 2 == 0) "set-clean" else "set-defect",
-          graft.eval.J.canonical(graft.corpus.EvalCorpus.prediction(i, 11L, rate)))
-      }
-      graft.eval.EvalJob.folderSummary(graft.eval.EvalJob.evaluate(preds, goldens))
+      val planted = s.range(0, n, 1, 8).map { i =>
+        val (p, total, nMissing, nMismatched) = EvalCorpus.plantedPrediction(i, seed)
+        (f"doc_$i%06d", folder(i), J.canonical(p), total.toLong, nMissing.toLong, nMismatched.toLong)
+      }.toDF("doc_id", "folder", "json", "total", "n_missing", "n_mismatched")
+      writeAux(planted.select("doc_id", "folder", "total", "n_missing", "n_mismatched"),
+        "eval_expected")
+      val preds = planted.select("doc_id", "folder", "json").as[EvalJob.JsonDoc]
+      EvalJob.folderSummary(EvalJob.evaluate(preds, goldens))
     }))
+
+  // --- DuckDB oracles (over the aux tables) -------------------------------
+
+  private val spanCols = "doc_id, pos, kind, text, media_ref"
+
+  def oracles: Map[String, String] = Map(
+    "extract_spans" ->
+      s"SELECT $spanCols FROM ${OracleAux.sqlFrom("extract_spans_golden")}",
+    "extract_golden_match" ->
+      s"""WITH e AS (SELECT $spanCols FROM ${OracleAux.sqlFrom("egm_extracted")}),
+         |g AS (SELECT $spanCols FROM ${OracleAux.sqlFrom("egm_golden")}),
+         |bad AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT * FROM g ANTI JOIN e USING (doc_id, pos, kind, text, media_ref)
+         |    UNION ALL
+         |    SELECT * FROM e ANTI JOIN g USING (doc_id, pos, kind, text, media_ref))),
+         |docs AS (SELECT doc_id, golden_spans FROM ${OracleAux.sqlFrom("egm_golden_docs")})
+         |SELECT d.doc_id, d.golden_spans, (b.doc_id IS NULL) AS matches
+         |FROM docs d LEFT JOIN bad b USING (doc_id)""".stripMargin,
+    "eval_metrics" ->
+      s"""WITH exp AS (SELECT * FROM ${OracleAux.sqlFrom("eval_expected")}),
+         |m AS (SELECT folder,
+         |    round((total - n_missing - n_mismatched) / total::DOUBLE, 4) AS acc,
+         |    round((total - n_missing) / total::DOUBLE, 4) AS sch,
+         |    round((total - n_missing - n_mismatched) / (total - n_missing)::DOUBLE, 4) AS vls
+         |  FROM exp)
+         |SELECT folder, count(*)::BIGINT AS files_evaluated,
+         |  round(avg(acc), 4) AS average_accuracy,
+         |  round(avg(sch), 4) AS average_schema_accuracy,
+         |  round(avg(vls), 4) AS average_values_accuracy
+         |FROM m GROUP BY folder""".stripMargin)
 }
