@@ -36,6 +36,13 @@ object TextKernels {
   def hex32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 8 hex chars of an ALREADY-COMPUTED md5 digest column, starting at
+    * 1-based `start`, as a non-negative long in [0, 2^32). Lets one digest
+    * feed several independent 32-bit hashes (e.g. the two halves of the
+    * 64-bit simhash) without re-digesting. */
+  def hex32Of(digest: Column, start: Int): Column =
+    conv(substring(digest, start, 8), 16, 10).cast("long")
+
   /** MinHash via universal integer hashing over ONE md5-derived base hash
     * per shingle: mh_j = min over shingles of (A_j·h + B_j) mod P. The
     * digest (the expensive part) is computed once per shingle — k minhash
@@ -58,8 +65,9 @@ object TextKernels {
     array_min(transform(baseHashes, h => (h * minhashA(j) + minhashB(j)) % MinhashP))
 
   /** SimHash bit-j vote for one token hash h: +1 if bit j of h is set,
-    * else -1. Portable bit extraction: floor-div by 2^j, mod 2 — h < 2^32
-    * so the double division is exact (< 2^53). */
+    * else -1. Bit extraction via shiftright + bitwiseAND, whose DuckDB
+    * twin is `(h >> j) & 1` — identical semantics for the non-negative
+    * h < 2^32 this is applied to. */
   def simhashVote(h: Column, j: Int): Column = {
     val bit = shiftright(h, j).bitwiseAND(lit(1L))
     bit * 2 - 1
@@ -111,6 +119,14 @@ object TextKernels {
       (1 to 8).map { i =>
         val w = 1L << (4 * (8 - i))
         s"(instr('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * ${w}::BIGINT"
+      }.mkString("(", " + ", ")")
+
+    /** 8 hex chars of a digest-typed expression at 1-based `start`,
+      * identical to [[TextKernels.hex32Of]]. */
+    def hex32Of(digest: String, start: Int): String =
+      (0 until 8).map { i =>
+        val w = 1L << (4 * (7 - i))
+        s"(instr('0123456789abcdef', substr($digest, ${start + i}, 1)) - 1) * ${w}::BIGINT"
       }.mkString("(", " + ", ")")
 
     def baseHashes(shingles: String): String =

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *  - nothing here ever compares all pairs: candidate generation is always
   *    a shuffle-on-bucket-key equi-join (LSH band hash, simhash band, or
   *    label bucket), so the cost is Σ bucket² not corpus²;
-  *  - signatures (8 minhashes / one 16-bit simhash / one bucket id) are
+  *  - signatures (8 minhashes / one 64-bit simhash / one bucket id) are
   *    the only payload shuffled for candidate generation; full shingle
   *    sets are re-joined by doc_id only for the candidates that survive
   *    banding;
@@ -64,15 +64,28 @@ object Dedup {
     round(i / (size(array_distinct(a)) + size(array_distinct(b)) - i), 4)
   }
 
-  /** 16-bit SimHash of the whitespace tokens of `text` (multiset votes). */
-  private def simhash16(corpus: DataFrame): DataFrame = {
+  /** 64-bit SimHash of the whitespace tokens of `text` (multiset votes),
+    * carried as two non-negative 32-bit halves (`simhash_hi`,
+    * `simhash_lo`) so every shift/mask/xor is sign-free and
+    * engine-portable. One md5 per token feeds both halves (hex chars 1-8
+    * and 9-16 of the same digest).
+    *
+    * 64 bits is what makes simhash usable at scale: with 4×16-bit bands
+    * the candidate join has 65,536 keys per band (vs 16 for a 16-bit
+    * hash), so band-bucket sizes stay ~corpus/65k instead of the
+    * quadratic-shuffle corpus/16 the old width degenerated to. */
+  private def simhash64(corpus: DataFrame): DataFrame = {
     val toks  = corpus.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val votes = toks.withColumn("h", hex32(col("tok")))
-    val sums  = (0 until 16).map(j => sum(simhashVote(col("h"), j)).as(s"v$j"))
+    val votes = toks
+      .withColumn("d", md5(col("tok"))) // ONE digest per token, shared below
+      .withColumn("hlo", hex32Of(col("d"), 1))
+      .withColumn("hhi", hex32Of(col("d"), 9))
+    val sums = (0 until 32).map(j => sum(simhashVote(col("hlo"), j)).as(s"vl$j")) ++
+      (0 until 32).map(j => sum(simhashVote(col("hhi"), j)).as(s"vh$j"))
+    def pack(prefix: String): Column =
+      (0 until 32).map(j => when(col(s"$prefix$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     votes.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .withColumn("simhash",
-        (0 until 16).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"), pack("vh").as("simhash_hi"), pack("vl").as("simhash_lo"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -107,23 +120,32 @@ object Dedup {
         .filter(col("jaccard") >= 0.8)
     }),
 
-    // Per-doc 16-bit SimHash.
-    "dedup_simhash" -> ((s, dir) => simhash16(docs(s, dir).select(col("doc_id"), col("text")))),
+    // Per-doc 64-bit SimHash (two 32-bit halves).
+    "dedup_simhash" -> ((s, dir) => simhash64(docs(s, dir).select(col("doc_id"), col("text")))),
 
-    // SimHash near-dup pairs: 4 nibble-bands (pigeonhole: hamming ≤ 3 ⇒ at
-    // least one of 4 bands identical, so banding loses nothing) → verify
-    // with exact hamming distance.
+    // SimHash near-dup pairs: 4 16-bit bands over the 64-bit hash
+    // (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical, so
+    // banding loses nothing) → verify with exact hamming distance.
+    // 65,536 distinct keys per band keeps bucket sizes ~corpus/65k — the
+    // band join stays linear-ish at 100×, unlike the old 16-key variant.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val sh = simhash16(dupCorpus(s, dir)).cache()
-      val banded = sh.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"), shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("nib"))): _*)).as("b"))
-        .select(col("doc_id"), col("simhash"), col("b.band"), col("b.nib"))
+      val sh = simhash64(dupCorpus(s, dir)).cache() // tiny: 3 longs/doc
+      val slices = Seq(
+        col("simhash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("simhash_lo"), 16).bitwiseAND(lit(65535L)),
+        col("simhash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("simhash_hi"), 16).bitwiseAND(lit(65535L)))
+      val banded = sh.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+          explode(array(slices.zipWithIndex.map { case (k, b) =>
+            struct(lit(b).as("band"), k.as("key"))
+          }: _*)).as("b"))
+        .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"), col("b.band"), col("b.key"))
       banded.as("l").join(banded.as("r"),
-          col("l.band") === col("r.band") && col("l.nib") === col("r.nib") &&
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
             col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
+          (bit_count(col("l.simhash_hi").bitwiseXOR(col("r.simhash_hi"))) +
+            bit_count(col("l.simhash_lo").bitwiseXOR(col("r.simhash_lo")))).cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
     }),
@@ -182,12 +204,16 @@ object Dedup {
       "(len(list_distinct(l.sh)) + len(list_distinct(r.sh)) - len(list_intersect(l.sh, r.sh))), 4)"
 
   private def dkSimhash(src: String): String = {
-    val votes = (0 until 16).map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS v$j").mkString(", ")
-    val bits  = (0 until 16).map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val votes = (0 until 32).map(j => s"sum(((hlo >> $j) & 1) * 2 - 1) AS vl$j").mkString(", ") + ", " +
+      (0 until 32).map(j => s"sum(((hhi >> $j) & 1) * 2 - 1) AS vh$j").mkString(", ")
+    def pack(p: String) =
+      (0 until 32).map(j => s"(CASE WHEN $p$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     s"""toks AS (SELECT doc_id, unnest(${Dk.tokens("text")}) AS tok FROM $src),
-       |hashed AS (SELECT doc_id, ${Dk.hex32("tok")} AS h FROM toks),
+       |hashed AS (SELECT doc_id, ${Dk.hex32Of("d", 1)} AS hlo, ${Dk.hex32Of("d", 9)} AS hhi
+       |  FROM (SELECT doc_id, md5(tok) AS d FROM toks)),
        |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
-       |sh16 AS (SELECT doc_id, ($bits)::BIGINT AS simhash FROM votes)""".stripMargin
+       |sh64 AS (SELECT doc_id, (${pack("vh")})::BIGINT AS simhash_hi,
+       |  (${pack("vl")})::BIGINT AS simhash_lo FROM votes)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -211,18 +237,24 @@ object Dedup {
          |WHERE $dkJaccard >= 0.8""".stripMargin,
     "dedup_simhash" ->
       s"""WITH ${dkSimhash("documents")}
-         |SELECT doc_id, simhash FROM sh16""".stripMargin,
+         |SELECT doc_id, simhash_hi, simhash_lo FROM sh64""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $dkCorpus,
          |${dkSimhash("corpus")},
          |banded AS (
-         |  SELECT doc_id, simhash, band, (simhash >> (4 * band)) & 15 AS nib
-         |  FROM sh16, (SELECT unnest(generate_series(0, 3)) AS band))
+         |  SELECT doc_id, simhash_hi, simhash_lo, band,
+         |    (CASE band WHEN 0 THEN simhash_lo & 65535
+         |               WHEN 1 THEN (simhash_lo >> 16) & 65535
+         |               WHEN 2 THEN simhash_hi & 65535
+         |               ELSE (simhash_hi >> 16) & 65535 END) AS key
+         |  FROM sh64, (SELECT unnest(generate_series(0, 3)) AS band))
          |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-         |  bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+         |  (bit_count(xor(l.simhash_hi, r.simhash_hi)) +
+         |   bit_count(xor(l.simhash_lo, r.simhash_lo)))::BIGINT AS hamming
          |FROM banded l JOIN banded r
-         |  ON l.band = r.band AND l.nib = r.nib AND l.doc_id < r.doc_id
-         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin,
+         |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |WHERE (bit_count(xor(l.simhash_hi, r.simhash_hi)) +
+         |       bit_count(xor(l.simhash_lo, r.simhash_lo))) <= 3""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
          |d AS (SELECT doc_id, list_distinct(${Dk.shingles3("toks")}) AS sh FROM toksrc)

@@ -26,6 +26,27 @@ class LshPropsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 banding pigeonhole: hamming <= 3 implies a shared 16-bit band") {
+    // the production 64-bit variant: 4 bands of 16 bits, hash carried as
+    // two 32-bit halves (hi, lo). 3 flipped bits cannot touch all 4 bands.
+    // Seeded sweep over random hashes × random <=3-bit flip masks.
+    val rng = new Random(41)
+    def slices(hi: Long, lo: Long): Seq[Long] =
+      Seq(lo & 65535L, (lo >> 16) & 65535L, hi & 65535L, (hi >> 16) & 65535L)
+    (0 until 20000).foreach { _ =>
+      val hi = rng.nextLong() & 0xFFFFFFFFL
+      val lo = rng.nextLong() & 0xFFFFFFFFL
+      val bits = Seq.fill(1 + rng.nextInt(3))(rng.nextInt(64)).distinct
+      val (fhi, flo) = bits.foldLeft((hi, lo)) { case ((h, l), b) =>
+        if (b < 32) (h, l ^ (1L << b)) else (h ^ (1L << (b - 32)), l)
+      }
+      val hamming = java.lang.Long.bitCount(hi ^ fhi) + java.lang.Long.bitCount(lo ^ flo)
+      assert(hamming <= 3)
+      assert(slices(hi, lo).zip(slices(fhi, flo)).exists { case (a, b) => a == b },
+        s"hi=$hi lo=$lo bits=$bits")
+    }
+  }
+
   test("minhash family values are in [0, P) with no int64 overflow") {
     val rng = new Random(2)
     (0 until 100000).foreach { _ =>
