@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level vector kernels for similarity search over `array<float>`
@@ -69,22 +69,43 @@ object VectorKernels {
   def dist2(v: Column, c: Seq[Double]): Column =
     aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
 
-  /** IVF cell assignment: index of the nearest of `cells` centroids
-    * (first-wins tie-break). */
-  def ivfCell(v: Column, cells: Int, dims: Int): Column = {
-    val ds   = (0 until cells).map(j => dist2(v, centroid(j, dims)))
-    val dmin = least(ds: _*)
-    ds.zipWithIndex.foldRight(lit(-1L)) { case ((d, j), acc) =>
-      when(d === dmin, lit(j.toLong)).otherwise(acc)
+  // --- index-size rules ----------------------------------------------------
+  // Shared by Spark and the DuckDB oracle, integer-exact on purpose: fp
+  // log2 could round differently across engines at power-of-two corpus
+  // sizes. Both engines derive them from count(*) of the same table, so
+  // the index grows with the corpus (the "at 1000x the data you add
+  // planes, not machines^2" knob the fixed constants lacked).
+
+  /** Smallest p in [4, 12] with corpus ≤ 64·2^p (≈64 vectors/bucket). */
+  def planesFor(n: Long): Int = (4 to 12).find(p => n <= (64L << p)).getOrElse(12)
+
+  /** Smallest power of two in {8, 16, 32} with corpus ≤ 128·cells
+    * (≈128 vectors/cell; 32 cells ⇒ re-train with a bigger codebook). */
+  def cellsFor(n: Long): Int = Seq(8, 16, 32).find(c => n <= 128L * c).getOrElse(32)
+
+  /** Project per-row squared distances to the first `cells` centroids as
+    * NAMED columns d0..d{cells-1}. Conditional `when` branches are not
+    * subexpression-eliminated by codegen, so argmin logic must read these
+    * named columns instead of re-deriving the 64-dim folds inside every
+    * branch (the old inline form evaluated each fold up to ~2·cells
+    * times per row). */
+  def withCellDistances(df: DataFrame, v: String, cells: Int, dims: Int): DataFrame =
+    (0 until cells).foldLeft(df)((d, j) => d.withColumn(s"d$j", dist2(col(v), centroid(j, dims))))
+
+  /** IVF cell assignment from the named d0..d{cells-1} columns: index of
+    * the nearest centroid (first-wins tie-break). */
+  def cellFromDistances(cells: Int): Column = {
+    val dmin = least((0 until cells).map(j => col(s"d$j")): _*)
+    (0 until cells).foldRight(lit(-1L)) { case (j, acc) =>
+      when(col(s"d$j") === dmin, lit(j.toLong)).otherwise(acc)
     }
   }
 
-  /** Second probe cell: nearest centroid excluding `cell` (first-wins). */
-  def ivfSecondCell(v: Column, cell: Column, cells: Int, dims: Int): Column = {
-    val ds   = (0 until cells).map(j => dist2(v, centroid(j, dims)))
-    val masked = ds.zipWithIndex.map { case (d, j) =>
-      when(lit(j.toLong) === cell, lit(Double.PositiveInfinity)).otherwise(d)
-    }
+  /** Second probe cell from the named distance columns: nearest centroid
+    * excluding `cell` (first-wins). */
+  def secondCellFromDistances(cells: Int, cell: Column): Column = {
+    val masked = (0 until cells).map(j =>
+      when(lit(j.toLong) === cell, lit(Double.PositiveInfinity)).otherwise(col(s"d$j")))
     val dmin = least(masked: _*)
     masked.zipWithIndex.foldRight(lit(-1L)) { case ((d, j), acc) =>
       when(d === dmin, lit(j.toLong)).otherwise(acc)
@@ -124,5 +145,23 @@ object VectorKernels {
         s"[($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i]) for i in generate_series(1, $dims)]), " +
         "(x, y) -> x + y)"
     }
+
+    /** [[VectorKernels.planesFor]] as a SQL CASE over a count expression
+      * (integer thresholds — no fp log2). */
+    def planesCase(n: String): String =
+      (4 to 11).map(p => s"WHEN $n <= ${64L << p} THEN $p")
+        .mkString("(CASE ", " ", " ELSE 12 END)")
+
+    /** [[VectorKernels.cellsFor]] as a SQL CASE over a count expression. */
+    def cellsCase(n: String): String =
+      s"(CASE WHEN $n <= 1024 THEN 8 WHEN $n <= 2048 THEN 16 ELSE 32 END)"
+
+    /** Sign-LSH bucket with a RUNTIME plane count `np` (≤ maxPlanes):
+      * plane j contributes only when j < np, so one static SQL text serves
+      * every corpus size. */
+    def lshBucketDyn(v: String, np: String, dims: Int, maxPlanes: Int = 12): String =
+      (0 until maxPlanes).map { j =>
+        s"(case when $j < $np and ${dot(v, s"(${planeLit(j, dims)})", dims)} > 0 then ${1L << j} else 0 end)"
+      }.mkString("(", " + ", ")::BIGINT")
   }
 }

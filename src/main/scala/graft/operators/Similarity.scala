@@ -13,20 +13,28 @@ import org.apache.spark.sql.functions._
   *    the query partition (at scale: replace row_number with a per-
   *    partition heap via the same plan shape — Spark's TakeOrdered per
   *    group). Cost: |Q| × corpus, embarrassingly parallel, no all-pairs.
-  *  - sign-LSH bucketed top-k — the scale path: 4 deterministic md5-seeded
-  *    hyperplanes → 16 buckets; candidates only from the query's bucket,
-  *    so the join is a bucket-key equi-join (corpus²/16 per bucket instead
-  *    of corpus² — and at 1000× the data you add planes, not machines²).
+  *  - sign-LSH / IVF bucketed top-k — the scale paths: candidates come
+  *    only from the query's bucket/cell, so the join is a bucket-key
+  *    equi-join (Σ bucket² not corpus²).
+  *
+  * Index sizes are NOT fixed constants: planes/cells derive from the
+  * corpus row count via the integer rules in VectorKernels
+  * ([[planesFor]]/[[cellsFor]]), on both the Spark side and inside the
+  * oracle SQL (same CASE thresholds over count(*)) — at 1000× the data
+  * the index deepens instead of the buckets going quadratic. At true
+  * 100 TB the corpus side is written bucketed-by-cell so probes become
+  * partition-pruned scans, not shuffles.
   *
   * All vector math is HOF-based (zip_with/aggregate) — codegen'd, portable
   * to the DuckDB oracle bit-for-bit (see VectorKernels).
   */
 object Similarity {
 
-  private val Dims   = 64
-  private val Planes = 4
-  private val K      = 5
-  private val NQuery = 5
+  private val Dims      = 64
+  private val K         = 5
+  private val NQuery    = 5
+  private val MaxPlanes = 12 // static ceiling the dynamic SQL is written to
+  private val MaxCells  = 32
 
   /** Corpus projection with the vector norm PRECOMPUTED once per vector —
     * cosine inside a pairs join then costs one dot product, not three
@@ -38,6 +46,11 @@ object Similarity {
     s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+
+  /** Corpus row count (drives the index-size rules; parquet metadata count,
+    * one cheap job). */
+  private def corpusN(s: SparkSession, dir: String): Long =
+    s.read.parquet(s"$dir/embeddings.parquet").count()
 
   private def topk(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -58,27 +71,36 @@ object Similarity {
       topk(pairs)
     }),
 
-    // Per-vector LSH bucket assignment + bucket histogram (the index build).
-    "ann_lsh_buckets" -> ((s, dir) =>
-      emb(s, dir).withColumn("bucket", lshBucket(col("v"), Planes, Dims))
+    // Per-vector LSH bucket assignment + bucket histogram (the index build;
+    // also the skew observable: max bucket size is the quantity that must
+    // stay ~corpus/2^planes at scale).
+    "ann_lsh_buckets" -> ((s, dir) => {
+      val planes = planesFor(corpusN(s, dir))
+      emb(s, dir).withColumn("bucket", lshBucket(col("v"), planes, Dims))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))),
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+    }),
 
-    // IVF-style ANN: coarse-quantize the corpus into cells (nearest of 8
-    // deterministic centroids), probe the query's 2 nearest cells. The
-    // index build is one narrow scan; the search joins only on cell ids —
-    // at 100 TB the corpus side is written bucketed-by-cell so probes are
-    // partition-pruned scans, not shuffles.
+    // IVF-style ANN: coarse-quantize the corpus into cells (nearest of
+    // cellsFor(n) deterministic centroids), probe the query's 2 nearest
+    // cells. Distances are projected ONCE as named columns d0..d{c-1};
+    // argmin/arg-second read the attributes (codegen does not hoist
+    // conditionally-evaluated subtrees, so inlining the folds into every
+    // `when` branch cost ~70 fold evaluations per row).
     "ann_ivf_topk" -> ((s, dir) => {
-      val cells = 8
-      val e = emb(s, dir).withColumn("cell", ivfCell(col("v"), cells, Dims))
+      val cells = cellsFor(corpusN(s, dir))
+      val e = withCellDistances(emb(s, dir), "v", cells, Dims)
+        .withColumn("cell", cellFromDistances(cells))
       val q = e.filter(col("vec_id") < NQuery)
+        .withColumn("cell2", secondCellFromDistances(cells, col("cell")))
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
-          col("cell").as("cell1"))
-        .withColumn("cell2", ivfSecondCell(col("qv"), col("cell1"), cells, Dims))
+          col("cell").as("cell1"), col("cell2"))
       val probes = q.select(col("query_id"), col("qv"), col("qn"),
         explode(array(col("cell1"), col("cell2"))).as("cell"))
-      val pairs = e.join(broadcast(probes), Seq("cell"))
+      // corpus side narrowed back to (cell, id, v, nrm) — the distance
+      // columns never enter the join
+      val pairs = e.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+        .join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
@@ -87,7 +109,8 @@ object Similarity {
 
     // LSH-bucketed ANN: candidates restricted to the query's bucket.
     "ann_lsh_topk" -> ((s, dir) => {
-      val b = emb(s, dir).withColumn("bucket", lshBucket(col("v"), Planes, Dims))
+      val planes = planesFor(corpusN(s, dir))
+      val b = emb(s, dir).withColumn("bucket", lshBucket(col("v"), planes, Dims))
       val q = b.filter(col("vec_id") < NQuery)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
           col("bucket"))
@@ -99,10 +122,15 @@ object Similarity {
     }))
 
   // --- DuckDB oracles -----------------------------------------------------
+  // The index sizes are the same integer CASE rules over count(*), cross-
+  // joined in as `prm(np, nc)`, so one static SQL text tracks any corpus.
 
-  private val dkCos  = Dk.cosine("q.v", "c.v", Dims)
-  private val dkEmb  = "SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v FROM embeddings"
-  private val dkBkt  = Dk.lshBucket("v", Planes, Dims)
+  private val dkCos = Dk.cosine("q.v", "c.v", Dims)
+  private val dkEmb = "SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v FROM embeddings"
+  private val dkPrm =
+    s"""prm AS (SELECT ${Dk.planesCase("n")} AS np, ${Dk.cellsCase("n")} AS nc
+       |  FROM (SELECT count(*)::BIGINT AS n FROM embeddings))""".stripMargin
+  private val dkBktDyn = Dk.lshBucketDyn("v", "np", Dims, MaxPlanes)
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" ->
@@ -117,28 +145,29 @@ object Similarity {
          |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
          |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_lsh_buckets" ->
-      s"""WITH e AS ($dkEmb)
-         |SELECT $dkBkt AS bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
-         |FROM e GROUP BY 1""".stripMargin,
+      s"""WITH e AS ($dkEmb), $dkPrm
+         |SELECT $dkBktDyn AS bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+         |FROM e, prm GROUP BY 1""".stripMargin,
     "ann_ivf_topk" -> {
-      val cells = 8
-      val dcols = (0 until cells).map(j => s"${Dk.dist2("v", j, Dims)} AS d$j").mkString(",\n  ")
-      val dmin  = (0 until cells).map(j => s"d$j").mkString("least(", ", ", ")")
-      val cellCase = (0 until cells).foldRight("-1") { case (j, acc) =>
+      val dcols = (0 until MaxCells).map(j =>
+        s"(CASE WHEN $j < nc THEN ${Dk.dist2("v", j, Dims)} ELSE 'infinity'::DOUBLE END) AS d$j")
+        .mkString(",\n  ")
+      val dmin = (0 until MaxCells).map(j => s"d$j").mkString("least(", ", ", ")")
+      val cellCase = (0 until MaxCells).foldRight("-1") { case (j, acc) =>
         s"CASE WHEN d$j = $dmin THEN $j ELSE $acc END"
       }
-      val mcols = (0 until cells).map(j =>
+      val mcols = (0 until MaxCells).map(j =>
         s"CASE WHEN $j = cell THEN 'infinity'::DOUBLE ELSE d$j END AS m$j").mkString(",\n  ")
-      val mmin = (0 until cells).map(j => s"m$j").mkString("least(", ", ", ")")
-      val cell2Case = (0 until cells).foldRight("-1") { case (j, acc) =>
+      val mmin = (0 until MaxCells).map(j => s"m$j").mkString("least(", ", ", ")")
+      val cell2Case = (0 until MaxCells).foldRight("-1") { case (j, acc) =>
         s"CASE WHEN m$j = $mmin THEN $j ELSE $acc END"
       }
-      s"""WITH e AS ($dkEmb),
+      s"""WITH e AS ($dkEmb), $dkPrm,
          |d AS (SELECT vec_id, v,
          |  $dcols
-         |FROM e),
+         |FROM e, prm),
          |cls AS (SELECT vec_id, v, ($cellCase)::BIGINT AS cell,
-         |  ${(0 until cells).map(j => s"d$j").mkString(", ")} FROM d),
+         |  ${(0 until MaxCells).map(j => s"d$j").mkString(", ")} FROM d),
          |qm AS (SELECT vec_id, v, cell,
          |  $mcols
          |FROM cls WHERE vec_id < $NQuery),
@@ -160,8 +189,8 @@ object Similarity {
          |FROM ranked WHERE rank <= $K""".stripMargin
     },
     "ann_lsh_topk" ->
-      s"""WITH e AS ($dkEmb),
-         |b AS (SELECT vec_id, v, $dkBkt AS bucket FROM e),
+      s"""WITH e AS ($dkEmb), $dkPrm,
+         |b AS (SELECT vec_id, v, $dkBktDyn AS bucket FROM e, prm),
          |pairs AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dkCos AS cos
          |  FROM b q JOIN b c ON q.bucket = c.bucket
