@@ -44,6 +44,11 @@ object Dedup {
 
   private val MinhashK = 8 // 4 bands × rows of 2
 
+  /** Deterministic hot-band cap: a band group keeps only its this-many
+    * smallest doc_ids for candidate generation (bounds a degenerate band
+    * to MaxBandGroup² pairs). Mirrored bit-for-bit in the DuckDB oracle. */
+  val MaxBandGroup = 256
+
   /** doc_id + shingle set + 8 minhashes + 4 (band, key-pair) structs.
     * Base hashes live in their own named column so the one-md5-per-shingle
     * pass is computed once and shared by all k families. */
@@ -100,24 +105,61 @@ object Dedup {
       sig.select(col("doc_id") +: (0 until MinhashK).map(j => col(s"mh$j")): _*)
     }),
 
-    // Full MinHash → LSH band join → exact-Jaccard verify pipeline.
-    // Candidates carry only ids through the band shuffle; shingle sets are
-    // re-joined per side afterwards (the at-scale shape).
+    // Full MinHash → LSH band join → exact-Jaccard verify pipeline, in the
+    // at-scale shape:
+    //  - only (doc_id, band, k1, k2) rows are cached/shuffled for candidate
+    //    generation (the md5 signature pass runs once into that cache; the
+    //    full shingle arrays are never pinned in memory);
+    //  - hot-band safety: a band group larger than MaxBandGroup is capped
+    //    DETERMINISTICALLY to its MaxBandGroup smallest doc_ids (mirrored
+    //    in the oracle, so exactness survives a triggered cap), bounding
+    //    any degenerate band to MaxBandGroup² candidate pairs instead of
+    //    going quadratic — dedup_lsh_band_stats reports group sizes and
+    //    how many rows a cap would drop, so the cap is never silent;
+    //  - shingles for the exact-Jaccard verify are recomputed only for
+    //    the documents that survive banding (semi-join on candidate ids),
+    //    never for the whole corpus a second time.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val sig    = signatures(dupCorpus(s, dir)).cache()
-      val banded = sig.select(col("doc_id"), explode(col("bands")).as("b"))
+      import org.apache.spark.sql.expressions.Window
+      val corpus = dupCorpus(s, dir)
+      val banded = signatures(corpus)
+        .select(col("doc_id"), explode(col("bands")).as("b"))
         .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
-      val cand = banded.as("l").join(banded.as("r"),
+      val capped = banded
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= MaxBandGroup).drop("rn")
+        .cache() // ids + band keys only — tiny
+      val cand = capped.as("l").join(capped.as("r"),
           col("l.band") === col("r.band") && col("l.k1") === col("r.k1") &&
             col("l.k2") === col("r.k2") && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
-      val sets = sig.select(col("doc_id"), col("sh"))
+      val ids = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sets = corpus.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
+    }),
+
+    // Band-group observability for the LSH cap: size histogram of the
+    // (band, k1, k2) groups plus the rows a MaxBandGroup cap would drop.
+    // The 100×-scale evidence that banding stays linear: group sizes must
+    // stay ~duplicate-cluster-sized, and dropped_rows > 0 is the loud
+    // signal a degenerate band hit the cap.
+    "dedup_lsh_band_stats" -> ((s, dir) => {
+      val banded = signatures(dupCorpus(s, dir))
+        .select(col("doc_id"), explode(col("bands")).as("b"))
+        .select(col("b.band"), col("b.k1"), col("b.k2"))
+      banded.groupBy(col("band"), col("k1"), col("k2"))
+        .agg(count(lit(1)).as("g"))
+        .groupBy(col("g").as("group_size"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(greatest(col("g") - MaxBandGroup, lit(0L))).as("dropped_rows"))
     }),
 
     // Per-doc 64-bit SimHash (two 32-bit halves).
@@ -226,15 +268,26 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""WITH $dkCorpus,
          |${dkSig("corpus")},
+         |capped AS (
+         |  SELECT doc_id, band, k1, k2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
+         |    FROM banded) WHERE rn <= $MaxBandGroup),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
+         |  FROM capped l JOIN capped r
          |    ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.doc_id < r.doc_id)
          |SELECT doc_a, doc_b, $dkJaccard AS jaccard
          |FROM cand
          |JOIN sig l ON l.doc_id = doc_a
          |JOIN sig r ON r.doc_id = doc_b
          |WHERE $dkJaccard >= 0.8""".stripMargin,
+    "dedup_lsh_band_stats" ->
+      s"""WITH $dkCorpus,
+         |${dkSig("corpus")},
+         |gs AS (SELECT band, k1, k2, count(*)::BIGINT AS g FROM banded GROUP BY 1, 2, 3)
+         |SELECT g AS group_size, count(*) AS n_groups,
+         |  sum(greatest(g - $MaxBandGroup, 0))::BIGINT AS dropped_rows
+         |FROM gs GROUP BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH ${dkSimhash("documents")}
          |SELECT doc_id, simhash_hi, simhash_lo FROM sh64""".stripMargin,
