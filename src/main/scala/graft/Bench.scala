@@ -1,24 +1,39 @@
 package graft
 
 import graft.plans.ExtractJob
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main. Runs every SparkEntry query against
-  * `SPARK_GRAFT_SF_DIR` and the extraction pipeline on a seeded corpus,
-  * prints ONE JSON line:
-  * `{"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...}`
-  * plus extraction throughput fields (docs/sec at this parallelism — the
-  * number BASELINE.md's N-vs-4N scaling efficiency is computed from; run
-  * with SPARK_GRAFT_CPUS=8 and =32 for the two cluster sizes).
+  * `SPARK_GRAFT_SF_DIR` and the extraction kernel on a PRE-MATERIALIZED
+  * seeded corpus, prints ONE JSON line:
+  * `{"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Queries are forced end-to-end with the `noop` sink (count() would let
-  * Catalyst prune the projections we mean to measure); one untimed warm-up
-  * query amortizes session/codegen start-up out of the first measurement.
+  * Measurement protocol (BASELINE.md): the shared hypervisor swings 2-4×
+  * minute to minute, so every number is the MEDIAN of `SPARK_GRAFT_REPS`
+  * (default 3) runs, and the passes are INTERLEAVED (whole catalog, then
+  * again) so a host-load burst hits all queries alike rather than
+  * poisoning whichever query it landed on. Queries are forced end-to-end
+  * with the `noop` sink (count() would let Catalyst prune the projections
+  * we mean to measure); one untimed warm-up amortizes session start-up.
+  *
+  * Extraction throughput is timed from a pre-materialized parquet table
+  * (generation is NOT in the timed window — BENCH numbers are then
+  * comparable to BASELINE.md's scaling protocol, which also reads
+  * materialized input). Run with SPARK_GRAFT_CPUS=8 and =32 for the
+  * N-vs-4N cluster sizes.
+  *
+  * A skew-stress section exercises the MinHash-LSH hot-band cap on a
+  * planted hot-key corpus (documents ∪ thousands of byte-identical
+  * copies of one doc): `skew_*` fields report wall time, the max band
+  * group size, and the rows the cap dropped — the at-100× evidence that
+  * a degenerate band stays bounded.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps  = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,33 +41,75 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
-    def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
+    def runNoop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
 
     // warm-up (JVM/codegen/parquet footer caches) — not measured
     runNoop(spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { runNoop(fn(spark, sfDir)); true }
-      catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] $name: $e"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // ---- query catalog: `reps` interleaved passes, per-query median ----
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val passes: Seq[Map[String, Double]] = (0 until reps).map { _ =>
+      names.map { name =>
+        val fn  = SparkEntry.queries(name)
+        val sec =
+          try timed(runNoop(fn(spark, sfDir)))
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name: $e"); -1.0 }
+        spark.catalog.clearCache() // per-query caches must not leak across
+        name -> sec
+      }.toMap
+    }
+    val results = names.map { n =>
+      val xs = passes.map(_(n))
+      n -> (if (xs.exists(_ < 0)) -1.0 else median(xs))
     }
 
-    // extraction throughput at this parallelism (the BASELINE.md metric)
+    // ---- extraction throughput from a PRE-MATERIALIZED corpus ----
     val exN   = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_DOCS", "40000").toLong
     val parts = cpus.toInt * 2
-    val exT0  = System.nanoTime()
-    ExtractJob.extract(ExtractJob.generateInputs(spark, exN, 42L, parts), parts)
-      .toDF().write.format("noop").mode("overwrite").save()
-    val exSec = (System.nanoTime() - exT0) / 1e9
+    val exDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-corpus-$exN"
+    ExtractJob.generateInputs(spark, exN, 42L, parts).write.mode("overwrite").parquet(exDir)
+    val exSecs = (0 until reps).map { _ =>
+      timed(runNoop(ExtractJob.extract(
+        spark.read.parquet(exDir).as[Document], parts).toDF()))
+    }
+    val exSec = median(exSecs)
+
+    // ---- skew stress: hot-key corpus through the capped LSH pipeline ----
+    val hotCopies = 2000L
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val hot = base.filter(col("doc_id") === 0).select(col("text"))
+      .crossJoin(spark.range(hotCopies).select((col("id") + 2000000L).as("doc_id")))
+      .select(col("doc_id"), col("text"))
+    val skewCorpus = base.unionByName(hot)
+    val skewSec = timed(runNoop(graft.operators.Dedup.minhashLsh(skewCorpus)))
+    spark.catalog.clearCache()
+    val stats = graft.operators.Dedup.lshBandStats(skewCorpus)
+      .agg(max(col("group_size")), sum(col("dropped_rows"))).head()
+    val (skewMaxBand, skewDropped) = (stats.getLong(0), stats.getLong(1))
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + exSec
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        f""""extract_docs":$exN,"extract_sec":$exSec%.3f,"extract_docs_per_sec":${exN / exSec}%.1f,"cpus":$cpus}""")
+        f""""reps":$reps,"extract_docs":$exN,"extract_sec":$exSec%.3f,""" +
+        f""""extract_docs_per_sec":${exN / exSec}%.1f,"cpus":$cpus,""" +
+        f""""skew_lsh_sec":$skewSec%.3f,"skew_hot_copies":$hotCopies,""" +
+        f""""skew_max_band":$skewMaxBand,"skew_dropped_rows":$skewDropped}""")
     spark.stop()
   }
 }

@@ -63,6 +63,65 @@ object Dedup {
           col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))): _*))
   }
 
+  /** Full MinHash → LSH band join → exact-Jaccard verify pipeline, in the
+    * at-scale shape:
+    *  - only (doc_id, band, k1, k2) rows are cached/shuffled for candidate
+    *    generation (the md5 signature pass runs once into that cache; the
+    *    full shingle arrays are never pinned in memory);
+    *  - hot-band safety: a band group larger than [[MaxBandGroup]] is
+    *    capped DETERMINISTICALLY to its MaxBandGroup smallest doc_ids
+    *    (mirrored in the oracle, so exactness survives a triggered cap),
+    *    bounding any degenerate band to MaxBandGroup² candidate pairs —
+    *    [[lshBandStats]] reports group sizes and rows dropped, so the cap
+    *    is never silent;
+    *  - shingles for the exact-Jaccard verify are recomputed only for the
+    *    documents that survive banding (semi-join on candidate ids),
+    *    never for the whole corpus a second time.
+    * `corpus` needs (doc_id, text); exposed corpus-in so the bench can
+    * stress it with a planted hot-key corpus. */
+  def minhashLsh(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = signatures(corpus)
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
+    val capped = banded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= MaxBandGroup).drop("rn")
+      .cache() // ids + band keys only — tiny
+    // cand and sets both appear twice downstream (sh_a and sh_b sides);
+    // without the caches the band join + shingle recompute would execute
+    // once per appearance. Both frames are small by construction (ids-only
+    // pairs; shingles of banding survivors only).
+    val cand = capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.k1") === col("r.k1") &&
+          col("l.k2") === col("r.k2") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+      .cache()
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = corpus.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .cache()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Band-group size histogram + rows a [[MaxBandGroup]] cap would drop. */
+  def lshBandStats(corpus: DataFrame): DataFrame =
+    signatures(corpus)
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("b.band"), col("b.k1"), col("b.k2"))
+      .groupBy(col("band"), col("k1"), col("k2"))
+      .agg(count(lit(1)).as("g"))
+      .groupBy(col("g").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(greatest(col("g") - MaxBandGroup, lit(0L))).as("dropped_rows"))
+
   /** |A∩B| / |A∪B| over shingle SETS (distinct), 4 dp. */
   private def jaccard(a: Column, b: Column): Column = {
     val i = size(array_intersect(a, b))
@@ -105,62 +164,16 @@ object Dedup {
       sig.select(col("doc_id") +: (0 until MinhashK).map(j => col(s"mh$j")): _*)
     }),
 
-    // Full MinHash → LSH band join → exact-Jaccard verify pipeline, in the
-    // at-scale shape:
-    //  - only (doc_id, band, k1, k2) rows are cached/shuffled for candidate
-    //    generation (the md5 signature pass runs once into that cache; the
-    //    full shingle arrays are never pinned in memory);
-    //  - hot-band safety: a band group larger than MaxBandGroup is capped
-    //    DETERMINISTICALLY to its MaxBandGroup smallest doc_ids (mirrored
-    //    in the oracle, so exactness survives a triggered cap), bounding
-    //    any degenerate band to MaxBandGroup² candidate pairs instead of
-    //    going quadratic — dedup_lsh_band_stats reports group sizes and
-    //    how many rows a cap would drop, so the cap is never silent;
-    //  - shingles for the exact-Jaccard verify are recomputed only for
-    //    the documents that survive banding (semi-join on candidate ids),
-    //    never for the whole corpus a second time.
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val corpus = dupCorpus(s, dir)
-      val banded = signatures(corpus)
-        .select(col("doc_id"), explode(col("bands")).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
-      val capped = banded
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("doc_id"))))
-        .filter(col("rn") <= MaxBandGroup).drop("rn")
-        .cache() // ids + band keys only — tiny
-      val cand = capped.as("l").join(capped.as("r"),
-          col("l.band") === col("r.band") && col("l.k1") === col("r.k1") &&
-            col("l.k2") === col("r.k2") && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .distinct()
-      val ids = cand.select(col("doc_a").as("doc_id"))
-        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val sets = corpus.join(ids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
-      cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-    }),
+    // Full MinHash → LSH band join → exact-Jaccard verify pipeline in the
+    // at-scale shape (see [[minhashLsh]]).
+    "dedup_minhash_lsh" -> ((s, dir) => minhashLsh(dupCorpus(s, dir))),
 
     // Band-group observability for the LSH cap: size histogram of the
     // (band, k1, k2) groups plus the rows a MaxBandGroup cap would drop.
     // The 100×-scale evidence that banding stays linear: group sizes must
     // stay ~duplicate-cluster-sized, and dropped_rows > 0 is the loud
     // signal a degenerate band hit the cap.
-    "dedup_lsh_band_stats" -> ((s, dir) => {
-      val banded = signatures(dupCorpus(s, dir))
-        .select(col("doc_id"), explode(col("bands")).as("b"))
-        .select(col("b.band"), col("b.k1"), col("b.k2"))
-      banded.groupBy(col("band"), col("k1"), col("k2"))
-        .agg(count(lit(1)).as("g"))
-        .groupBy(col("g").as("group_size"))
-        .agg(count(lit(1)).as("n_groups"),
-          sum(greatest(col("g") - MaxBandGroup, lit(0L))).as("dropped_rows"))
-    }),
+    "dedup_lsh_band_stats" -> ((s, dir) => lshBandStats(dupCorpus(s, dir))),
 
     // Per-doc 64-bit SimHash (two 32-bit halves).
     "dedup_simhash" -> ((s, dir) => simhash64(docs(s, dir).select(col("doc_id"), col("text")))),
