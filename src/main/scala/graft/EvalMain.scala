@@ -9,19 +9,30 @@ import org.apache.spark.sql.SparkSession
   * (/root/reference/eval_script_field_level.py:482-512): golden⋈prediction
   * join → per-document diff → per-file metrics CSV → per-folder summary.
   *
-  * Usage: graft.EvalMain <nDocs> <seed> <defectRate> <outDir>
-  *
-  * With defectRate 0 every prediction differs from its golden only by
-  * tolerance-covered noise (case, whitespace, commas, ±0.005 shifts,
-  * list order), so average accuracy MUST be exactly 1.0 — that invariant
-  * is checked and the exit code reflects it.
+  * Usage:
+  *   graft.EvalMain <nDocs> <seed> <defectRate> <outDir>
+  *     seeded mode. With defectRate 0 every prediction differs from its
+  *     golden only by tolerance-covered noise (case, whitespace, commas,
+  *     ±0.005 shifts, list order), so average accuracy MUST be exactly
+  *     1.0 — checked, and the exit code reflects it.
+  *   graft.EvalMain --export <nDocs> <seed> <dir>
+  *     materialize the seeded corpus as the reference's on-disk layout:
+  *     one JSON object per file under <dir>/goldens/<folder>/<doc>.json
+  *     and <dir>/preds/... (convert side of S3).
+  *   graft.EvalMain --from-dir <goldenDir> <predDir> <outDir>
+  *     file mode: read both trees via wholetext (one object per file,
+  *     eval_script_field_level.py:90-92) and evaluate.
   */
 object EvalMain {
   def main(args: Array[String]): Unit = {
-    val nDocs      = args.headOption.map(_.toLong).getOrElse(2000L)
-    val seed       = if (args.length > 1) args(1).toLong else 42L
-    val defectRate = if (args.length > 2) args(2).toDouble else 0.0
-    val outDir     = if (args.length > 3) args(3) else "/tmp/graft-eval-out"
+    val mode = args.headOption.getOrElse("")
+    val (nDocs, seed, defectRate, outDir) =
+      if (mode.startsWith("--")) (2000L, 42L, 0.0, "/tmp/graft-eval-out")
+      else (
+        args.headOption.map(_.toLong).getOrElse(2000L),
+        if (args.length > 1) args(1).toLong else 42L,
+        if (args.length > 2) args(2).toDouble else 0.0,
+        if (args.length > 3) args(3) else "/tmp/graft-eval-out")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -37,18 +48,33 @@ object EvalMain {
     val parts = cpus.toInt * 2
     def folderOf(i: Long) = if (i % 2 == 0) "set-clean" else "set-defect"
 
-    val goldens = spark.range(0, nDocs, 1, parts).map { i =>
-      EvalJob.JsonDoc(f"doc_$i%08d", folderOf(i), J.canonical(EvalCorpus.groundTruth(i, seed)))
+    def seededGoldens(n: Long, sd: Long) = spark.range(0, n, 1, parts).map { i =>
+      EvalJob.JsonDoc(f"doc_$i%08d", folderOf(i), J.canonical(EvalCorpus.groundTruth(i, sd)))
     }
-    // clean folder: tolerance-covered noise only; defect folder: defectRate
-    val preds = spark.range(0, nDocs, 1, parts).map { i =>
-      val rate = if (folderOf(i) == "set-clean") 0.0 else defectRate
-      EvalJob.JsonDoc(f"doc_$i%08d", folderOf(i), J.canonical(EvalCorpus.prediction(i, seed, rate)))
+    def seededPreds(n: Long, sd: Long, rate: Double) = spark.range(0, n, 1, parts).map { i =>
+      val r = if (folderOf(i) == "set-clean") 0.0 else rate
+      EvalJob.JsonDoc(f"doc_$i%08d", folderOf(i), J.canonical(EvalCorpus.prediction(i, sd, r)))
     }
 
+    if (mode == "--export") {
+      val (n, sd, dir) = (args(1).toLong, args(2).toLong, args(3))
+      EvalJob.writeJsonDocDir(seededGoldens(n, sd), s"$dir/goldens")
+      EvalJob.writeJsonDocDir(seededPreds(n, sd, 0.15), s"$dir/preds")
+      println(s"""{"exported":$n,"dir":"$dir"}""")
+      spark.stop()
+      return
+    }
+
+    val (goldens, preds) =
+      if (mode == "--from-dir")
+        (EvalJob.readJsonDocDir(spark, args(1)), EvalJob.readJsonDocDir(spark, args(2)))
+      else (seededGoldens(nDocs, seed), seededPreds(nDocs, seed, defectRate))
+    val fileMode   = mode == "--from-dir"
+    val realOutDir = if (fileMode) args(3) else outDir
+
     val metrics = EvalJob.evaluate(preds, goldens).cache()
-    EvalJob.writeCsv(metrics.filter(_.folder == "set-clean"), s"$outDir/set-clean")
-    EvalJob.writeCsv(metrics.filter(_.folder == "set-defect"), s"$outDir/set-defect")
+    EvalJob.writeCsv(metrics.filter(_.folder == "set-clean"), s"$realOutDir/set-clean")
+    EvalJob.writeCsv(metrics.filter(_.folder == "set-defect"), s"$realOutDir/set-defect")
 
     val summary = EvalJob.folderSummary(metrics).orderBy("folder").collect()
     summary.foreach { r =>

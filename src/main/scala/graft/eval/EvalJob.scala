@@ -44,7 +44,11 @@ object EvalJob {
         try {
           val gtRaw  = Normalize.unwrapData(J.parse(gtJson))
           val gt     = Normalize.groundTruthToResponse(gtRaw)
-          val pred   = J.parseOpt(predJson).collect { case o: J.JObj => o }
+          // strict parse, then the F13 json_repair fallback — the
+          // reference's order (field_extractor_gemini.py:185-193)
+          val pred = J.parseOpt(predJson)
+            .orElse(J.parseOpt(graft.functions.Kernels.scala_.repairJson(predJson)))
+            .collect { case o: J.JObj => o }
             .getOrElse(J.JObj(Vector.empty))
           val d = Compare.compareJson(gt, Normalize.unwrapData(pred))
           val m = Compare.metrics(d)
@@ -75,6 +79,36 @@ object EvalJob {
         "missing_count", "missing_fields", "mismatched_count", "mismatched_fields")
       .orderBy("file") // sorted(glob) determinism, :449
       .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S3 as the reference ships it: ONE JSON object per file under
+    * `dir/<folder>/<doc_id>.json` (eval_script_field_level.py:90-92,449).
+    * Distributed read: `wholetext` gives one row per file (never a
+    * driver-side listing loop); doc_id = file stem, folder = parent dir.
+    * At 10^12 docs one-file-per-doc is an ingest format, not a working
+    * format — this reader is the boundary that turns it into a table. */
+  def readJsonDocDir(spark: SparkSession, dir: String): Dataset[JsonDoc] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(s"$dir/*/*.json")
+      .select(input_file_name().as("path"), col("value").as("json"))
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.json$", 1).as("doc_id"),
+        regexp_extract(col("path"), "([^/]+)/[^/]+\\.json$", 1).as("folder"),
+        col("json"))
+      .as[JsonDoc]
+  }
+
+  /** Inverse of [[readJsonDocDir]]: one file per doc, written from the
+    * executors (each task writes its partition's files — the per-file
+    * sink is the reference's on-disk contract, convert_ground_truth.py:
+    * 123-135, not a throughput path). */
+  def writeJsonDocDir(ds: Dataset[JsonDoc], dir: String): Unit =
+    ds.foreachPartition { (it: Iterator[JsonDoc]) =>
+      it.foreach { d =>
+        val p = java.nio.file.Paths.get(dir, d.folder, d.doc_id + ".json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, d.json): Unit
+      }
+    }
 
   /** EP3 as a distributed transform: nested ground-truth JSON in,
     * converted flat JSON out (one pretty document per row — the

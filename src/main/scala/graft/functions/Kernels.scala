@@ -116,6 +116,21 @@ object Kernels {
   def normalizeKeys(m: Column): Column = transform_keys(m, (k, _) => lower(trim(k)))
   def getCi(m: Column, key: String): Column = element_at(normalizeKeys(m), key.trim.toLowerCase)
 
+  /** F13 `json_repair` fallback (field_extractor_gemini.py:185-193,
+    * field_extractor_gpt.py:140-148): the common LLM-JSON damage fixable
+    * by regex — markdown fences, unquoted object keys, trailing commas.
+    * Truncation recovery needs stateful bracket balancing and lives in
+    * [[scala_.repairJson]] (the typed eval path). Best-effort by design:
+    * meant to run only after a strict parse returned null, like the
+    * reference's json_repair fallback; the key-quoting regex can touch
+    * `key:`-shaped text inside string values, which well-formed input
+    * never reaches because the strict parse already succeeded on it. */
+  def repairJson(c: Column): Column =
+    regexp_replace(
+      regexp_replace(stripCodeFences(c),
+        "([{,]\\s*)([A-Za-z_][A-Za-z0-9_]*)\\s*:", "$1\"$2\":"),
+      ",(\\s*[}\\]])", "$1")
+
   /** F14 leaf-value canonicalization — stable JSON of a struct as multiset
     * key (eval_script_field_level.py:272,275). Field order = schema order,
     * which is fixed, so equal values serialize equally. */
@@ -197,6 +212,47 @@ object Kernels {
     def parseQty(s: String): Either[Long, Double] = {
       val n = parseNumber(s)
       if (n == math.floor(n) && !n.isInfinite) Left(n.toLong) else Right(n)
+    }
+
+    /** F13 `json_repair` — full variant for the typed eval path: fence
+      * strip + key quoting + trailing-comma removal (as the Column twin)
+      * PLUS truncation recovery: close an unterminated string, drop a
+      * dangling comma / complete a dangling colon, and append the closers
+      * the bracket stack still owes. Intended as a fallback after strict
+      * parsing failed (field_extractor_gemini.py:185-193 semantics). */
+    def repairJson(s: String): String = {
+      val f = Option(s).getOrElse("").trim
+      val noFence =
+        if (f.startsWith("```"))
+          f.replaceAll("(?s)^```[^\n]*\n?", "").replaceAll("(?s)\n?```\\s*$", "")
+        else f
+      val regexed = noFence
+        .replaceAll("([{,]\\s*)([A-Za-z_][A-Za-z0-9_]*)\\s*:", "$1\"$2\":")
+        .replaceAll(",(\\s*[}\\]])", "$1")
+      // bracket/string balancing for truncated output
+      var inStr = false
+      var esc   = false
+      val stack = scala.collection.mutable.Stack.empty[Char]
+      regexed.foreach { ch =>
+        if (inStr) {
+          if (esc) esc = false
+          else if (ch == '\\') esc = true
+          else if (ch == '"') inStr = false
+        } else ch match {
+          case '"'       => inStr = true
+          case '{'       => stack.push('}')
+          case '['       => stack.push(']')
+          case '}' | ']' => if (stack.nonEmpty && stack.top == ch) { stack.pop(); () }
+          case _         =>
+        }
+      }
+      val closedStr = if (inStr) regexed + "\"" else regexed
+      val t         = closedStr.trim.replaceAll("[\\s]+$", "")
+      val completed =
+        if (t.endsWith(":")) t + " null"
+        else if (t.endsWith(",")) t.dropRight(1)
+        else t
+      completed + stack.mkString // Stack iterates top-first: innermost closes first
     }
   }
 }

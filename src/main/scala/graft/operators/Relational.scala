@@ -156,6 +156,18 @@ object Relational {
           round(sum(col("value").cast("decimal(14,4)")).cast("double") / count(lit(1)), 4).as("avg_value"))
     }),
 
+    // F13 repair path — regex-repair LLM-damaged JSON (unquoted keys,
+    // trailing commas), then extract; malformed rows derived
+    // deterministically from events.props so both engines see identical
+    // damage. The repair is the Column twin of scala_.repairJson.
+    "q_json_repair" -> ((s, dir) => {
+      val damaged = concat(lit("{k: "), get_json_object(col("props"), "$.k"), lit(", tag: \"e\",}"))
+      t(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"), Kernels.repairJson(damaged).as("repaired"))
+        .withColumn("k", get_json_object(col("repaired"), "$.k").cast("long"))
+        .withColumn("tag", get_json_object(col("repaired"), "$.tag"))
+    }),
+
     // Rolling window aggregate over event time (batch analog of a sliding
     // stream window); DECIMAL inside the frame keeps the sum exact.
     "q_events_window" -> ((s, dir) => {
@@ -254,6 +266,21 @@ object Relational {
         | count(*) AS n,
         | round(sum(value::DECIMAL(14,4))::DOUBLE / count(*), 4) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_json_repair" ->
+      """WITH damaged AS (
+        |  SELECT event_id,
+        |    '{k: ' || json_extract_string(props, '$.k') || ', tag: "e",}' AS d
+        |  FROM events WHERE event_id < 500),
+        |rep AS (
+        |  SELECT event_id,
+        |    regexp_replace(
+        |      regexp_replace(d, '([{,]\s*)([A-Za-z_][A-Za-z0-9_]*)\s*:', '\1"\2":', 'g'),
+        |      ',(\s*[}\]])', '\1', 'g') AS repaired
+        |  FROM damaged)
+        |SELECT event_id, repaired,
+        |  json_extract_string(repaired, '$.k')::BIGINT AS k,
+        |  json_extract_string(repaired, '$.tag') AS tag
+        |FROM rep""".stripMargin,
     "q_events_window" ->
       """SELECT event_id, user_id,
         | (sum(value::DECIMAL(14,2)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
