@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Load-bearing physical-plan shapes as ASSERTIONS (not just the human-
+  * review printout in PlanAudit): a regression in pushdown / broadcast /
+  * top-k strategy / shuffle count now fails CI instead of needing a
+  * reviewer to spot it in `explain` output. These shapes are exactly the
+  * properties that decide whether the same plan survives a 100× scale-up.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("small dimension joins broadcast (q_join_customer_orders)") {
+    val p = plan("q_join_customer_orders")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SortMerge")
+  }
+
+  test("top-k is TakeOrderedAndProject, never global sort+limit (q_topk_orders)") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("GlobalLimit"), "top-k planned as global sort+limit")
+  }
+
+  test("filtered scans push predicates into parquet (q_parse_number, q_anti_join)") {
+    Seq("q_parse_number", "q_anti_join").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("PushedFilters: ["), s"$q: no PushedFilters section")
+      assert(p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: [LessThan") ||
+        p.contains("PushedFilters: [EqualTo") || p.contains("PushedFilters: [GreaterThan"),
+        s"$q: predicate did not reach the parquet scan:\n${p.take(2000)}")
+    }
+  }
+
+  test("projections prune the parquet ReadSchema (text_tokens reads only what it uses)") {
+    val p = plan("text_tokens")
+    // documents carries text/source/ts columns; the token counter needs
+    // doc_id + text only — a full-width scan is the classic 100TB bug
+    assert(p.contains("ReadSchema"), p.take(2000))
+    assert(!p.contains("source"), "text_tokens scan reads unused column 'source'")
+  }
+
+  test("exact dedup is one shuffle (dedup_exact)") {
+    val p = plan("dedup_exact")
+    assert(count(p, "Exchange") == 1, s"expected exactly 1 Exchange:\n${p.take(3000)}")
+  }
+
+  test("narrow text kernels stay inside whole-stage codegen (text_langid)") {
+    val p = plan("text_langid")
+    // executedPlan.toString marks whole-stage-codegen stages with "*(n)"
+    assert(p.contains("*("), s"no WholeStageCodegen span:\n${p.take(2000)}")
+    assert(count(p, "Exchange") == 0, "narrow per-row kernel introduced a shuffle")
+  }
+
+  test("ANN probe joins broadcast the query side, scan corpus once (ann_lsh_topk)") {
+    val p = plan("ann_lsh_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), "ANN candidate join went cartesian")
+  }
+
+  test("golden diff legs plan as hash anti-joins (extract flagship)") {
+    val parts = spark.sparkContext.defaultParallelism
+    val out   = graft.plans.ExtractJob.extract(
+      graft.plans.ExtractJob.generateInputs(spark, 200L, 7L, parts), parts)
+    val gold  = graft.plans.ExtractJob.generateGoldens(spark, 200L, 7L, parts)
+    val p     = graft.plans.GoldenDiff.diff(out, gold).queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
