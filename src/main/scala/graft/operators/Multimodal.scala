@@ -58,12 +58,26 @@ object Multimodal {
       }
   }
 
+  /** Binary payload column from the documents table. The queries' DuckDB
+    * oracles reproduce payload bytes via ascii() on characters, which is
+    * only valid for pure-ASCII text — assert_true makes a non-ASCII
+    * corpus fail the Spark run loudly (the oracle side has a matching
+    * error() guard) instead of silently hash-mismatching. The filter
+    * wrapper keeps the assertion in the plan (a dropped projection column
+    * would be pruned away). */
+  private def payloads(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(coalesce(
+        assert_true(octet_length(col("text")) === length(col("text")),
+          lit("multimodal oracle requires pure-ASCII text payloads")),
+        lit(true)))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary ingest → partition-batched decode → typed metadata table
     "mm_decode_meta" -> ((s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      payloads(s, dir)
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) => MediaDecoder.decode(id, bytes) })
         .toDF()
@@ -74,8 +88,7 @@ object Multimodal {
     // UDTF/explode shape a video pipeline needs. Pure column ops.
     "mm_frame_sample" -> ((s, dir) => {
       import s.implicits._
-      val meta = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val meta = payloads(s, dir)
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) => MediaDecoder.decode(id, bytes) })
         .toDF()
@@ -90,8 +103,7 @@ object Multimodal {
     // multimodal training-data pipeline needs end-to-end.
     "mm_embed_ann" -> ((s, dir) => {
       import s.implicits._
-      val emb = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val emb = payloads(s, dir)
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) => (id, MediaDecoder.embed(bytes)) })
         .toDF("doc_id", "v")
@@ -109,18 +121,31 @@ object Multimodal {
     }))
 
   // --- DuckDB oracles (byte k of UTF-8(ASCII text) == ascii of char k) ----
+  // ASCII assumption made LOUD: the oracles equate payload byte k with
+  // ascii(substr(text, k+1, 1)) and byte_len with length(text), which only
+  // holds for pure-ASCII corpora. A non-ASCII documents table must fail
+  // the oracle run with an error, not silently hash-mismatch — hence the
+  // error() guard below (and the matching assert_true on the Spark side).
 
   private def b(k: Int) = s"(CASE WHEN length(text) >= ${k + 1} THEN ascii(substr(text, ${k + 1}, 1)) ELSE 0 END)::BIGINT"
 
+  private val dkAsciiGuard =
+    """ascii_chk AS (
+      |  SELECT CASE WHEN (SELECT count(*) FROM documents
+      |                    WHERE strlen(text) <> length(text)) > 0
+      |    THEN error('multimodal oracle requires pure-ASCII text payloads')
+      |    ELSE 1 END AS ok)""".stripMargin
+
   private val dkMeta =
-    s"""meta AS (
+    s"""$dkAsciiGuard,
+       |meta AS (
        |  SELECT doc_id,
        |    length(text)::BIGINT AS byte_len,
        |    (CASE ${b(0)} % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS fmt,
        |    ((${b(0)} * 256 + ${b(1)}) % 1024 + 16)::BIGINT AS width,
        |    ((${b(1)} * 256 + ${b(2)}) % 1024 + 16)::BIGINT AS height,
        |    (CASE ${b(0)} % 3 WHEN 0 THEN 1 WHEN 1 THEN ${b(3)} % 64 + 1 ELSE ${b(3)} % 240 + 1 END)::BIGINT AS n_frames
-       |  FROM documents)""".stripMargin
+       |  FROM documents, ascii_chk WHERE ascii_chk.ok = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" ->
@@ -134,11 +159,12 @@ object Multimodal {
     "mm_embed_ann" -> {
       val dims = MediaDecoder.EmbedDims
       val cos  = VectorKernels.Dk.cosine("q.v", "c.v", dims)
-      s"""WITH emb AS (
+      s"""WITH $dkAsciiGuard,
+         |emb AS (
          |  SELECT doc_id,
          |    [((CASE WHEN length(text) >= 2 * i + 1 THEN ascii(substr(text, 2 * i + 1, 1)) ELSE 0 END) - 96)::DOUBLE / 16.0
          |     for i in generate_series(0, ${dims - 1})] AS v
-         |  FROM documents),
+         |  FROM documents, ascii_chk WHERE ascii_chk.ok = 1),
          |pairs AS (
          |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, $cos AS cos
          |  FROM emb q JOIN emb c ON q.doc_id < 3 AND c.doc_id <> q.doc_id),
