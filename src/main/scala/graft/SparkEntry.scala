@@ -33,7 +33,8 @@ object SparkEntry {
     * training-data pipeline ops. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextOps.queries ++ Multimodal.queries ++ ExtractQueries.queries
+      TextOps.queries ++ Multimodal.queries ++ Curation.queries ++
+      ExtractQueries.queries
 
   /** DuckDB-equivalent ANSI SQL per query. The extraction/eval kernels are
     * covered too: their queries materialize the independent second opinion
@@ -41,5 +42,6 @@ object SparkEntry {
     * the oracle re-derives the expected result from it (see OracleAux). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextOps.oracles ++ Multimodal.oracles ++ ExtractQueries.oracles
+      TextOps.oracles ++ Multimodal.oracles ++ Curation.oracles ++
+      ExtractQueries.oracles
 }

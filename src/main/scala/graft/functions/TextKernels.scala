@@ -82,11 +82,15 @@ object TextKernels {
       lit(0L),
       (acc, code) => (acc * 31 + code) % 1000000007L)
 
-  /** Winnowing-style min char-8-gram digest: min over md5 of every 8-char
-    * window. Null for strings shorter than 8 chars. */
-  def winnowMin(c: Column): Column =
-    when(length(c) >= 8,
-      array_min(transform(sequence(lit(1), length(c) - 7), i => md5(substring(c, i, lit(8))))))
+  /** Winnowing-style min char-w-gram digest: min over md5 of every w-char
+    * window. Null for strings shorter than w chars. Window width sets the
+    * selectivity: 8 chars behaves like a MinHash over common substrings
+    * (high collision across unrelated docs — good for near-dup grouping);
+    * 64 chars is a content fingerprint (two docs share it only when they
+    * share a real 64-char run — the decontamination key). */
+  def winnowMin(c: Column, w: Int = 8): Column =
+    when(length(c) >= w,
+      array_min(transform(sequence(lit(1), length(c) - (w - 1)), i => md5(substring(c, i, lit(w))))))
       .otherwise(lit(null).cast("string"))
 
   /** Language marker stopword lists (tiny, deterministic n-gram heuristic
@@ -140,8 +144,8 @@ object TextKernels {
       s"list_reduce(list_prepend(0::BIGINT, [ascii(substr($e, i, 1))::BIGINT for i in generate_series(1, len($e))]), " +
         "(acc, code) -> (acc * 31 + code) % 1000000007)"
 
-    def winnowMin(e: String): String =
-      s"case when len($e) >= 8 then list_aggregate([md5(substr($e, i, 8)) for i in generate_series(1, len($e)-7)], 'min') end"
+    def winnowMin(e: String, w: Int = 8): String =
+      s"case when len($e) >= $w then list_aggregate([md5(substr($e, i, $w)) for i in generate_series(1, len($e)-${w - 1})], 'min') end"
 
     def markerHits(toks: String, markers: Seq[String]): String =
       s"len(list_filter($toks, t -> t in (${markers.map("'" + _ + "'").mkString(",")})))"
