@@ -24,28 +24,77 @@ object Boilerplate {
     def linkDensity: Double = if (words == 0) 0.0 else linkWords.toDouble / words
   }
 
-  private val TagRe    = "<[^>]*>".r
   private val AnchorRe = "(?s)<a\\b[^>]*>(.*?)</a>".r
 
+  // The three helpers below are the kernel's hottest code (they run per
+  // block per document); each is a single hand-rolled pass because
+  // String.replaceAll / String.split("\\s+") RE-COMPILE their pattern on
+  // every call (String.split's fast path only covers 1-char literals).
+  // Semantics are kept bit-identical to the regex forms they replace —
+  // \s means exactly the Java regex class [ \t\n\x0B\f\r].
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   private def wordCount(s: String): Int = {
-    val t = s.trim
-    if (t.isEmpty) 0 else t.split("\\s+").length
+    var i = 0; var count = 0; var inWord = false
+    while (i < s.length) {
+      val ws = isWs(s.charAt(i))
+      if (!ws && !inWord) { count += 1; inWord = true }
+      else if (ws) inWord = false
+      i += 1
+    }
+    count
+  }
+
+  /** `"<[^>]*>" → " "` as one pass; an unclosed trailing `<...` stays
+    * literal text, exactly like the regex it replaces. */
+  private def stripTags(s: String): String = {
+    val n  = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i        = 0
+    var tagStart = -1
+    while (i < n) {
+      val c = s.charAt(i)
+      if (tagStart >= 0) { if (c == '>') { tagStart = -1; sb.append(' ') } }
+      else if (c == '<') tagStart = i
+      else sb.append(c)
+      i += 1
+    }
+    if (tagStart >= 0) sb.append(s, tagStart, n)
+    sb.toString
   }
 
   /** Parse one raw HTML-ish block into its shallow features.
     * Anchor text counts toward both `words` and `linkWords`; markup is
     * dropped; entities are not interpreted (synthetic corpus has none). */
   def parse(raw: String): Block = {
-    val linkWords = AnchorRe.findAllMatchIn(raw).map(m => wordCount(TagRe.replaceAllIn(m.group(1), " "))).sum
-    val stripped  = TagRe.replaceAllIn(raw, " ")
+    val linkWords = AnchorRe.findAllMatchIn(raw).map(m => wordCount(stripTags(m.group(1)))).sum
+    val stripped  = stripTags(raw)
     Block(collapseWs(stripped), wordCount(stripped), linkWords)
   }
 
-  /** Collapse whitespace runs to single spaces and trim — the rebuild's
-    * output-side analog of the reference's newline cleanup + whitespace
-    * normalization (/root/reference/field_extractor_gemini.py:26-33,
-    * /root/reference/eval_script_field_level.py:127-132). */
-  def collapseWs(s: String): String = s.replaceAll("\\s+", " ").trim
+  /** Collapse whitespace runs to single spaces and trim (one pass) — the
+    * rebuild's output-side analog of the reference's newline cleanup +
+    * whitespace normalization (/root/reference/field_extractor_gemini
+    * .py:26-33, /root/reference/eval_script_field_level.py:127-132).
+    * Equivalent to `replaceAll("\\s+", " ").trim`. */
+  def collapseWs(s: String): String = {
+    val n  = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i            = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   /** WSDM-2010 NumWordsRules classifier (re-derived thresholds from the
     * paper's published decision tree). Returns true iff `curr` is main

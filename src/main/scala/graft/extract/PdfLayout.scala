@@ -34,11 +34,14 @@ object PdfLayout {
   /** Lines whose y differ by at most this are the same line. */
   val LineTolY = 3
 
+  // precompiled: String.split("\\s+", 3) would recompile per run
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+
   /** Parse "x y words..." — returns None for malformed runs (dropped,
     * mirroring the reference's skip-and-continue error policy,
     * /root/reference/eval_script_field_level.py:461-463). */
   def parseRun(raw: String): Option[GlyphRun] = {
-    val parts = raw.trim.split("\\s+", 3)
+    val parts = WsPat.split(raw.trim, 3)
     if (parts.length < 3) None
     else
       try Some(GlyphRun(parts(0).toInt, parts(1).toInt, parts(2)))

@@ -49,19 +49,32 @@ object Dedup {
     * to MaxBandGroup² pairs). Mirrored bit-for-bit in the DuckDB oracle. */
   val MaxBandGroup = 256
 
-  /** doc_id + shingle set + 8 minhashes + 4 (band, key-pair) structs.
-    * Base hashes live in their own named column so the one-md5-per-shingle
-    * pass is computed once and shared by all k families. */
+  /** doc_id + 8 minhashes. Base hashes live in their own named column so
+    * the one-md5-per-shingle pass is computed once and shared by all k
+    * families. */
   private def signatures(corpus: DataFrame): DataFrame = {
     val mhs = (0 until MinhashK).map(j => minhash(col("hs"), j).as(s"mh$j"))
     corpus
       .withColumn("sh", shingles3(tokens(col("text"))))
       .withColumn("hs", baseHashes(col("sh")))
-      .select(col("doc_id") +: col("sh") +: mhs: _*)
-      .withColumn("bands", array((0 until MinhashK / 2).map(b =>
-        struct(lit(b).as("band"),
-          col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))): _*))
+      .select(col("doc_id") +: mhs: _*)
   }
+
+  /** (doc_id, band, k1, k2) band-key rows for LSH. The signature
+    * projection is separated from the band explode by an explicit
+    * repartition: without that Exchange, CollapseProject inlines the k
+    * minhash expressions into the band structs and the one-digest-per-
+    * shingle pass runs ~8× per row (measured 5-6× wall at sf0.1 —
+    * plan md5-occurrence count goes 18 → 1). The exchange shuffles only
+    * (doc_id, 8 longs): signatures move, text never does — which is also
+    * the at-scale shape. */
+  private def bandedKeys(corpus: DataFrame): DataFrame =
+    signatures(corpus)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(array((0 until MinhashK / 2).map(b =>
+        struct(lit(b).as("band"),
+          col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
 
   /** Full MinHash → LSH band join → exact-Jaccard verify pipeline, in the
     * at-scale shape:
@@ -81,10 +94,7 @@ object Dedup {
     * stress it with a planted hot-key corpus. */
   def minhashLsh(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val banded = signatures(corpus)
-      .select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
-    val capped = banded
+    val capped = bandedKeys(corpus)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("doc_id"))))
       .filter(col("rn") <= MaxBandGroup).drop("rn")
@@ -113,9 +123,7 @@ object Dedup {
 
   /** Band-group size histogram + rows a [[MaxBandGroup]] cap would drop. */
   def lshBandStats(corpus: DataFrame): DataFrame =
-    signatures(corpus)
-      .select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("b.band"), col("b.k1"), col("b.k2"))
+    bandedKeys(corpus)
       .groupBy(col("band"), col("k1"), col("k2"))
       .agg(count(lit(1)).as("g"))
       .groupBy(col("g").as("group_size"))
@@ -159,10 +167,8 @@ object Dedup {
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))),
 
     // Per-doc MinHash signature (k=8 over word 3-gram shingles).
-    "dedup_minhash_sig" -> ((s, dir) => {
-      val sig = signatures(docs(s, dir).select(col("doc_id"), col("text")))
-      sig.select(col("doc_id") +: (0 until MinhashK).map(j => col(s"mh$j")): _*)
-    }),
+    "dedup_minhash_sig" -> ((s, dir) =>
+      signatures(docs(s, dir).select(col("doc_id"), col("text")))),
 
     // Full MinHash → LSH band join → exact-Jaccard verify pipeline in the
     // at-scale shape (see [[minhashLsh]]).
