@@ -94,8 +94,13 @@ object ExtractMain {
     val spans   = stats.values.map(_.spans).sum
     val errors  = stats.values.map(_.errors).sum
     val docsSec = if (wallSec > 0) docs / wallSec else 0.0
+    // kernel-only CPU seconds (sum over tasks) — separates kernel cost
+    // from scan/shuffle/sink when diagnosing scaling: kernelCpuSec should
+    // be ~constant across parallelism levels; growth = cache/GC contention
+    val kernelCpuSec = stats.values.map(_.nanos).sum / 1e9
     println(f"""{"docs":$docs,"spans":$spans,"errors":$errors,"partitions":${stats.size},""" +
-      f""""bucketsCommitted":${committed.size},"wallSec":$wallSec%.3f,"docsPerSec":$docsSec%.1f}""")
+      f""""bucketsCommitted":${committed.size},"wallSec":$wallSec%.3f,"docsPerSec":$docsSec%.1f,""" +
+      f""""kernelCpuSec":$kernelCpuSec%.3f}""")
 
     var ok = true
     if (check) {

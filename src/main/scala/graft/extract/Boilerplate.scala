@@ -67,11 +67,46 @@ object Boilerplate {
 
   /** Parse one raw HTML-ish block into its shallow features.
     * Anchor text counts toward both `words` and `linkWords`; markup is
-    * dropped; entities are not interpreted (synthetic corpus has none). */
+    * dropped; entities are not interpreted (synthetic corpus has none).
+    *
+    * The main path fuses stripTags → collapseWs → wordCount into ONE
+    * character pass (tags act as word-separating whitespace, exactly as
+    * the staged `tag → ' '` rewrite made them): at 8+ cores the kernel is
+    * memory-bandwidth-bound, so the two intermediate full-length strings
+    * the staged form allocated were the dominant cost, not the CPU. */
   def parse(raw: String): Block = {
     val linkWords = AnchorRe.findAllMatchIn(raw).map(m => wordCount(stripTags(m.group(1)))).sum
-    val stripped  = stripTags(raw)
-    Block(collapseWs(stripped), wordCount(stripped), linkWords)
+    val n  = raw.length
+    val sb = new java.lang.StringBuilder(n)
+    var i            = 0
+    var tagStart     = -1
+    var pendingSpace = false
+    var words        = 0
+    var inWord       = false
+    def literal(c: Char): Unit =
+      if (isWs(c)) { if (sb.length > 0) pendingSpace = true; inWord = false }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        if (!inWord) { words += 1; inWord = true }
+      }
+    while (i < n) {
+      val c = raw.charAt(i)
+      if (tagStart >= 0) {
+        if (c == '>') { // closed tag became ' ' in the staged form
+          tagStart = -1
+          if (sb.length > 0) pendingSpace = true
+          inWord = false
+        }
+      } else if (c == '<') tagStart = i
+      else literal(c)
+      i += 1
+    }
+    if (tagStart >= 0) { // unclosed trailing '<...' is literal text (regex parity)
+      var j = tagStart
+      while (j < n) { literal(raw.charAt(j)); j += 1 }
+    }
+    Block(sb.toString, words, linkWords)
   }
 
   /** Collapse whitespace runs to single spaces and trim (one pass) — the

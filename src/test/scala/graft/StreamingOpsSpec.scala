@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{SpanEvent, UserEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time semantics of the streaming operators, driven through
+  * MemoryStream micro-batches so watermark movement is deterministic:
+  * results appear exactly when the watermark passes a window end / a
+  * session's timeout, never earlier. */
+class StreamingOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // base offset keeps every event strictly above the initial watermark
+  // (epoch 0) — a row AT the watermark is dropped as late by stateful ops
+  private def ts(min: Long): Timestamp = new Timestamp((min + 1000) * 60000L)
+
+  test("windowedKindCounts emits a window only after the watermark passes it") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SpanEvent]
+    val q = StreamingOps.windowedKindCounts(in.toDS())
+      .writeStream.format("memory").queryName("wkc").outputMode("append").start()
+    try {
+      // two windows: [0,5) and [5,10)
+      in.addData(SpanEvent(ts(1), "d1", "text"), SpanEvent(ts(2), "d1", "text"),
+        SpanEvent(ts(6), "d2", "image"))
+      q.processAllAvailable()
+      assert(spark.table("wkc").count() == 0) // watermark still behind both windows
+      // sentinel far in the future: watermark = 60 - 10 > both window ends
+      in.addData(SpanEvent(ts(60), "d9", "text"))
+      q.processAllAvailable()
+      val rows = spark.table("wkc")
+        .select("window_start", "kind", "n_spans").as[(Timestamp, String, Long)]
+        .collect().sortBy(r => (r._1.getTime, r._2))
+      assert(rows.toSeq == Seq((ts(0), "text", 2L), (ts(5), "image", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions by successor-gap and by event-time timeout") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamingOps.sessionize(in.toDS(), gapMs = 30L * 60000)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session)…
+      in.addData(UserEvent(1, ts(0)), UserEvent(1, ts(5)))
+      q.processAllAvailable()
+      // …then an event 90 min later: closes session 1 immediately
+      in.addData(UserEvent(1, ts(95)))
+      q.processAllAvailable()
+      val afterSuccessor = spark.table("sess")
+        .as[StreamingOps.Session].collect().toSeq
+      assert(afterSuccessor == Seq(StreamingOps.Session(1, ts(0), ts(5), 2)))
+      // sentinel user advances the watermark past 95 + 30 + delay:
+      // user 1's idle session times out and is emitted
+      in.addData(UserEvent(2, ts(200)))
+      q.processAllAvailable()
+      in.addData(UserEvent(2, ts(201))) // extra batch so the timeout fires
+      q.processAllAvailable()
+      val all = spark.table("sess").as[StreamingOps.Session]
+        .collect().sortBy(_.session_start.getTime).toSeq
+      assert(all.contains(StreamingOps.Session(1, ts(95), ts(95), 1)), all.toString)
+    } finally q.stop()
+  }
+}
