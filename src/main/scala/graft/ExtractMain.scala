@@ -80,13 +80,27 @@ object ExtractMain {
       }
     }
 
+    // Fused single-shuffle mode (--two-shuffle opts out): the kernel stage
+    // partitions directly on the WRITE-side bucket key, so the extracted
+    // documents are never shuffled a second time for the bucketed commit.
+    // Buckets are finer (8/core instead of 2/core waves) because
+    // `repartition(n, bucketValue)` places bucket b at pmod(hash(b), n) —
+    // collisions leave some partitions holding 2-4 buckets, and many short
+    // tasks let scheduling absorb that imbalance. One full-document
+    // shuffle instead of two ≈ +20% end-to-end on the 200k-doc bench.
+    val fused    = !args.contains("--two-shuffle")
+    val nBuckets = if (fused) cpus.toInt * 8 else parts
+    val partExpr = if (fused) Some(ManifestIO.bucketExpr(nBuckets)) else None
+
     val t0  = System.nanoTime()
     val in  = ManifestIO.pruneCommitted( // resume: skip committed buckets pre-kernel
-      inputDocs, outDir, nBuckets = parts)
-    val out = ExtractJob.extract(in, numPartitions = parts, lineage = Some(lineage))
+      inputDocs, outDir, nBuckets = nBuckets)
+    val out = ExtractJob.extract(in, numPartitions = nBuckets,
+      lineage = Some(lineage), partitionExpr = partExpr)
     val committed =
       if (noop) { out.toDF().write.format("noop").mode("overwrite").save(); Seq.empty }
-      else ManifestIO.write(out, outDir, nBuckets = parts, runId = runId)
+      else ManifestIO.write(out, outDir, nBuckets = nBuckets, runId = runId,
+        prePartitioned = fused)
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val stats   = lineage.value

@@ -55,10 +55,11 @@ object ExtractJob {
       docs: Dataset[Document],
       numPartitions: Int,
       salt: Int = 0,
-      lineage: Option[LineageAccumulator] = None): Dataset[Document] = {
+      lineage: Option[LineageAccumulator] = None,
+      partitionExpr: Option[org.apache.spark.sql.Column] = None): Dataset[Document] = {
     import docs.sparkSession.implicits._
     docs
-      .repartition(numPartitions, hash(col("doc_id"), lit(salt)))
+      .repartition(numPartitions, partitionExpr.getOrElse(hash(col("doc_id"), lit(salt))))
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         it.map { doc =>

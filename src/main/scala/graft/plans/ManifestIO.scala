@@ -38,6 +38,13 @@ object ManifestIO {
   private def manifestDir(outDir: String) = s"$outDir/_manifest"
   private def dataDir(outDir: String)     = s"$outDir/data"
 
+  /** THE bucket function: every consumer (resume prune, kernel-stage
+    * partitioning in fused mode, write distribution, manifests) must use
+    * this one expression — a salt/bucketing change makes a different
+    * table (manifests do not translate across it). */
+  def bucketExpr(nBuckets: Int, salt: Int = 0) =
+    pmod(hash(col("doc_id"), lit(salt)), lit(nBuckets))
+
   def committedBuckets(spark: SparkSession, outDir: String): Set[Int] =
     readManifests(spark, outDir).filter(_.status == "committed").map(_.bucket).toSet
 
@@ -71,10 +78,11 @@ object ManifestIO {
     * side — committed buckets never reach the (expensive) extraction
     * kernel at all. This is the real resume semantics: skip the work,
     * not just the write. */
-  def pruneCommitted(docs: Dataset[Document], outDir: String, nBuckets: Int): Dataset[Document] = {
+  def pruneCommitted(docs: Dataset[Document], outDir: String, nBuckets: Int,
+      salt: Int = 0): Dataset[Document] = {
     val done = committedBuckets(docs.sparkSession, outDir)
     if (done.isEmpty) docs
-    else docs.filter(!pmod(hash(col("doc_id")), lit(nBuckets)).isin(done.toSeq: _*))
+    else docs.filter(!bucketExpr(nBuckets, salt).isin(done.toSeq: _*))
   }
 
   /** Buckets whose data directory exists under `data/` (complete by the
@@ -107,13 +115,14 @@ object ManifestIO {
     * read-back stats) instead of reprocessing — no duplicates, no lost
     * work. A crash during 1 leaves only staging garbage, ignored forever.
     */
-  def write(docs: Dataset[Document], outDir: String, nBuckets: Int, runId: String): Seq[BucketManifest] = {
+  def write(docs: Dataset[Document], outDir: String, nBuckets: Int, runId: String,
+      salt: Int = 0, prePartitioned: Boolean = false): Seq[BucketManifest] = {
     val spark = docs.sparkSession
     val done    = committedBuckets(spark, outDir)
     val orphans = bucketsOnDisk(outDir) -- done
 
     val bucketed = docs.toDF()
-      .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+      .withColumn("bucket", bucketExpr(nBuckets, salt))
     val skip = done ++ orphans
     val todo = if (skip.isEmpty) bucketed
                else bucketed.filter(!col("bucket").isin(skip.toSeq: _*))
@@ -123,10 +132,16 @@ object ManifestIO {
     // parquet file per bucket instead of tasks×buckets tiny files (which,
     // on a local FS, also exec's a chmod per file — a measured 10x commit
     // slowdown; on HDFS/S3 it is the classic small-files explosion).
-    // The kernel stage keeps its own salted uniform partitioning — this
-    // write-side shuffle is the Iceberg "hash write-distribution" shape.
+    // This write-side shuffle is the Iceberg "hash write-distribution"
+    // shape. With prePartitioned=true the caller guarantees the rows are
+    // ALREADY distributed by bucketExpr(nBuckets, salt) — i.e. the kernel
+    // stage itself partitioned on the bucket key (ExtractMain's fused
+    // single-shuffle mode) — and the second full-document shuffle is
+    // skipped: each task still holds whole buckets, so partitionBy keeps
+    // one file per bucket.
     val staging = s"$outDir/_staging/$runId"
-    todo.repartition(nBuckets, col("bucket"))
+    val distributed = if (prePartitioned) todo else todo.repartition(nBuckets, col("bucket"))
+    distributed
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
 
     // 2. atomic per-bucket publication

@@ -43,7 +43,7 @@ class ManifestSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // simulate a partial run: only buckets {0,1,2} of 8 got committed
     import org.apache.spark.sql.functions._
     val partial = docs.toDF()
-      .withColumn("b", pmod(hash(col("doc_id")), lit(8)))
+      .withColumn("b", ManifestIO.bucketExpr(8))
       .filter(col("b") < 3).drop("b")
     import spark.implicits._
     ManifestIO.write(partial.as[Document], out, nBuckets = 8, runId = "partial")
