@@ -42,6 +42,18 @@ object Dedup {
       concat(col("text"), lit(" zzz")).as("text")))
   }
 
+  /** documents ∪ TWO perturbation generations (+1e6 " zzz", +2e6
+    * " zzz zzz") — every document becomes a 3-member duplicate cluster, so
+    * cluster resolution genuinely needs transitive closure, not just pair
+    * output. */
+  private def dupCorpus3(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text")))
+      .unionByName(d.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz")).as("text")))
+  }
+
   private val MinhashK = 8 // 4 bands × rows of 2
 
   /** Deterministic hot-band cap: a band group keeps only its this-many
@@ -119,6 +131,44 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Duplicate-CLUSTER resolution: connected components over a near-dup
+    * pair list by iterative min-label propagation. LSH emits pairs; what a
+    * dedup pass actually needs is one keeper per transitive cluster
+    * (a~b, b~c ⇒ {a,b,c} even when a,c were never a candidate pair).
+    *
+    * Scale shape: every iteration shuffles only (id, label) longs — the
+    * edge list is fixed and the per-iteration cost is one equi-join + one
+    * groupBy(min), both on id keys. Iterations needed = cluster DIAMETER
+    * (near-dup clusters are shallow — a handful), not corpus size; the
+    * loop stops at the first fixpoint. The per-iteration `count` action is
+    * a scalar convergence check, not a data collect. `localCheckpoint`
+    * truncates the iterative lineage so plan size stays O(1) per round
+    * (at 10^12 docs swap in alternating large/small-star steps for
+    * O(log n) worst-case rounds — same join/groupBy building blocks). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // pairs come from LSH — never recompute per round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter    = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
+        .groupBy(col("e.dst").as("nid")).agg(min(col("l.label")).as("nbr_label"))
+      val next = labels.join(nbr, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Band-group size histogram + rows a [[MaxBandGroup]] cap would drop. */
@@ -211,6 +261,13 @@ object Dedup {
         .filter(col("hamming") <= 3)
     }),
 
+    // Duplicate-cluster resolution: MinHash-LSH pairs over a corpus with
+    // 3-member planted clusters → connected components (min-label
+    // propagation) → (doc_id, cluster_id). The step that turns pair
+    // output into "keep one per cluster" at scale.
+    "dedup_cc_labels" -> ((s, dir) =>
+      connectedComponents(minhashLsh(dupCorpus3(s, dir)).select("doc_a", "doc_b"))),
+
     // Direct n-gram Jaccard on adjacent-id pairs (the exact-verify kernel
     // in isolation, linear in corpus size).
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -263,6 +320,14 @@ object Dedup {
   private val dkJaccard =
     "round(len(list_intersect(l.sh, r.sh)) / " +
       "(len(list_distinct(l.sh)) + len(list_distinct(r.sh)) - len(list_intersect(l.sh, r.sh))), 4)"
+
+  private val dkCorpus3 =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text || ' zzz zzz' AS text FROM documents)""".stripMargin
 
   private def dkSimhash(src: String): String = {
     val votes = (0 until 32).map(j => s"sum(((hlo >> $j) & 1) * 2 - 1) AS vl$j").mkString(", ") + ", " +
@@ -327,6 +392,36 @@ object Dedup {
          |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
          |WHERE (bit_count(xor(l.simhash_hi, r.simhash_hi)) +
          |       bit_count(xor(l.simhash_lo, r.simhash_lo))) <= 3""".stripMargin,
+    // Same banding/cap/verify pipeline as dedup_minhash_lsh over the
+    // 3-generation corpus, then connected components as a recursive
+    // transitive closure + per-node min reachable label — exactly the
+    // fixpoint the Spark min-label propagation converges to.
+    "dedup_cc_labels" ->
+      s"""WITH RECURSIVE $dkCorpus3,
+         |${dkSig("corpus")},
+         |capped AS (
+         |  SELECT doc_id, band, k1, k2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
+         |    FROM banded) WHERE rn <= $MaxBandGroup),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM capped l JOIN capped r
+         |    ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sig l ON l.doc_id = doc_a
+         |  JOIN sig r ON r.doc_id = doc_b
+         |  WHERE $dkJaccard >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |closure AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src)
+         |SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+         |FROM closure GROUP BY a""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
          |d AS (SELECT doc_id, list_distinct(${Dk.shingles3("toks")}) AS sh FROM toksrc)

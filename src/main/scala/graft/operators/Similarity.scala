@@ -119,6 +119,22 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       topk(pairs)
+    }),
+
+    // Recall@k of the approximate (LSH) path against the exact baseline —
+    // the quality observable every approximate index must ship with: at
+    // 100 TB you cannot eyeball neighbor lists, you track recall on a
+    // query sample. |approx ∩ exact| / k per query, queries with zero
+    // overlap included (left join from the exact side).
+    "ann_recall" -> ((s, dir) => {
+      val bf = queries("ann_bruteforce_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ap = queries("ann_lsh_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id")).withColumn("m", lit(1))
+      bf.join(ap, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("m")).as("hits"),
+          round(count(col("m")) / lit(K.toDouble), 4).as("recall"))
     }))
 
   // --- DuckDB oracles -----------------------------------------------------
@@ -132,18 +148,34 @@ object Similarity {
        |  FROM (SELECT count(*)::BIGINT AS n FROM embeddings))""".stripMargin
   private val dkBktDyn = Dk.lshBucketDyn("v", "np", Dims, MaxPlanes)
 
+  private val dkBruteforce =
+    s"""WITH e AS ($dkEmb),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dkCos AS cos
+       |  FROM e q JOIN e c ON q.vec_id < $NQuery AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
+  private val dkLshTopk =
+    s"""WITH e AS ($dkEmb), $dkPrm,
+       |b AS (SELECT vec_id, v, $dkBktDyn AS bucket FROM e, prm),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dkCos AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < $NQuery AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ann_bruteforce_topk" ->
-      s"""WITH e AS ($dkEmb),
-         |pairs AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dkCos AS cos
-         |  FROM e q JOIN e c ON q.vec_id < $NQuery AND c.vec_id <> q.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM pairs)
-         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
-         |FROM ranked WHERE rank <= $K""".stripMargin,
+    "ann_bruteforce_topk" -> dkBruteforce,
     "ann_lsh_buckets" ->
       s"""WITH e AS ($dkEmb), $dkPrm
          |SELECT $dkBktDyn AS bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
@@ -188,17 +220,15 @@ object Similarity {
          |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
          |FROM ranked WHERE rank <= $K""".stripMargin
     },
-    "ann_lsh_topk" ->
-      s"""WITH e AS ($dkEmb), $dkPrm,
-         |b AS (SELECT vec_id, v, $dkBktDyn AS bucket FROM e, prm),
-         |pairs AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dkCos AS cos
-         |  FROM b q JOIN b c ON q.bucket = c.bucket
-         |  WHERE q.vec_id < $NQuery AND c.vec_id <> q.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM pairs)
-         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
-         |FROM ranked WHERE rank <= $K""".stripMargin)
+    "ann_lsh_topk" -> dkLshTopk,
+    // The two top-k SQLs verbatim as CTE bodies (DuckDB scopes their
+    // inner WITHs per subquery), joined on exact-side rows.
+    "ann_recall" ->
+      s"""WITH bf AS ($dkBruteforce),
+         |ap AS ($dkLshTopk)
+         |SELECT b.query_id, count(a.neighbor_id)::BIGINT AS hits,
+         |  round(count(a.neighbor_id) / $K.0, 4) AS recall
+         |FROM bf b LEFT JOIN ap a
+         |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |GROUP BY 1""".stripMargin)
 }

@@ -21,6 +21,17 @@ object TextOps {
 
   private val Stopwords = Seq("the", "a", "and", "of", "is", "to", "in")
 
+  /** PII patterns — kept to syntax Java regex and RE2 (DuckDB) interpret
+    * identically (char classes, bounded/unbounded repeats, one group). */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Pat  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val PhonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Chunk-dedup window (tokens) and the planted boilerplate footer
+    * (exactly [[ChunkW]] tokens ⇒ exactly one corpus-wide hot chunk). */
+  private val ChunkW = 10
+  private val Footer = "standard footer text all rights reserved contact legal team here"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish regex pre-tokens.
     "text_tokens" -> ((s, dir) =>
@@ -71,7 +82,56 @@ object TextOps {
       docs(s, dir).select(
         col("doc_id"),
         fingerprint(col("text")).as("fp"),
-        winnowMin(col("text")).as("winnow_min"))))
+        winnowMin(col("text")).as("winnow_min"))),
+
+    // PII redaction: plant deterministic email/IPv4/phone per doc, count
+    // each type, replace with typed placeholders. Narrow (regex kernels in
+    // codegen, no shuffle) — the shape that scrubs 100 TB at scan speed.
+    // Redaction order matters: emails first (their dots must not feed the
+    // IP pattern), then IPs, then dashed phones.
+    "text_pii_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+          lit(" tel 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0199")).as("text"))
+      planted.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>").as("redacted"))
+    }),
+
+    // Duplicated-chunk ratio: consecutive 10-token windows hashed, a chunk
+    // is "duplicated" when ≥ 2 distinct docs carry it — per-doc ratio is
+    // the RefinedWeb-style dup-fraction filter signal, and the scalable
+    // stand-in for exact substring dedup (chunk hash groupBy, never
+    // suffix-array all-pairs). Corpus = documents ∪ a 2-chunk prefix copy
+    // with a shared boilerplate footer (+1e6 ids): prefix chunks duplicate
+    // pairwise, the footer chunk duplicates corpus-wide (the hot-key case).
+    "text_dup_chunk_ratio" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(array_join(slice(tokens(col("text")), 1, 2 * ChunkW), " "),
+          lit(" " + Footer)).as("text"))
+      val chunks = d.unionByName(copies)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("nch", floor(size(col("toks")) / ChunkW).cast("int"))
+        .filter(col("nch") >= 1)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("nch") - 1), i =>
+            md5(array_join(slice(col("toks"), i * ChunkW + 1, lit(ChunkW)), " ")))).as("h"))
+      val hot = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      chunks.join(hot, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(col("n_docs")).as("dup_chunks"),
+          round(count(col("n_docs")) / count(lit(1)), 4).as("dup_ratio"))
+    }))
 
   // --- DuckDB oracles -----------------------------------------------------
 
@@ -111,5 +171,38 @@ object TextOps {
     },
     "text_fingerprint" ->
       s"""SELECT doc_id, ${Dk.fingerprint("text")} AS fp, ${Dk.winnowMin("text")} AS winnow_min
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    "text_pii_redact" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id::VARCHAR || '@example.com'
+         |         || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+         |         || ' tel 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailPat'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '$Ipv4Pat'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(text, '$PhonePat'))::BIGINT AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailPat', '<EMAIL>', 'g'), '$Ipv4Pat', '<IP>', 'g'),
+         |    '$PhonePat', '<PHONE>', 'g') AS redacted
+         |FROM planted""".stripMargin,
+    "text_dup_chunk_ratio" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string((${Dk.tokens("text")})[1:${2 * ChunkW}], ' ') || ' $Footer' AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |c AS (SELECT doc_id, toks, len(toks) // $ChunkW AS nch FROM t),
+         |ch AS (
+         |  SELECT doc_id, unnest([md5(array_to_string(toks[(i*$ChunkW+1):(i*$ChunkW+$ChunkW)], ' '))
+         |    for i in generate_series(0, nch - 1)]) AS h
+         |  FROM c WHERE nch >= 1),
+         |hot AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT ch.doc_id, count(*)::BIGINT AS n_chunks, count(hot.h)::BIGINT AS dup_chunks,
+         |  round(count(hot.h) / count(*), 4) AS dup_ratio
+         |FROM ch LEFT JOIN hot ON ch.h = hot.h
+         |GROUP BY 1""".stripMargin)
 }
