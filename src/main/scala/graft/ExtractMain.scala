@@ -55,6 +55,11 @@ object ExtractMain {
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", s"${16 * 1024 * 1024}"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // v2 commit: task outputs rename into the final location at TASK
+      // commit (parallel, worker-side) instead of a serial driver-side
+      // job-commit pass — on a 1000-executor cluster the v1 job commit is
+      // a driver O(files) stall; here it also removes a serial tail.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -92,15 +97,22 @@ object ExtractMain {
     val nBuckets = if (fused) cpus.toInt * 8 else parts
     val partExpr = if (fused) Some(ManifestIO.bucketExpr(nBuckets)) else None
 
+    // Per-bucket manifest stats ride the kernel pass itself (fused mode):
+    // ManifestIO.write then commits manifests without re-scanning the
+    // written output — the Iceberg writer-metrics shape.
+    val bucketAcc = new graft.plans.BucketStatsAccumulator
+    if (fused) spark.sparkContext.register(bucketAcc, "bucket-stats")
+
     val t0  = System.nanoTime()
     val in  = ManifestIO.pruneCommitted( // resume: skip committed buckets pre-kernel
       inputDocs, outDir, nBuckets = nBuckets)
     val out = ExtractJob.extract(in, numPartitions = nBuckets,
-      lineage = Some(lineage), partitionExpr = partExpr)
+      lineage = Some(lineage), partitionExpr = partExpr,
+      bucketStats = if (fused) Some((bucketAcc, nBuckets, 0)) else None)
     val committed =
       if (noop) { out.toDF().write.format("noop").mode("overwrite").save(); Seq.empty }
       else ManifestIO.write(out, outDir, nBuckets = nBuckets, runId = runId,
-        prePartitioned = fused)
+        prePartitioned = fused, statsSource = if (fused) Some(bucketAcc) else None)
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val stats   = lineage.value

@@ -34,6 +34,33 @@ final class LineageAccumulator
   override def value: Map[Int, PartitionStats] = m.toMap
 }
 
+/** Per-BUCKET write stats, accumulated inside the kernel pass itself:
+  * bucket -> (docs, spans, contentHash-XOR). This is how manifest stats
+  * are produced WITHOUT a read-back scan of the written output — the same
+  * shape Iceberg gets from its writer's per-file metrics. XOR-fold is
+  * commutative, so task scheduling order cannot change the value; the
+  * accumulator rides the write action (a result stage), where Spark
+  * applies each successful task's updates exactly once. */
+final case class BucketStats(docs: Long, spans: Long, hash: Long) {
+  def +(o: BucketStats): BucketStats =
+    BucketStats(docs + o.docs, spans + o.spans, hash ^ o.hash)
+}
+
+final class BucketStatsAccumulator
+    extends AccumulatorV2[(Int, BucketStats), Map[Int, BucketStats]] {
+  private val m = TrieMap.empty[Int, BucketStats]
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): BucketStatsAccumulator = {
+    val c = new BucketStatsAccumulator; m.foreach { case (k, v) => c.m.put(k, v) }; c
+  }
+  override def reset(): Unit = m.clear()
+  override def add(v: (Int, BucketStats)): Unit =
+    m.updateWith(v._1) { prev => Some(prev.fold(v._2)(_ + v._2)) }
+  override def merge(other: AccumulatorV2[(Int, BucketStats), Map[Int, BucketStats]]): Unit =
+    other.value.foreach { case (k, v) => add((k, v)) }
+  override def value: Map[Int, BucketStats] = m.toMap
+}
+
 /** The end-to-end extraction job: salted repartition → one narrow
   * mapPartitions stage running [[graft.extract.Extract]].
   *
@@ -56,22 +83,32 @@ object ExtractJob {
       numPartitions: Int,
       salt: Int = 0,
       lineage: Option[LineageAccumulator] = None,
-      partitionExpr: Option[org.apache.spark.sql.Column] = None): Dataset[Document] = {
+      partitionExpr: Option[org.apache.spark.sql.Column] = None,
+      // (accumulator, nBuckets, bucketSalt): per-bucket manifest stats
+      // computed in THIS pass — spares ManifestIO.write its read-back scan
+      bucketStats: Option[(BucketStatsAccumulator, Int, Int)] = None): Dataset[Document] = {
     import docs.sparkSession.implicits._
     docs
       .repartition(numPartitions, partitionExpr.getOrElse(hash(col("doc_id"), lit(salt))))
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
+        def record(out: Document): Document = {
+          bucketStats.foreach { case (acc, nBuckets, bSalt) =>
+            acc.add((ManifestIO.bucketValue(out.doc_id, nBuckets, bSalt),
+              BucketStats(1, out.spans.size.toLong, ContentHash.docHash(out))))
+          }
+          out
+        }
         it.map { doc =>
           val t0 = System.nanoTime()
           try {
             val out = Extract.document(doc)
             lineage.foreach(_.add((pid, PartitionStats(1, out.spans.size.toLong, 0, System.nanoTime() - t0))))
-            out
+            record(out)
           } catch {
             case scala.util.control.NonFatal(_) =>
               lineage.foreach(_.add((pid, PartitionStats(1, 0, 1, System.nanoTime() - t0))))
-              Document(doc.doc_id, Seq.empty)
+              record(Document(doc.doc_id, Seq.empty))
           }
         }
       }

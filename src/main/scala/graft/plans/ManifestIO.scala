@@ -45,6 +45,20 @@ object ManifestIO {
   def bucketExpr(nBuckets: Int, salt: Int = 0) =
     pmod(hash(col("doc_id"), lit(salt)), lit(nBuckets))
 
+  /** Scala twin of [[bucketExpr]] for kernel-side stats: the SAME engine
+    * primitive (Catalyst's Murmur3, what the SQL `hash` compiles to) over
+    * the same (doc_id, salt) chain, so there is one bucket function, not
+    * two implementations. Pinned equal by ContentHashSpec. */
+  def bucketValue(docId: String, nBuckets: Int, salt: Int = 0): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // hash(doc_id, salt) = murmur3(salt, seed = murmur3(doc_id, seed = 42))
+    val h1 = Murmur3HashFunction.hash(UTF8String.fromString(docId), StringType, 42L)
+    val h2 = Murmur3HashFunction.hash(salt, IntegerType, h1).toInt
+    ((h2 % nBuckets) + nBuckets) % nBuckets
+  }
+
   def committedBuckets(spark: SparkSession, outDir: String): Set[Int] =
     readManifests(spark, outDir).filter(_.status == "committed").map(_.bucket).toSet
 
@@ -116,7 +130,8 @@ object ManifestIO {
     * work. A crash during 1 leaves only staging garbage, ignored forever.
     */
   def write(docs: Dataset[Document], outDir: String, nBuckets: Int, runId: String,
-      salt: Int = 0, prePartitioned: Boolean = false): Seq[BucketManifest] = {
+      salt: Int = 0, prePartitioned: Boolean = false,
+      statsSource: Option[BucketStatsAccumulator] = None): Seq[BucketManifest] = {
     val spark = docs.sparkSession
     val done    = committedBuckets(spark, outDir)
     val orphans = bucketsOnDisk(outDir) -- done
@@ -139,42 +154,68 @@ object ManifestIO {
     // single-shuffle mode) — and the second full-document shuffle is
     // skipped: each task still holds whole buckets, so partitionBy keeps
     // one file per bucket.
+    val timing = sys.env.contains("GRAFT_PHASE_TIMING")
+    def phase[A](name: String)(body: => A): A =
+      if (!timing) body
+      else {
+        val t0 = System.nanoTime(); val r = body
+        System.err.println(f"[phase] $name%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+
     val staging = s"$outDir/_staging/$runId"
     val distributed = if (prePartitioned) todo else todo.repartition(nBuckets, col("bucket"))
-    distributed
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+    phase("stage") {
+      distributed
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+    }
 
     // 2. atomic per-bucket publication
     Files.createDirectories(Paths.get(dataDir(outDir)))
     import scala.jdk.CollectionConverters._
-    val stagedBuckets = Files.list(Paths.get(staging)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("bucket=")).toSeq
-    val published = stagedBuckets.flatMap { src =>
-      val b   = src.getFileName.toString.stripPrefix("bucket=").toInt
-      val dst = Paths.get(dataDir(outDir), s"bucket=$b")
-      try { Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE); Some(b) }
-      catch { case _: java.nio.file.FileSystemException => None } // already published
+    val published = phase("publish") {
+      val stagedBuckets = Files.list(Paths.get(staging)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("bucket=")).toSeq
+      stagedBuckets.flatMap { src =>
+        val b   = src.getFileName.toString.stripPrefix("bucket=").toInt
+        val dst = Paths.get(dataDir(outDir), s"bucket=$b")
+        try { Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE); Some(b) }
+        catch { case _: java.nio.file.FileSystemException => None } // already published
+      }
     }
 
-    // 3. commit manifests for newly published + adopted orphan buckets
-    val toCommit = published.toSet ++ orphans
-    val stats =
-      if (toCommit.isEmpty) Seq.empty
-      else {
+    // 3. commit manifests for newly published + adopted orphan buckets.
+    // Newly-published bucket stats come from the kernel-pass accumulator
+    // when the caller supplied one (read AFTER the staging action above) —
+    // zero extra scans, the Iceberg writer-metrics shape. Orphans are
+    // ALWAYS read back from disk: their content is a previous run's write,
+    // and the manifest must describe what is on disk, not what this run's
+    // input would produce. Both paths produce the same contentHash by
+    // construction (ContentHash.docHash vs ContentHash.hashCol hash the
+    // same canonical string with the same engine primitive).
+    val toCommit  = published.toSet ++ orphans
+    val accStats  = statsSource.map(_.value).getOrElse(Map.empty)
+    val fromAcc   = published.filter(accStats.contains).map { b =>
+      val s = accStats(b); BucketManifest(b, s.docs, s.spans, s.hash, "committed")
+    }
+    val readBack  = toCommit -- fromAcc.map(_.bucket)
+    val stats = phase("stats") {
+      (if (readBack.isEmpty) Seq.empty[BucketManifest]
+       else {
         import spark.implicits._
         spark.read.parquet(dataDir(outDir))
-          .filter(col("bucket").isin(toCommit.toSeq: _*))
+          .filter(col("bucket").isin(readBack.toSeq: _*))
           .groupBy(col("bucket"))
           .agg(
             count(lit(1)).as("docCount"),
             sum(coalesce(size(col("spans")), lit(0))).as("spanCount"),
             // XOR-fold: commutative, overflow-free (ANSI mode) content hash
-            expr("bit_xor(xxhash64(doc_id, to_json(spans)))").as("contentHash"))
+            bit_xor(ContentHash.hashCol).as("contentHash"))
           .as[(Int, Long, Long, Long)]
           .collect() // one tiny row per bucket — bounded by nBuckets, not by data
           .map { case (b, d, s, h) => BucketManifest(b, d, s, h, "committed") }
           .toSeq
-      }
+      }) ++ fromAcc
+    }
     if (stats.nonEmpty) {
       val dir = Paths.get(manifestDir(outDir))
       Files.createDirectories(dir)
