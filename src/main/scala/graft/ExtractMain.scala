@@ -66,6 +66,24 @@ object ExtractMain {
     val lineage = new LineageAccumulator
     spark.sparkContext.register(lineage, "extract-lineage")
 
+    // GRAFT_PHASE_TIMING=1: per-stage wall/cpu/io breakdown on stderr —
+    // the scaling diagnostic (which stage stops scaling with cores).
+    if (sys.env.contains("GRAFT_PHASE_TIMING"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val m = i.taskMetrics
+          val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+          System.err.println(
+            f"[stage ${i.stageId}%3d] wall=$wall%7.2fs cpu=${m.executorCpuTime / 1e9}%7.2fs " +
+              f"run=${m.executorRunTime / 1e3}%7.2fs gc=${m.jvmGCTime / 1e3}%6.2fs " +
+              f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+              f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+              f"in=${m.inputMetrics.bytesRead / 1e6}%8.1fMB tasks=${i.numTasks}%4d ${i.name.take(60)}")
+        }
+      })
+
     val parts = cpus.toInt * 2 // 2 waves per core: keeps stragglers short
 
     if (mat.isDefined) { // pre-materialize the input table, untimed, and exit

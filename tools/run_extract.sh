@@ -14,7 +14,13 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# Heap scales with the parallelism level (2 GB/core, floor 8 GB): an
+# N->4N executor comparison multiplies total executor heap by 4 on a real
+# cluster, so the single-JVM analog must too — a fixed heap turns the
+# high-core level into a GC benchmark (measured: 23 s GC at 8 cores vs
+# 0.8 s at 2 cores in the scan stage with a fixed 8 GB heap).
+MEM="${SPARK_DRIVER_MEM:-$(( CPUS * 2 > 8 ? CPUS * 2 : 8 ))g}"
 exec env SPARK_GRAFT_CPUS="$CPUS" SPARK_LOCAL_DIRS="${SPARK_LOCAL_DIRS:-/dev/shm/spark-local}" \
-  java $OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  java $OPENS -Xms"$MEM" -Xmx"$MEM" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.ExtractMain "$DOCS" 42 "$OUTDIR" "$RUNID" "$@"
