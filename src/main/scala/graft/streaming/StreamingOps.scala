@@ -42,6 +42,22 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("kind"), col("n_spans"))
 
+  /** Streaming exact-dedup: the readStream form of `dedup_exact`. Keyed
+    * by content hash (not doc_id — re-crawled bytes get new ids), state
+    * bounded by the watermark via `dropDuplicatesWithinWatermark`: two
+    * copies whose event times fall within the watermark delay dedupe
+    * exactly; state for hashes older than the watermark is dropped, so
+    * the dedup store cannot grow with stream length (the property that
+    * makes streaming dedup at crawl scale possible at all — a full-history
+    * exact store is the batch job's business, see `dedup_exact`). */
+  def dedupStream(
+      docs: DataFrame, // (event_time, doc_id, text)
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class UserEvent(user_id: Long, event_time: Timestamp)
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)

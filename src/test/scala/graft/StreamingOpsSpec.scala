@@ -39,6 +39,29 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-watermark duplicates, expires state past the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val q = StreamingOps.dedupStream(
+        in.toDF().toDF("event_time", "doc_id", "text"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("ddw").outputMode("append").start()
+    try {
+      // same content under two doc_ids inside the watermark → one survivor
+      in.addData((ts(0), "a1", "same text"), (ts(1), "a2", "same text"),
+        (ts(1), "b1", "other text"))
+      q.processAllAvailable()
+      assert(spark.table("ddw").count() == 2)
+      // advance watermark far past ts(1): the "same text" state expires…
+      in.addData((ts(200), "c1", "third text"))
+      q.processAllAvailable()
+      // …so a copy arriving with a fresh event time is NOT deduped
+      in.addData((ts(201), "a3", "same text"))
+      q.processAllAvailable()
+      val ids = spark.table("ddw").select("doc_id").as[String].collect().toSet
+      assert(ids == Set("a1", "b1", "c1", "a3"))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions by successor-gap and by event-time timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[UserEvent]
