@@ -20,7 +20,9 @@ done
 # high-core level into a GC benchmark (measured: 23 s GC at 8 cores vs
 # 0.8 s at 2 cores in the scan stage with a fixed 8 GB heap).
 MEM="${SPARK_DRIVER_MEM:-$(( CPUS * 2 > 8 ? CPUS * 2 : 8 ))g}"
+# SPARK_EXTRA_OPTS: ad-hoc -Dspark.* conf overrides for A/B runs
+# (SparkConf loads spark.*-prefixed system properties).
 exec env SPARK_GRAFT_CPUS="$CPUS" SPARK_LOCAL_DIRS="${SPARK_LOCAL_DIRS:-/dev/shm/spark-local}" \
-  java $OPENS -Xms"$MEM" -Xmx"$MEM" \
+  java $OPENS -Xms"$MEM" -Xmx"$MEM" ${SPARK_EXTRA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.ExtractMain "$DOCS" 42 "$OUTDIR" "$RUNID" "$@"
