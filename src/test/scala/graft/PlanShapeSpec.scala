@@ -67,6 +67,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!p.contains("CartesianProduct"), "ANN candidate join went cartesian")
   }
 
+  test("PII scrub and chunk hashing stay codegen'd; chunk dedup shuffles only hashes") {
+    val pii = plan("text_pii_redact")
+    assert(pii.contains("*("), s"no WholeStageCodegen span:\n${pii.take(2000)}")
+    assert(count(pii, "Exchange") == 0, "narrow PII scrub introduced a shuffle")
+    // chunk ratio: groupBy(h) + groupBy(doc_id) + one join — shuffles carry
+    // (hash, id) pairs only, never document text (the at-scale property)
+    val executed = SparkEntry.queries("text_dup_chunk_ratio")(spark, dir)
+      .queryExecution.executedPlan
+    val chunks = executed match { // AQE root hides the exchanges from collect
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val exchanged = chunks.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }
+    assert(exchanged.nonEmpty)
+    exchanged.foreach { cols =>
+      assert(!cols.contains("text"), s"chunk-dedup shuffle carries full text: $cols")
+    }
+  }
+
+  test("ann_recall reuses the broadcast probe shape of both top-k paths") {
+    val p = plan("ann_recall")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("golden diff legs plan as hash anti-joins (extract flagship)") {
     val parts = spark.sparkContext.defaultParallelism
     val out   = graft.plans.ExtractJob.extract(
