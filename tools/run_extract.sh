@@ -14,15 +14,20 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-# Heap scales with the parallelism level (2 GB/core, floor 8 GB): an
-# N->4N executor comparison multiplies total executor heap by 4 on a real
-# cluster, so the single-JVM analog must too — a fixed heap turns the
+# Heap CEILING scales with the parallelism level (2 GB/core, floor 8 GB):
+# an N->4N executor comparison multiplies executor heap by 4 on a real
+# cluster, so the single-JVM analog must too — a fixed ceiling turns the
 # high-core level into a GC benchmark (measured: 23 s GC at 8 cores vs
 # 0.8 s at 2 cores in the scan stage with a fixed 8 GB heap).
+# Xms stays SMALL: committing a big Xms up front tanks throughput 4-5x on
+# this hypervisor (interleaved A/B at 8 cores: -Xms16g -Xmx16g = 1535
+# docs/s, kernel wall inflated 6x; -Xms4g -Xmx16g = 7740 docs/s) —
+# host-side faulting of freshly committed pages is the poison; lazy heap
+# growth is fine.
 MEM="${SPARK_DRIVER_MEM:-$(( CPUS * 2 > 8 ? CPUS * 2 : 8 ))g}"
 # SPARK_EXTRA_OPTS: ad-hoc -Dspark.* conf overrides for A/B runs
 # (SparkConf loads spark.*-prefixed system properties).
 exec env SPARK_GRAFT_CPUS="$CPUS" SPARK_LOCAL_DIRS="${SPARK_LOCAL_DIRS:-/dev/shm/spark-local}" \
-  java $OPENS -Xms"$MEM" -Xmx"$MEM" ${SPARK_EXTRA_OPTS:-} \
+  java $OPENS -Xms4g -Xmx"$MEM" ${SPARK_EXTRA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.ExtractMain "$DOCS" 42 "$OUTDIR" "$RUNID" "$@"
