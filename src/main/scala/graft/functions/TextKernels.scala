@@ -93,6 +93,24 @@ object TextKernels {
       array_min(transform(sequence(lit(1), length(c) - (w - 1)), i => md5(substring(c, i, lit(w))))))
       .otherwise(lit(null).cast("string"))
 
+  /** Winnowing fingerprint SET over a precomputed hash sequence
+    * (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD 2003): the distinct minima of every
+    * t consecutive hashes. Guarantee: two documents sharing any run of
+    * >= t consecutive hashes (for shingle hashes: t+2 consecutive tokens)
+    * share at least one fingerprint — the position-robust containment
+    * property a single global min ([[winnowMin]]) lacks: a benchmark item
+    * EMBEDDED mid-document need not contain the superset document's
+    * global min window, but it always contains a full local window of its
+    * own. `hs` must be a NAMED array<long> column (the lambda references
+    * it per position; an inlined expression would recompute the hash pass
+    * O(len) times). Empty for sequences shorter than t. */
+  def winnowSet(hs: Column, t: Int): Column =
+    when(size(hs) >= t,
+      array_distinct(transform(sequence(lit(1), size(hs) - (t - 1)), j =>
+        array_min(slice(hs, j, lit(t))))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Language marker stopword lists (tiny, deterministic n-gram heuristic
     * — the operator contract, not a trained model). Alphabetical lang
     * order fixes argmax tie-breaks. */
@@ -143,6 +161,11 @@ object TextKernels {
     def fingerprint(e: String): String =
       s"list_reduce(list_prepend(0::BIGINT, [ascii(substr($e, i, 1))::BIGINT for i in generate_series(1, len($e))]), " +
         "(acc, code) -> (acc * 31 + code) % 1000000007)"
+
+    /** hs must be a list-typed SQL expression of BIGINT hashes. */
+    def winnowSet(hs: String, t: Int): String =
+      s"CASE WHEN len($hs) >= $t THEN list_distinct([list_aggregate(($hs)[j:j+${t - 1}], 'min') " +
+        s"for j in generate_series(1, len($hs)-${t - 1})]) ELSE [] END"
 
     def winnowMin(e: String, w: Int = 8): String =
       s"case when len($e) >= $w then list_aggregate([md5(substr($e, i, $w)) for i in generate_series(1, len($e)-${w - 1})], 'min') end"

@@ -33,8 +33,14 @@ object ExtractQueries {
   private val NDocs = 1000L
   private val Seed  = 7L
 
+  /** Aux-parquet oracle plumbing is for the DRIVER's correctness gate
+    * (Verify); Bench disables it so timed reps measure the kernel/query,
+    * not repeated oracle-table parquet writes (plus, for extract_spans, a
+    * second full golden-generation pass) inside the measured window. */
+  @volatile var auxWrites = true
+
   private def writeAux(df: DataFrame, name: String): Unit =
-    df.write.mode("overwrite").parquet(OracleAux.path(name))
+    if (auxWrites) df.write.mode("overwrite").parquet(OracleAux.path(name))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Extracted span rows for a seeded corpus: the flagship kernel output.

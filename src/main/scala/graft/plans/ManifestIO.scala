@@ -62,6 +62,54 @@ object ManifestIO {
   def committedBuckets(spark: SparkSession, outDir: String): Set[Int] =
     readManifests(spark, outDir).filter(_.status == "committed").map(_.bucket).toSet
 
+  // --- bucketing-parameter marker -----------------------------------------
+  // Manifests record bucket IDS, which only mean anything under the
+  // (nBuckets, salt) that produced them — and nBuckets derives from the
+  // runtime core count, so a resume with a different SPARK_GRAFT_CPUS
+  // would silently prune/skip docs whose NEW bucket id collides with an
+  // OLD committed id. The table therefore carries a BUCKETING.json marker
+  // written on first commit; every reader/writer of bucket ids checks it
+  // and fails loudly on mismatch instead of mixing bucketings.
+
+  private def bucketingPath(outDir: String) = Paths.get(manifestDir(outDir), "BUCKETING.json")
+
+  private def readBucketing(outDir: String): Option[(Int, Int)] = {
+    val p = bucketingPath(outDir)
+    if (!Files.exists(p)) return None
+    val kv = "\"(\\w+)\"\\s*:\\s*(-?\\d+)".r
+      .findAllMatchIn(Files.readString(p))
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    Some((kv("nBuckets"), kv("salt")))
+  }
+
+  /** Fail-loud guard: the caller's (nBuckets, salt) must match the table's
+    * marker. A manifested table WITHOUT a marker (written by a pre-marker
+    * version) is also rejected — its bucketing is unknowable. */
+  def checkBucketing(outDir: String, nBuckets: Int, salt: Int): Unit =
+    readBucketing(outDir) match {
+      case Some((n, s)) if n != nBuckets || s != salt =>
+        throw new IllegalStateException(
+          s"output table $outDir was bucketed with (nBuckets=$n, salt=$s); " +
+            s"this run uses (nBuckets=$nBuckets, salt=$salt) — bucket ids do not " +
+            "translate across bucketings. Rerun with the original parameters " +
+            "(e.g. the original SPARK_GRAFT_CPUS) or write to a fresh directory.")
+      case Some(_) => ()
+      case None if Files.isDirectory(Paths.get(manifestDir(outDir))) &&
+          readManifests(null, outDir).nonEmpty =>
+        throw new IllegalStateException(
+          s"output table $outDir has committed manifests but no BUCKETING.json " +
+            "marker — its bucketing parameters are unknown; refusing to resume.")
+      case None => ()
+    }
+
+  private def writeBucketingMarker(outDir: String, nBuckets: Int, salt: Int): Unit = {
+    val p = bucketingPath(outDir)
+    if (Files.exists(p)) return
+    Files.createDirectories(p.getParent)
+    Files.write(p, s"""{"nBuckets":$nBuckets,"salt":$salt}""".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
   def readManifests(spark: SparkSession, outDir: String): Seq[BucketManifest] = {
     val dir = Paths.get(manifestDir(outDir))
     if (!Files.isDirectory(dir)) return Seq.empty
@@ -94,6 +142,7 @@ object ManifestIO {
     * not just the write. */
   def pruneCommitted(docs: Dataset[Document], outDir: String, nBuckets: Int,
       salt: Int = 0): Dataset[Document] = {
+    checkBucketing(outDir, nBuckets, salt)
     val done = committedBuckets(docs.sparkSession, outDir)
     if (done.isEmpty) docs
     else docs.filter(!bucketExpr(nBuckets, salt).isin(done.toSeq: _*))
@@ -133,6 +182,8 @@ object ManifestIO {
       salt: Int = 0, prePartitioned: Boolean = false,
       statsSource: Option[BucketStatsAccumulator] = None): Seq[BucketManifest] = {
     val spark = docs.sparkSession
+    checkBucketing(outDir, nBuckets, salt)
+    writeBucketingMarker(outDir, nBuckets, salt)
     val done    = committedBuckets(spark, outDir)
     val orphans = bucketsOnDisk(outDir) -- done
 

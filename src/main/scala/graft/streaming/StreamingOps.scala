@@ -68,7 +68,18 @@ object StreamingOps {
   /** Gap-based sessionization with custom state: a session closes when a
     * user is idle for `gap` or when a newer event arrives beyond the gap.
     * Closed-by-successor sessions emit immediately; idle sessions emit
-    * when the event-time timeout fires (watermark passes last + gap). */
+    * when the event-time timeout fires (watermark passes last + gap).
+    *
+    * Cross-batch out-of-order handling (events are in-watermark but may
+    * precede the open session's span): an event inside
+    * [start - gap, last + gap] EXTENDS the session on both ends
+    * (session_start is lowered, not just last raised); events more than a
+    * gap BEFORE the open session's start form their own earlier
+    * session(s) (late events within a gap of each other merge), emitted
+    * immediately — they can never merge with the open session, and
+    * anything that could merge with THEM would be beyond the watermark.
+    * This keeps the stream consistent with the batch twin `q_sessionize`
+    * for any in-watermark arrival order. */
   def sessionize(events: Dataset[UserEvent], gapMs: Long = 30L * 60 * 1000,
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -83,20 +94,26 @@ object StreamingOps {
             state.remove()
             Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
           } else {
-            // event-time order within the batch; iterator order is not
-            // deterministic, the sort is what makes the result so
-            val ts     = it.map(_.event_time.getTime).toArray.sorted
+            // Interval merge over (open session ∪ batch events) sorted by
+            // start time: iterator order is not deterministic, the sort is
+            // what makes the result so — and sorting the open session IN
+            // with the events is what makes a late batch (events before
+            // the session's start) produce the same sessions the batch
+            // twin would.
+            val intervals = (it.map { e =>
+              val t = e.event_time.getTime; SessionState(t, t, 1)
+            }.toSeq ++ state.getOption).sortBy(s => (s.start, s.last))
             var closed = List.empty[Session]
-            var cur    = state.getOption
-            ts.foreach { t =>
+            var cur    = Option.empty[SessionState]
+            intervals.foreach { iv =>
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) if iv.start - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, iv.last), s.n + iv.n))
                 case Some(s) =>
                   closed = Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n) :: closed
-                  cur = Some(SessionState(t, t, 1))
+                  cur = Some(iv)
                 case None =>
-                  cur = Some(SessionState(t, t, 1))
+                  cur = Some(iv)
               }
             }
             cur.foreach { s =>

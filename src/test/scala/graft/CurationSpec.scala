@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.TextKernels
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation-operator semantics: the corpus-scaling pack-bucket rule, the
+  * winnowing containment guarantee, and the planted partial-containment
+  * decontamination case (the leakage shape the round-2 single-fingerprint
+  * scheme missed). Exact cross-engine values are the driver's DuckDB
+  * oracle compare; these pin the properties. */
+class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("packBucketsFor grows with the corpus (constant docs per bucket)") {
+    assert(Curation.packBucketsFor(1) == 1)
+    assert(Curation.packBucketsFor(64) == 1)
+    assert(Curation.packBucketsFor(65) == 2)
+    assert(Curation.packBucketsFor(500) == 8)
+    assert(Curation.packBucketsFor(5000) == 79)
+    // the at-scale property: 100× the docs ⇒ ~100× the window partitions,
+    // per-bucket work constant — never a fixed fan-in
+    val n = 1000000L
+    assert(Curation.packBucketsFor(100 * n) >= 99 * Curation.packBucketsFor(n))
+    assert(Curation.packBucketsFor(n) * Curation.PackDocsPerBucket >= n)
+  }
+
+  test("text_shard_pack uses the corpus-derived bucket count") {
+    val out = SparkEntry.queries("text_shard_pack")(spark, dir).cache()
+    val n   = spark.read.parquet(s"$dir/documents.parquet").count()
+    val nb  = Curation.packBucketsFor(n)
+    val used = out.select(col("bucket")).distinct().count()
+    // buckets are md5-assigned, so all nb values appear for n >> nb
+    assert(used == nb, s"expected $nb pack buckets for $n docs, saw $used")
+    assert(out.filter(col("bucket") < 0 || col("bucket") >= nb).count() == 0)
+    out.unpersist()
+  }
+
+  test("winnowSet: any shared run of t consecutive hashes shares a fingerprint") {
+    import spark.implicits._
+    val t = 8
+    // doc A: hashes 0..99 of a seeded stream; doc B: an arbitrary MIDDLE
+    // run of A (positions 40..59) flanked by unrelated hashes — the
+    // winnowing guarantee says fp(A) ∩ fp(B) is non-empty for any shared
+    // run of >= t hashes, wherever it sits in either doc
+    def h(i: Int): Long = math.abs((i * 2654435761L + 11) % 1000000007L)
+    val a = (0 until 100).map(h)
+    val b = (900 until 915).map(h) ++ (40 until 60).map(h) ++ (700 until 712).map(h)
+    val df = Seq(("a", a), ("b", b)).toDF("id", "hs")
+    val fps = df.select(col("id"), TextKernels.winnowSet(col("hs"), t).as("fp"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(fps("a").toSet.intersect(fps("b").toSet).nonEmpty,
+      "winnowing guarantee violated: 20-hash shared run produced no common fingerprint")
+    // and sequences shorter than t yield no fingerprints (not a crash)
+    val short = Seq(("c", (0 until t - 1).map(h))).toDF("id", "hs")
+      .select(TextKernels.winnowSet(col("hs"), t).as("fp")).as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
+  test("q_decontaminate catches every planted embedded benchmark slice") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_decontaminate")(spark, dir).cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // planted: bench_id = doc_id + 500000 is a 30-token mid-doc slice of
+    // doc_id (partial containment). Every source doc with enough tokens
+    // for the slice to carry >= 8 fingerprint windows must be flagged
+    // against its own benchmark item.
+    val eligible = docs
+      .filter(col("doc_id") % 10 === 3)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 39) // slice [10,39] full
+      .select(col("doc_id"))
+    val caught = out.filter(col("bench_id") === col("doc_id") + 500000L)
+      .select(col("doc_id"))
+    assert(eligible.join(caught, Seq("doc_id"), "left_anti").count() == 0,
+      "an embedded benchmark slice escaped decontamination")
+    // self-matches carry the full benchmark fingerprint set (subset rows)
+    assert(out.filter(col("n_shared") < 1).count() == 0)
+    out.unpersist()
+  }
+}

@@ -21,6 +21,44 @@ class DedupCcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents: 1000-link chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // a single drift chain 0-1-2-…-1000: plain min-label propagation needs
+    // 1000 rounds (one hop each); the pointer-jumping compression step
+    // doubles effective reach per round, so ~log2(1000)+2 ≈ 12 suffice
+    val pairs = (0L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, iters) = Dedup.connectedComponentsIter(pairs, maxIter = 25)
+    assert(labels.count() == 1001)
+    assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
+    assert(iters <= 15, s"diameter-1000 chain took $iters rounds — compression regressed")
+  }
+
+  test("connectedComponents: throws loudly instead of returning unconverged labels") {
+    import spark.implicits._
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsIter(pairs, maxIter = 2)._1.count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents: uses reliable checkpointing when a checkpoint dir is set") {
+    import spark.implicits._
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    ckDir.toFile.deleteOnExit()
+    // NOTE: checkpoint dir stays set for the rest of the JVM (Spark has no
+    // unset) — every later CC run just uses the reliable path too, which
+    // is the cluster-scale default anyway
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    // the loop's per-round frames must actually have hit the reliable store
+    import scala.jdk.CollectionConverters._
+    val ckFiles = java.nio.file.Files.walk(ckDir).iterator().asScala.count(_.toFile.isFile)
+    assert(ckFiles > 0, "no RDD checkpoint files written despite checkpoint dir")
+  }
+
   test("dedup_cc_labels: planted 3-member clusters resolve to the base doc_id") {
     val labels = SparkEntry.queries("dedup_cc_labels")(spark, dir).cache()
     val docs   = spark.read.parquet(s"$dir/documents.parquet")

@@ -75,4 +75,34 @@ class ManifestSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val hashesB = ManifestIO.readManifests(spark, clean).map(m => m.bucket -> m.contentHash).toMap
     assert(hashesA == hashesB)
   }
+
+  test("resume with different bucketing parameters fails loudly, never mixes") {
+    val out  = tmpDir("graft-bucketing")
+    val docs = ExtractJob.generateGoldens(spark, 50, seed = 2, parts = 4)
+    ManifestIO.write(docs, out, nBuckets = 8, runId = "r1")
+
+    // manifest bucket ids were computed under nBuckets=8; a resume under
+    // 16 (e.g. a different SPARK_GRAFT_CPUS) would silently prune docs
+    // whose new bucket id collides with an old committed id — both the
+    // prune and the write must refuse instead
+    val e1 = intercept[IllegalStateException] {
+      ManifestIO.write(docs, out, nBuckets = 16, runId = "r2")
+    }
+    assert(e1.getMessage.contains("nBuckets=8"))
+    val e2 = intercept[IllegalStateException] {
+      ManifestIO.pruneCommitted(docs, out, nBuckets = 8, salt = 1).count()
+    }
+    assert(e2.getMessage.contains("salt=0"))
+
+    // matching parameters still resume fine (idempotent no-op here)
+    assert(ManifestIO.write(docs, out, nBuckets = 8, runId = "r3").isEmpty)
+    assert(ManifestIO.pruneCommitted(docs, out, nBuckets = 8).count() == 0)
+
+    // a manifested pre-marker table (unknown bucketing) is rejected too
+    Files.delete(java.nio.file.Paths.get(s"$out/_manifest/BUCKETING.json"))
+    val e3 = intercept[IllegalStateException] {
+      ManifestIO.write(docs, out, nBuckets = 8, runId = "r4")
+    }
+    assert(e3.getMessage.contains("no BUCKETING.json"))
+  }
 }

@@ -43,11 +43,20 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.count() >= eligible * 95 / 100, s"found ${out.count()} of $eligible planted pairs")
   }
 
-  test("dedup_embedding_cosine finds exactly the planted pairs") {
-    val out = SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
-    assert(out.count() == 500)
+  test("dedup_embedding_cosine finds planted pairs via corpus-scaling LSH buckets") {
+    val out = SparkEntry.queries("dedup_embedding_cosine")(spark, dir).cache()
+    // every reported pair is a planted near-dup above threshold (precision
+    // is exact: survivors are cosine-verified) …
     assert(out.filter(col("vec_b") =!= col("vec_a") + 100000L).count() == 0)
     assert(out.agg(min("cos")).head.getDouble(0) >= 0.99)
+    // … and recall is the single-probe sign-LSH rate: a planted pair is
+    // missed only when the perturbation flips a hyperplane sign. High but
+    // < 100% by construction (the quadratic-proof trade the round-2
+    // label-bucket version didn't make); `ann_recall` is the shipped
+    // observable for this rate.
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.count() >= n * 85 / 100, s"LSH recall collapsed: ${out.count()} of $n")
+    out.unpersist()
   }
 
   test("ann_bruteforce_topk returns k ranked neighbors per query") {

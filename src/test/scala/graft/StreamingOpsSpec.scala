@@ -62,6 +62,39 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("sessionize absorbs in-watermark late events consistently with the batch twin") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    // gap 30 min, watermark 120 min so late arrivals stay processable
+    val q = StreamingOps.sessionize(in.toDS(), gapMs = 30L * 60000,
+        watermarkDelay = "120 minutes")
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      // batch 1 opens session [50, 55] for user 1
+      in.addData(UserEvent(1, ts(50)), UserEvent(1, ts(55)))
+      q.processAllAvailable()
+      // batch 2: a late event at 30 (within gap of start 50) must LOWER
+      // session_start; 75/77 extend forward normally (75-55 = 20 <= gap)
+      in.addData(UserEvent(1, ts(30)), UserEvent(1, ts(75)), UserEvent(1, ts(77)))
+      q.processAllAvailable()
+      // batch 3: late events at -15/-10 (in-watermark: wm = 77-120) are
+      // > gap before start 30: they merge with EACH OTHER, not with the
+      // open session, and close immediately
+      in.addData(UserEvent(1, ts(-15)), UserEvent(1, ts(-10)))
+      q.processAllAvailable()
+      val closedEarly = spark.table("sess_late").as[StreamingOps.Session].collect().toSeq
+      assert(closedEarly.contains(StreamingOps.Session(1, ts(-15), ts(-10), 2)), closedEarly.toString)
+      // flush the open session via timeout: it must span [30, 77] with 5
+      // events — exactly what batch q_sessionize would produce
+      in.addData(UserEvent(2, ts(500)))
+      q.processAllAvailable()
+      in.addData(UserEvent(2, ts(501))) // extra batch so the timeout fires
+      q.processAllAvailable()
+      val all = spark.table("sess_late").as[StreamingOps.Session].collect().toSeq
+      assert(all.contains(StreamingOps.Session(1, ts(30), ts(77), 5)), all.toString)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions by successor-gap and by event-time timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[UserEvent]
