@@ -34,7 +34,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextOps.queries ++ Multimodal.queries ++ Curation.queries ++
-      ExtractQueries.queries
+      ExtractQueries.queries ++ graft.streaming.StreamingQueries.queries
 
   /** DuckDB-equivalent ANSI SQL per query. The extraction/eval kernels are
     * covered too: their queries materialize the independent second opinion
@@ -43,5 +43,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextOps.oracles ++ Multimodal.oracles ++ Curation.oracles ++
-      ExtractQueries.oracles
+      ExtractQueries.oracles ++ graft.streaming.StreamingQueries.oracles
 }

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps.{SpanEvent, UserEvent}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming operators surfaced as DRIVER-checked queries: each entry
+  * replays the `events`/`documents` tables through a MemoryStream in
+  * chronological micro-batches, runs the real readStream operator
+  * (watermarks, state, timeouts — not a batch re-expression), flushes
+  * final state with watermark-advancing sentinel batches, and returns the
+  * memory-sink table. The oracle is the BATCH-TWIN SQL over the same
+  * parquet — so batch/stream equivalence is proven in the driver's hard
+  * hash-compare signal, not just in ScalaTest.
+  *
+  * Determinism: rows are fed sorted by (event time, id) and split into
+  * chronological quarters, so the watermark only ever advances and no
+  * event is late-dropped; sentinel rows (negative ids / marker kinds) are
+  * filtered from the result. The driver-side collect here is the TEST
+  * HARNESS feeding a test source (MemoryStream is exactly that) — the
+  * operators themselves are the production readStream forms fed by
+  * Kafka/files at scale, state bounded by watermarks as described in
+  * [[StreamingOps]].
+  */
+object StreamingQueries {
+
+  private val qId = new java.util.concurrent.atomic.AtomicLong()
+
+  private def quarters[T](rows: Seq[T]): Seq[Seq[T]] = {
+    val step = math.max(1, (rows.size + 3) / 4)
+    rows.grouped(step).toSeq
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 5-minute window counts per kind, computed by the streaming
+    // operator (append mode: a window row exists only because the
+    // watermark passed its end). Oracle: the same windows in batch SQL.
+    "stream_events_window" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val rows = s.read.parquet(s"$dir/events.parquet")
+        .select(col("ts").cast("timestamp").as("event_time"),
+          col("event_id").cast("string").as("doc_id"), col("event_type").as("kind"))
+        .as[SpanEvent].collect()
+        .sortBy(e => (e.event_time.getTime, e.doc_id))
+      val maxTs = rows.map(_.event_time.getTime).max
+      val in    = MemoryStream[SpanEvent]
+      val name  = s"sew_${qId.incrementAndGet()}"
+      val q = StreamingOps.windowedKindCounts(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        quarters(rows.toSeq).foreach { b => in.addData(b); q.processAllAvailable() }
+        // sentinel: watermark passes every real window's end
+        in.addData(SpanEvent(new Timestamp(maxTs + 3600L * 1000), "::s::", "::sentinel::"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .filter(col("kind") =!= "::sentinel::")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          unix_micros(col("window_end")).as("window_end_us"),
+          col("kind"), col("n_spans"))
+    }),
+
+    // Gap-sessionization through flatMapGroupsWithState (real state +
+    // event-time timeouts), aggregated to per-user session counts — the
+    // EXACT output shape of the batch twin, so the oracle is
+    // q_sessionize's SQL verbatim.
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val rows = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+          col("event_id").cast("long"))
+        .as[(Long, Timestamp, Long)].collect()
+        .sortBy(r => (r._2.getTime, r._3))
+        .map(r => UserEvent(r._1, r._2))
+      val maxTs = rows.map(_.event_time.getTime).max
+      val in    = MemoryStream[UserEvent]
+      val name  = s"ssz_${qId.incrementAndGet()}"
+      val q = StreamingOps.sessionize(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        quarters(rows.toSeq).foreach { b => in.addData(b); q.processAllAvailable() }
+        // two sentinel batches: the first advances the watermark past every
+        // open session's (last + gap) timeout, the second fires the timeouts
+        in.addData(UserEvent(-1L, new Timestamp(maxTs + 24 * 3600L * 1000)))
+        q.processAllAvailable()
+        in.addData(UserEvent(-1L, new Timestamp(maxTs + 24 * 3600L * 1000 + 60000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    }),
+
+    // Streaming exact dedup over documents ∪ byte-identical re-crawled
+    // copies arriving in later micro-batches (constant event time keeps
+    // all state in-watermark, so the run is a full-history dedup). Output
+    // = the surviving distinct content hashes; oracle = batch DISTINCT.
+    "stream_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val t0 = new Timestamp(86400L * 1000)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      // copies interleave with late originals across batches
+      val batches = Seq(
+        base.take(base.length / 2).map { case (id, tx) => (t0, id.toString, tx) },
+        (base.drop(base.length / 2) ++ base.take(base.length / 2).map(r => (r._1 + 1000000L, r._2)))
+          .map { case (id, tx) => (t0, id.toString, tx) },
+        base.drop(base.length / 2).map { case (id, tx) => ((t0, (id + 1000000L).toString, tx)) })
+      val in   = MemoryStream[(Timestamp, String, String)]
+      val name = s"sde_${qId.incrementAndGet()}"
+      val q = StreamingOps.dedupStream(in.toDF().toDF("event_time", "doc_id", "text"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      } finally q.stop()
+      s.table(name).select(col("content_hash"))
+    }))
+
+  // --- DuckDB oracles (the batch twins) -----------------------------------
+
+  val oracles: Map[String, String] = Map(
+    // time_bucket's default origin (2000-01-03) sits on the 5-minute grid,
+    // so buckets equal Spark's epoch-aligned window()
+    "stream_events_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_us,
+        |  epoch_us(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes') AS window_end_us,
+        |  event_type AS kind, count(*) AS n_spans
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // q_sessionize's oracle verbatim: the stream must reproduce the batch
+    // sessionization exactly
+    "stream_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)
+        |SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+        |FROM x GROUP BY 1""".stripMargin,
+    "stream_dedup_exact" ->
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents")
+}
