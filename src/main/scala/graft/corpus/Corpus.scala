@@ -145,24 +145,147 @@ object Corpus {
     (in.result() ++ defSpans, golden.result())
   }
 
+  // --- adversarial cases (round 3) ---------------------------------------
+  // The kernel is only as proven as the generator is mean: these cases sit
+  // exactly ON the classifier/geometry thresholds, where an off-by-one in
+  // the kernel flips the output. Goldens remain correct BY CONSTRUCTION —
+  // derived analytically from the published rules, never by running the
+  // kernel.
+
+  /** Adversarial HTML: short plain blocks whose content-ness is decided
+    * entirely by their FLANKING neighbors (the WSDM-2010 rules read
+    * prev/next):
+    *  - case A: a 5-16-word plain block flanked by long content IS content
+    *    (prev.linkDensity 0 ≤ 0.5555 and prev.words 41+ > 4);
+    *  - case B: the same-sized plain block flanked by link-dense furniture
+    *    is BOILERPLATE (prev.linkDensity 1.0 > 0.5555, curr.words ≤ 40,
+    *    next.words ≤ 9 < 17).
+    * A kernel that ignores neighbor features passes the round-2 corpus
+    * (every block there is independently unambiguous) but fails here. */
+  private def adversarialHtmlDoc(rng: Random): (Seq[Span], Seq[String]) = {
+    val in     = Seq.newBuilder[Span]
+    val golden = Seq.newBuilder[String]
+    var off    = 0
+    def addBoiler(): Unit = { in += Span(Kind.Html, boilerBlock(rng), "", off); off += 1 }
+    def addContent(): Unit = {
+      val (raw, clean) = contentBlock(rng)
+      in += Span(Kind.Html, raw, "", off); golden += clean; off += 1
+    }
+    def shortPlain(): (String, String) = {
+      val t = words(rng, 5 + rng.nextInt(12)).mkString(" ")
+      (s"<span>$t</span>", t)
+    }
+    (0 until 2 + rng.nextInt(3)).foreach { _ =>
+      addContent() //                          case A: content-flanked short
+      val (rawA, cleanA) = shortPlain()
+      in += Span(Kind.Html, rawA, "", off); off += 1
+      golden += cleanA // content by the prev.words > 4 branch
+      addContent()
+      addBoiler() //                           case B: boiler-flanked short
+      val (rawB, _) = shortPlain()
+      in += Span(Kind.Html, rawB, "", off); off += 1 // NOT in golden
+      addBoiler()
+    }
+    (in.result(), golden.result())
+  }
+
+  /** Adversarial PDF: every geometry rule exercised AT its boundary —
+    *  - same-line merge at exactly LineTolY (3) and line split at 7;
+    *  - block continuation at exactly BlockGapY (30) and split at 31;
+    *  - column membership at x = 499 (column 0) vs x = 500 (column 1);
+    *  - column 1's y range STARTS ABOVE column 0's (interleaved ranges):
+    *    global-y ordering would interleave the columns; reading order must
+    *    stay (column, then y);
+    *  - malformed runs (non-numeric coords / too few fields) are dropped.
+    * Goldens spell out the resulting reading order explicitly. */
+  private def adversarialPdfDoc(rng: Random): (Seq[Span], Seq[String]) = {
+    def w() = words(rng, 1).head
+    val (w1, w2, w3, w4, w5, w6, w7, w8) = (w(), w(), w(), w(), w(), w(), w(), w())
+    val (v1, v2, v3, v4)                 = (w(), w(), w(), w())
+    val y0 = 20 + rng.nextInt(5)
+    val runs = Seq(
+      // column 0, block 1, line 1: y spread exactly LineTolY; x=499 edge
+      s"10 $y0 $w1", s"60 ${y0 + 3} $w2", s"499 ${y0 + 1} $w3",
+      // line 2 (Δy 7 > LineTolY from line 1's anchor)
+      s"10 ${y0 + 7} $w4", s"200 ${y0 + 7} $w5",
+      // line 3 at gap EXACTLY BlockGapY from line 2 → same block
+      s"10 ${y0 + 37} $w6",
+      // block 2 at gap BlockGapY + 1 → new block
+      s"10 ${y0 + 68} $w7", s"80 ${y0 + 68} $w8",
+      // column 1 (x = 500 edge) starts ABOVE column 0's range
+      s"500 ${y0 - 5} $v1", s"560 ${y0 - 5} $v2",
+      s"510 ${y0 + 2} $v3", // second line, same block (gap 7)
+      s"500 ${y0 + 42} $v4", // new block (gap 40)
+      // malformed: dropped by parseRun, never in golden
+      "garbage", s"12 xx ${w()}")
+    val shuffled = rng.shuffle(runs).zipWithIndex.map { case (r, i) =>
+      Span(Kind.PdfGlyphs, r, "", i)
+    }
+    val golden = Seq(
+      s"$w1 $w2 $w3 $w4 $w5 $w6", s"$w7 $w8", // column 0 blocks
+      s"$v1 $v2 $v3", s"$v4") //                 column 1 blocks
+    (shuffled, golden)
+  }
+
+  /** Media doc with ref_def edge semantics: the same name defined TWICE
+    * (the ref map is built in offset order, so the LAST definition
+    * shadows), a malformed def with no "->" (skipped), a media span whose
+    * ref is already a URI (passes through — the idempotent-rerun
+    * property), and a dangling ref (dropped). */
+  private def shadowMediaDoc(rng: Random): (Seq[Span], Seq[Span]) = {
+    val raw   = words(rng, 3 + rng.nextInt(8)).mkString("  ", " \n ", " ")
+    val clean = raw.replaceAll("\\s+", " ").trim
+    val in = Seq(
+      Span(Kind.Text, raw, "", 0),
+      Span(Kind.Image, "", "m0", 1), //          resolves to the SHADOWING def
+      Span(Kind.Table, "", "m1", 2),
+      Span(Kind.Image, "", "mem://media/pre0", 3), // already a URI: passes
+      Span(Kind.Image, "", "m_dangling", 4), //  no def: dropped
+      Span(Kind.RefDef, "m0 -> mem://media/old0", "", 5),
+      Span(Kind.RefDef, "m0 -> mem://media/new0", "", 6), // shadows old0
+      Span(Kind.RefDef, "malformed def without arrow", "", 7), // skipped
+      Span(Kind.RefDef, "m1 -> mem://media/t1", "", 8))
+    val golden = Seq(
+      Span(Kind.Text, clean, "", 0),
+      Span(Kind.Image, "", "mem://media/new0", 0),
+      Span(Kind.Table, "", "mem://media/t1", 0),
+      Span(Kind.Image, "", "mem://media/pre0", 0))
+    (in, golden)
+  }
+
   /** Generate one (input, golden) pair. Pure in (docIdx, seed). */
   def pair(docIdx: Long, seed: Long): (Document, Document) = {
     val rng = new Random(mix(seed, docIdx))
     val id  = f"doc_$docIdx%012d"
-    val (inSpans, goldenSpans): (Seq[Span], Seq[Span]) = (docIdx % 20) match {
-      case 0 => // empty doc
-        (Nil, Nil)
-      case 1 | 2 => // mega doc (skew case): ~50x a normal html doc
-        val (in, g) = htmlDoc(rng, 400)
+    // adversarial slots first (each replaces a same-family %20 slot, so
+    // the corpus mix stays comparable): 21→mega, 31→pdf, 43→html, 55→media
+    val (inSpans, goldenSpans): (Seq[Span], Seq[Span]) = (docIdx % 100) match {
+      case 21 => // >1 MB mega doc: the skew case salted repartitioning is for
+        val (in, g) = htmlDoc(rng, 4000)
         (in, g.map(t => Span(Kind.Text, t, "", 0)))
-      case m if m <= 9 => // html doc
-        val (in, g) = htmlDoc(rng, 4 + rng.nextInt(10))
+      case 31 => // threshold-boundary multi-column pdf
+        val (in, g) = adversarialPdfDoc(rng)
         (in, g.map(t => Span(Kind.Text, t, "", 0)))
-      case m if m <= 14 => // pdf doc
-        val (in, g) = pdfDoc(rng)
+      case 43 => // flanking-boilerplate html
+        val (in, g) = adversarialHtmlDoc(rng)
         (in, g.map(t => Span(Kind.Text, t, "", 0)))
-      case _ => // media-interleaved
-        mediaDoc(rng)
+      case 55 => // ref_def shadowing media
+        shadowMediaDoc(rng)
+      case _ => (docIdx % 20) match {
+        case 0 => // empty doc
+          (Nil, Nil)
+        case 1 | 2 => // mega doc (skew case): ~50x a normal html doc
+          val (in, g) = htmlDoc(rng, 400)
+          (in, g.map(t => Span(Kind.Text, t, "", 0)))
+        case m if m <= 9 => // html doc
+          val (in, g) = htmlDoc(rng, 4 + rng.nextInt(10))
+          (in, g.map(t => Span(Kind.Text, t, "", 0)))
+        case m if m <= 14 => // pdf doc
+          val (in, g) = pdfDoc(rng)
+          (in, g.map(t => Span(Kind.Text, t, "", 0)))
+        case _ => // media-interleaved
+          mediaDoc(rng)
+      }
     }
     val golden = goldenSpans.zipWithIndex.map { case (s, i) => s.copy(offset = i) }
     (Document(id, inSpans), Document(id, golden))

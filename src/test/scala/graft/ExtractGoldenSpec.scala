@@ -18,6 +18,23 @@ class ExtractGoldenSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("adversarial corpus cases match their analytically-derived goldens") {
+    // 21: >1MB mega; 31: threshold-boundary multi-column pdf; 43:
+    // flanking-boilerplate html; 55: ref_def shadowing — each golden is
+    // derived from the published rule/geometry, never from the kernel
+    Seq(21L, 31L, 43L, 55L, 121L, 131L, 143L, 155L).foreach { idx =>
+      val (in, golden) = Corpus.pair(idx, seed = 42)
+      val out = Extract.document(in)
+      assert(out == golden, s"adversarial doc $idx mismatch:\n got    $out\n wanted $golden")
+    }
+    // the XL mega doc really is the >1 MB skew case
+    val megaBytes = Corpus.pair(21L, 42L)._1.spans.map(_.text.length.toLong).sum
+    assert(megaBytes > 1000000L, s"mega doc is only $megaBytes bytes")
+    // flanking semantics actually bite: case-B short blocks are ABSENT
+    val (in43, g43) = Corpus.pair(43L, 42L)
+    assert(in43.spans.size > g43.spans.size + 2, "adversarial html lost no blocks?")
+  }
+
   test("media resolution drops dangling refs and resolves live ones") {
     import Span.Kind
     val doc = Document("d", Seq(
