@@ -88,6 +88,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("dedup_embedding_cosine joins on the scaling LSH bucket, never on label") {
+    val executed = SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
+      .queryExecution.executedPlan
+    val p = executed.toString
+    // the round-2 shape joined on the 10-value `label` column — candidate
+    // pairs ∝ corpus²/10; the scan must not even READ label any more
+    assert(!p.contains("label"), s"embedding near-dup still touches label:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "embedding near-dup went cartesian")
+    // equality join on the bucket key (bkt) — SortMergeJoin or
+    // ShuffledHashJoin are both fine shapes; the key is what matters
+    assert(p.contains("bkt"), s"no bucket key in join:\n${p.take(2000)}")
+  }
+
+  test("corpus_curate: flagship stays broadcast/anti-join shaped, no cartesian") {
+    val executed = SparkEntry.queries("corpus_curate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!executed.contains("CartesianProduct"), "curation chain went cartesian")
+  }
+
   test("ann_recall reuses the broadcast probe shape of both top-k paths") {
     val p = plan("ann_recall")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
