@@ -23,8 +23,19 @@ done
 # this hypervisor (interleaved A/B at 8 cores: -Xms16g -Xmx16g = 1535
 # docs/s, kernel wall inflated 6x; -Xms4g -Xmx16g = 7740 docs/s) —
 # host-side faulting of freshly committed pages is the poison; lazy heap
-# growth is fine.
-MEM="${SPARK_DRIVER_MEM:-$(( CPUS * 2 > 8 ? CPUS * 2 : 8 ))g}"
+# growth is fine… UP TO A POINT: the ceiling is CAPPED at 16 GB because a
+# 64 GB ceiling at 32 cores lets the allocation burst grow the heap so
+# fast that hypervisor page-commit faulting dominates — measured round 3
+# (same input, same minute): Xmx64g = 293.7 docs/s with kernelCpuSec 3871
+# (13x the real work, all page-fault system time attributed to kernel
+# threads); Xmx16g = 3627.6 docs/s, kernelCpuSec 346.9. This pathology is
+# what round-2's "all 32-core windows host-stolen" actually was in part —
+# round 2 is also the round that introduced the uncapped heap∝cores rule.
+# (A real 4N-executor cluster multiplies heap across 4x JVMs on 4x
+# machines; one VM faulting one giant heap through one hypervisor is a
+# sandbox artifact, not the cluster analog.)
+CEIL=$(( CPUS * 2 > 8 ? CPUS * 2 : 8 ))
+MEM="${SPARK_DRIVER_MEM:-$(( CEIL > 16 ? 16 : CEIL ))g}"
 # SPARK_EXTRA_OPTS: ad-hoc -Dspark.* conf overrides for A/B runs
 # (SparkConf loads spark.*-prefixed system properties).
 exec env SPARK_GRAFT_CPUS="$CPUS" SPARK_LOCAL_DIRS="${SPARK_LOCAL_DIRS:-/dev/shm/spark-local}" \
