@@ -121,6 +121,28 @@ object Similarity {
       topk(pairs)
     }),
 
+    // Multi-probe LSH ANN: the query probes its own bucket PLUS every
+    // hamming-1 bucket (one flipped hyperplane sign) — the standard
+    // recall-raising move for a sign-LSH index (near neighbors straddling
+    // ONE hyperplane are recovered; candidate cost grows only
+    // (planes+1)x on the tiny broadcast query side, the corpus is still
+    // scanned once and joined on its single bucket key). Probe buckets
+    // are pairwise distinct, so a corpus vector joins at most one probe
+    // row per query — no dedup pass needed.
+    "ann_multiprobe_topk" -> ((s, dir) => {
+      val planes = planesFor(corpusN(s, dir))
+      val b = emb(s, dir).withColumn("bucket", lshBucket(col("v"), planes, Dims))
+      val flips = (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+      val q = b.filter(col("vec_id") < NQuery)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+          explode(array(col("bucket") +: flips: _*)).as("bucket"))
+      val pairs = b.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      topk(pairs)
+    }),
+
     // Recall@k of the approximate (LSH) path against the exact baseline —
     // the quality observable every approximate index must ship with: at
     // 100 TB you cannot eyeball neighbor lists, you track recall on a
@@ -176,6 +198,24 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> dkBruteforce,
+    "ann_multiprobe_topk" ->
+      s"""WITH e AS ($dkEmb), $dkPrm,
+         |b AS (SELECT vec_id, v, $dkBktDyn AS bucket FROM e, prm),
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv,
+         |    unnest(list_prepend(bucket,
+         |      [xor(bucket, (1::BIGINT << j)) for j in generate_series(0, np - 1)])) AS bucket
+         |  FROM b, prm WHERE vec_id < $NQuery),
+         |pairs AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id, ${Dk.cosine("p.qv", "c.v", Dims)} AS cos
+         |  FROM b c JOIN probes p ON c.bucket = p.bucket
+         |  WHERE c.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_lsh_buckets" ->
       s"""WITH e AS ($dkEmb), $dkPrm
          |SELECT $dkBktDyn AS bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id

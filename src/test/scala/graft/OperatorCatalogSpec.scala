@@ -70,6 +70,21 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viol.count() == 0)
   }
 
+  test("ann_multiprobe_topk recall dominates the single-probe path") {
+    // multi-probe candidates are a superset of single-probe candidates
+    // (own bucket + every hamming-1 bucket), so hits against the exact
+    // baseline can only increase
+    val bf = SparkEntry.queries("ann_bruteforce_topk")(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    def hits(name: String): Long = SparkEntry.queries(name)(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(bf, Seq("query_id", "neighbor_id")).count()
+    val (single, multi) = (hits("ann_lsh_topk"), hits("ann_multiprobe_topk"))
+    assert(multi >= single, s"multiprobe hits $multi < single-probe $single")
+    assert(multi > 0)
+    bf.unpersist()
+  }
+
   test("ann_lsh_topk neighbors are a subset of brute-force candidates' scores") {
     val bf  = SparkEntry.queries("ann_bruteforce_topk")(spark, dir)
     val lsh = SparkEntry.queries("ann_lsh_topk")(spark, dir)
