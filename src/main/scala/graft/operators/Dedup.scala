@@ -206,9 +206,12 @@ object Dedup {
       // 1) propagate: l1(u) = min(l(u), min over neighbors' labels)
       val nbr = edges.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
         .groupBy(col("e.dst").as("nid")).agg(min(col("l.label")).as("nbr_label"))
+      // cached: the compress self-join reads prop on BOTH sides — without
+      // the cache the propagate join+groupBy would execute twice per round
       val prop = labels.join(nbr, col("id") === col("nid"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
+        .cache()
       // 2) compress: label(u) = l1(l1(u)) — l1 values are node ids, so the
       //    lookup is a self-join; labels are monotone decreasing, so
       //    l1(l1(u)) <= l1(u) (least() keeps that explicit for the planner)
@@ -219,6 +222,7 @@ object Dedup {
           least(col("l1"), coalesce(col("cl"), col("l1"))).as("label"))
         .withColumn("chg", col("label") < col("old")))
       changed = next.filter(col("chg")).count()
+      prop.unpersist()
       labels = next.select("id", "label")
       iter += 1
     }
