@@ -34,14 +34,28 @@ object StreamingQueries {
     rows.grouped(step).toSeq
   }
 
+  /** Isolated session for one streaming replay: shares the SparkContext
+    * but carries its own SQLConf, so the state-store partition count can
+    * be sized to the replay's tiny per-batch volume (8 instead of the
+    * session's 32 — 4x fewer state-store tasks per micro-batch) without
+    * racing the concurrently-running batch queries in Verify's pool.
+    * Aggregation results are partitioning-independent, so outputs are
+    * unchanged. */
+  private def replaySession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 5-minute window counts per kind, computed by the streaming
     // operator (append mode: a window row exists only because the
     // watermark passed its end). Oracle: the same windows in batch SQL.
     "stream_events_window" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sq = s.sqlContext
-      val rows = s.read.parquet(s"$dir/events.parquet")
+      val ss = replaySession(s)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val rows = ss.read.parquet(s"$dir/events.parquet")
         .select(col("ts").cast("timestamp").as("event_time"),
           col("event_id").cast("string").as("doc_id"), col("event_type").as("kind"))
         .as[SpanEvent].collect()
@@ -57,7 +71,7 @@ object StreamingQueries {
         in.addData(SpanEvent(new Timestamp(maxTs + 3600L * 1000), "::s::", "::sentinel::"))
         q.processAllAvailable()
       } finally q.stop()
-      s.table(name)
+      ss.table(name)
         .filter(col("kind") =!= "::sentinel::")
         .select(unix_micros(col("window_start")).as("window_start_us"),
           unix_micros(col("window_end")).as("window_end_us"),
@@ -69,9 +83,10 @@ object StreamingQueries {
     // EXACT output shape of the batch twin, so the oracle is
     // q_sessionize's SQL verbatim.
     "stream_sessionize" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sq = s.sqlContext
-      val rows = s.read.parquet(s"$dir/events.parquet")
+      val ss = replaySession(s)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val rows = ss.read.parquet(s"$dir/events.parquet")
         .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
           col("event_id").cast("long"))
         .as[(Long, Timestamp, Long)].collect()
@@ -91,7 +106,7 @@ object StreamingQueries {
         in.addData(UserEvent(-1L, new Timestamp(maxTs + 24 * 3600L * 1000 + 60000)))
         q.processAllAvailable()
       } finally q.stop()
-      s.table(name)
+      ss.table(name)
         .filter(col("user_id") =!= -1L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
@@ -102,10 +117,11 @@ object StreamingQueries {
     // all state in-watermark, so the run is a full-history dedup). Output
     // = the surviving distinct content hashes; oracle = batch DISTINCT.
     "stream_dedup_exact" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sq = s.sqlContext
+      val ss = replaySession(s)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
       val t0 = new Timestamp(86400L * 1000)
-      val base = s.read.parquet(s"$dir/documents.parquet")
+      val base = ss.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)].collect().sortBy(_._1)
       // copies interleave with late originals across batches
@@ -121,7 +137,7 @@ object StreamingQueries {
       try {
         batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
       } finally q.stop()
-      s.table(name).select(col("content_hash"))
+      ss.table(name).select(col("content_hash"))
     }))
 
   // --- DuckDB oracles (the batch twins) -----------------------------------
