@@ -50,6 +50,47 @@ object Curation {
   def dkPackBuckets(n: String): String =
     s"greatest(1, ($n + ${PackDocsPerBucket - 1}) // $PackDocsPerBucket)"
 
+  /** The curation chain's intermediate frames, exposed so a deployment
+    * main can report per-stage counts (what each stage removed) without
+    * re-deriving the pipeline. */
+  final case class CurationStages(
+      deduped: DataFrame,  // after quality gate + exact dedup (checkpointed)
+      clusters: DataFrame, // (doc_id, cluster_id) near-dup cluster labels
+      keepers: DataFrame,  // deduped minus non-keeper cluster members
+      packed: DataFrame)   // keepers + split/bucket/token/shard columns
+
+  /** The end-to-end curation chain over ANY (doc_id, text) corpus:
+    * quality gate → exact dedup (min doc_id per content hash) →
+    * MinHash-LSH → connected components → keeper selection → train/val
+    * split → token-budget shard packing. `nBuckets` comes from
+    * [[packBucketsFor]] over the raw corpus size (callers know their
+    * count already; keeping it a parameter avoids a second count job).
+    * See the `corpus_curate` query for the stage-by-stage scale notes. */
+  def curateStages(corpus: DataFrame, nBuckets: Long): CurationStages = {
+    val we = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = corpus
+      .filter(size(tokens(col("text"))).between(5, 10000))
+      .withColumn("rn", row_number().over(we))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint() // consumed 3× (banding, verify, keeper join)
+    val pairs    = Dedup.minhashLsh(deduped).select("doc_a", "doc_b")
+    val clusters = Dedup.connectedComponents(pairs)
+    val keepers = deduped.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+    val h  = hex32(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val wp = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val packed = keepers.select(col("doc_id"),
+        when(h < TrainPct, lit("train")).otherwise(lit("val")).as("split"),
+        (hex32(concat(lit("pack:"), col("doc_id").cast("string"))) % nBuckets).as("bucket"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wp))
+      .withColumn("shard", floor((col("cum_tokens") - col("n_tokens")) / ShardBudget))
+    CurationStages(deduped, clusters, keepers, packed)
+  }
+
+  def curate(corpus: DataFrame, nBuckets: Long): DataFrame =
+    curateStages(corpus, nBuckets).packed
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 90/10 train/val split: md5 of a salted doc key — no
     // rand(), so reruns and incremental arrivals never reshuffle splits.
@@ -126,27 +167,7 @@ object Curation {
         .unionByName(d.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
         .unionByName(d.select((col("doc_id") + 4000000L).as("doc_id"),
           lit("!! ?? !!").as("text")))
-      // 1+2: quality gate, then exact dedup (keeper = min doc_id per hash)
-      val we = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      val deduped = corpus
-        .filter(size(tokens(col("text"))).between(5, 10000))
-        .withColumn("rn", row_number().over(we))
-        .filter(col("rn") === 1).drop("rn")
-        .localCheckpoint() // consumed 3× below (banding, verify, keeper join)
-      // 3: near-dup clusters → keep singletons + cluster minima
-      val pairs  = Dedup.minhashLsh(deduped).select("doc_a", "doc_b")
-      val labels = Dedup.connectedComponents(pairs)
-      val keepers = deduped.join(labels, Seq("doc_id"), "left")
-        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-      // 4+5: deterministic split + token-budget shard packing
-      val h  = hex32(concat(lit("split:"), col("doc_id").cast("string"))) % 100
-      val wp = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      keepers.select(col("doc_id"),
-          when(h < TrainPct, lit("train")).otherwise(lit("val")).as("split"),
-          (hex32(concat(lit("pack:"), col("doc_id").cast("string"))) % nb).as("bucket"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(wp))
-        .withColumn("shard", floor((col("cum_tokens") - col("n_tokens")) / ShardBudget))
+      curate(corpus, nb)
     }),
 
     "q_decontaminate" -> ((s, dir) => {

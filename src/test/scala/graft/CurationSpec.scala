@@ -59,6 +59,28 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(short.isEmpty)
   }
 
+  test("winnowSet containment guarantee holds under a seeded random sweep") {
+    import spark.implicits._
+    import scala.util.Random
+    // 40 random (docA, docB) pairs sharing a run of t..3t consecutive
+    // hashes at RANDOM positions in each — the winnowing guarantee says
+    // the fingerprint sets always intersect, wherever the run sits
+    val rng = new Random(5)
+    def h() = math.abs(rng.nextLong()) % 1000000007L
+    val cases = (0 until 40).map { i =>
+      val run = Seq.fill(8 + rng.nextInt(17))(h())
+      def doc() = Seq.fill(rng.nextInt(80))(h()) ++ run ++ Seq.fill(rng.nextInt(80))(h())
+      (i.toLong, doc(), doc())
+    }
+    val bad = cases.toDF("i", "a", "b")
+      .select(col("i"),
+        TextKernels.winnowSet(col("a"), 8).as("fa"),
+        TextKernels.winnowSet(col("b"), 8).as("fb"))
+      .filter(size(array_intersect(col("fa"), col("fb"))) === 0)
+      .count()
+    assert(bad == 0, s"$bad of 40 shared-run pairs produced disjoint fingerprint sets")
+  }
+
   test("q_decontaminate catches every planted embedded benchmark slice") {
     import spark.implicits._
     val out = SparkEntry.queries("q_decontaminate")(spark, dir).cache()
