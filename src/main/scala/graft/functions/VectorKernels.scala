@@ -69,6 +69,29 @@ object VectorKernels {
   def dist2(v: Column, c: Seq[Double]): Column =
     aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
 
+  // --- integer-quantized space (trained k-means lives here) ---------------
+  // Lloyd iterations average vectors, and float summation order differs
+  // between engines — so the TRAINED codebook path runs in an integer
+  // quantized space where every op (distance, sum, floor-mean) is exact
+  // and order-independent in both engines.
+
+  /** Quantize to integers at ×2000: floor(x·2000 + 0.5). floor, not
+    * round — Spark's round is HALF_UP, DuckDB's HALF_EVEN, and float
+    * components can land exactly on .5; floor(+0.5) is identical in
+    * both. ×2000 keeps the seeded init centroids (.5-granular sixteenths)
+    * exactly representable. */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 2000.0 + 0.5).cast("long"))
+
+  /** [[centroid]] j in the quantized space — exact: (nibble − 7.5)·250. */
+  def intCentroid(j: Int, dims: Int): Seq[Long] =
+    centroid(j, dims).map(c => math.round(c * 2000.0))
+
+  /** Integer squared L2 distance to a literal quantized centroid (exact
+    * int64; max term 16000²·64 ≪ 2^63, no ANSI overflow). */
+  def intDist2(q: Column, c: Seq[Long]): Column =
+    aggregate(zip_with(q, typedLit(c), (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
+
   // --- index-size rules ----------------------------------------------------
   // Shared by Spark and the DuckDB oracle, integer-exact on purpose: fp
   // log2 could round differently across engines at power-of-two corpus
@@ -145,6 +168,15 @@ object VectorKernels {
         s"[($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i]) for i in generate_series(1, $dims)]), " +
         "(x, y) -> x + y)"
     }
+
+    /** [[VectorKernels.quantize]] twin: list of BIGINT. */
+    def quantize(v: String, dims: Int): String =
+      s"[floor($v[i]::DOUBLE * 2000 + 0.5)::BIGINT for i in generate_series(1, $dims)]"
+
+    /** [[VectorKernels.intDist2]] twin over two list-typed expressions. */
+    def intDist2(q: String, c: String, dims: Int): String =
+      s"list_reduce(list_prepend(0::BIGINT, " +
+        s"[($q[i] - $c[i]) * ($q[i] - $c[i]) for i in generate_series(1, $dims)]), (a, b) -> a + b)"
 
     /** [[VectorKernels.planesFor]] as a SQL CASE over a count expression
       * (integer thresholds — no fp log2). */

@@ -35,6 +35,72 @@ object Similarity {
   private val NQuery    = 5
   private val MaxPlanes = 12 // static ceiling the dynamic SQL is written to
   private val MaxCells  = 32
+  private val KmeansK     = 8
+  private val KmeansIters = 2
+
+  /** TRAINED coarse quantizer: Lloyd's k-means iterations in the integer
+    * quantized space (VectorKernels.quantize), so every step — distance,
+    * per-dimension sum, floor-mean — is exact int64 and order-independent,
+    * which is what makes a trained codebook ORACLE-CHECKABLE (float means
+    * are summation-order-dependent and diverge across engines).
+    *
+    * Shape is the canonical k-means-on-Spark: centroids live on the
+    * driver (k×dims longs — tiny) and ship into each assignment pass as
+    * literals; the per-iteration update is one distributed
+    * cell×dimension aggregation collected back (k·dims rows). Empty
+    * cells keep their previous centroid. Seeded init = the md5-derived
+    * [[VectorKernels.intCentroid]]s, so both engines start identically. */
+  private def kmeansTrain(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Long]] = {
+    val qdf = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
+    var cents: IndexedSeq[IndexedSeq[Long]] =
+      (0 until KmeansK).map(j => intCentroid(j, Dims).toIndexedSeq)
+    try {
+      (0 until KmeansIters).foreach { _ =>
+        val stats = withKmeansCell(qdf, cents)
+          .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qi")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCell = stats.groupBy(_.getAs[Long]("cell"))
+        cents = (0 until KmeansK).map { j =>
+          byCell.get(j.toLong) match {
+            case Some(rows) =>
+              val arr = Array.fill(Dims)(0L)
+              rows.foreach { r =>
+                // floor division (Math.floorDiv == SQL floor(s/n)) — NOT
+                // truncation: engines disagree on negative int division
+                arr(r.getAs[Int]("pos")) =
+                  Math.floorDiv(r.getAs[Long]("s"), r.getAs[Long]("n"))
+              }
+              arr.toIndexedSeq
+            case None => cents(j)
+          }
+        }
+      }
+    } finally { qdf.unpersist(); () }
+    cents
+  }
+
+  /** Adds (cell, d2) to a frame carrying quantized `q`, against literal
+    * centroids — the k distances are projected ONCE as named columns and
+    * the argmin/least read the attributes (the IVF lesson: conditional
+    * branches are not subexpression-eliminated, so inlining the 64-dim
+    * folds into every `when` would evaluate each ~3x per row; a
+    * multi-referenced non-trivial named column also blocks
+    * CollapseProject from re-inlining). First-wins tie-break = smallest
+    * cell id. */
+  private def withKmeansCell(df: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+    val withD = cents.indices.foldLeft(df)((d, j) =>
+      d.withColumn(s"kd$j", intDist2(col("q"), cents(j))))
+    val dmin = least(cents.indices.map(j => col(s"kd$j")): _*)
+    val cell = cents.indices.foldRight(lit(-1L)) { case (j, acc) =>
+      when(col(s"kd$j") === dmin, lit(j.toLong)).otherwise(acc)
+    }
+    withD.withColumn("cell", cell).withColumn("d2", dmin)
+      .drop(cents.indices.map(j => s"kd$j"): _*)
+  }
 
   /** Corpus projection with the vector norm PRECOMPUTED once per vector —
     * cosine inside a pairs join then costs one dot product, not three
@@ -121,6 +187,20 @@ object Similarity {
       topk(pairs)
     }),
 
+    // TRAINED coarse quantizer: k-means (2 Lloyd iterations, integer
+    // quantized space, seeded init) → per-vector cell assignment + exact
+    // integer distance. This closes the "production IVF trains its
+    // codebook" gap: the same cell-probe ANN shape as ann_ivf_topk now
+    // runs against DATA-ADAPTED centroids, and the whole training loop is
+    // oracle-checked (the DuckDB twin unrolls both Lloyd iterations in
+    // SQL — exactness is only possible because the space is integer).
+    "ann_kmeans_cells" -> ((s, dir) => {
+      val cents = kmeansTrain(s, dir)
+      val qdf = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      withKmeansCell(qdf, cents).select(col("vec_id"), col("cell"), col("d2"))
+    }),
+
     // Multi-probe LSH ANN: the query probes its own bucket PLUS every
     // hamming-1 bucket (one flipped hyperplane sign) — the standard
     // recall-raising move for a sign-LSH index (near neighbors straddling
@@ -196,8 +276,44 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
        |FROM ranked WHERE rank <= $K""".stripMargin
 
+  /** Unrolled-Lloyd oracle: assignment = row_number over (dist, cell)
+    * — identical to the Spark first-wins argmin because distances are
+    * exact integers; update = per-(cell, dimension) integer sums +
+    * floor(s/n) mean; empty cells coalesce to the previous codebook. */
+  private def dkKmeans: String = {
+    val c0rows = (0 until KmeansK)
+      .map(j => s"($j, ${intCentroid(j, Dims).mkString("[", ",", "]")})").mkString(",\n    ")
+    def assign(prevC: String, out: String) =
+      s"""$out AS (SELECT vec_id, q, cell FROM (
+         |  SELECT e.vec_id, e.q, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${Dk.intDist2("e.q", "c.c", Dims)}, c.cell) AS rn
+         |  FROM e, $prevC c) WHERE rn = 1)""".stripMargin
+    def update(a: String, prevC: String, out: String) =
+      s"""${out}s AS (
+         |  SELECT cell, i, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n
+         |  FROM $a, generate_series(1, $Dims) t(i) GROUP BY 1, 2),
+         |${out}v AS (
+         |  SELECT cell, list(floor(s::DOUBLE / n)::BIGINT ORDER BY i) AS c
+         |  FROM ${out}s GROUP BY cell),
+         |$out AS (SELECT p.cell, coalesce(v.c, p.c) AS c
+         |  FROM $prevC p LEFT JOIN ${out}v v ON p.cell = v.cell)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, ${Dk.quantize("embedding", Dims)} AS q FROM embeddings),
+       |c0 AS (SELECT * FROM (VALUES
+       |    $c0rows) t(cell, c)),
+       |${assign("c0", "a0")},
+       |${update("a0", "c0", "c1")},
+       |${assign("c1", "a1")},
+       |${update("a1", "c1", "c2")},
+       |ad AS (SELECT e.vec_id, c.cell, ${Dk.intDist2("e.q", "c.c", Dims)} AS d2 FROM e, c2 c)
+       |SELECT vec_id, cell, d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM ad)
+       |WHERE rn = 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> dkBruteforce,
+    "ann_kmeans_cells" -> dkKmeans,
     "ann_multiprobe_topk" ->
       s"""WITH e AS ($dkEmb), $dkPrm,
          |b AS (SELECT vec_id, v, $dkBktDyn AS bucket FROM e, prm),

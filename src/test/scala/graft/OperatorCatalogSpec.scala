@@ -70,6 +70,25 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viol.count() == 0)
   }
 
+  test("ann_kmeans_cells: Lloyd iterations strictly improve the objective") {
+    import graft.functions.VectorKernels
+    val out = SparkEntry.queries("ann_kmeans_cells")(spark, dir).cache()
+    val n   = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.count() == n)
+    assert(out.filter(col("cell") < 0 || col("cell") >= 8).count() == 0)
+    // k-means objective (sum of assigned distances) under the TRAINED
+    // codebook must beat the seeded-init codebook's — proves the
+    // iterations adapted to the data, not just re-labeled it
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(VectorKernels.quantize(col("embedding")).as("q"))
+    val initMin = least((0 until 8).map(j =>
+      VectorKernels.intDist2(col("q"), VectorKernels.intCentroid(j, 64))): _*)
+    val initObj    = q.agg(sum(initMin)).head.getLong(0)
+    val trainedObj = out.agg(sum(col("d2"))).head.getLong(0)
+    assert(trainedObj < initObj, s"trained objective $trainedObj !< init $initObj")
+    out.unpersist()
+  }
+
   test("ann_multiprobe_topk recall dominates the single-probe path") {
     // multi-probe candidates are a superset of single-probe candidates
     // (own bucket + every hamming-1 bucket), so hits against the exact
