@@ -102,6 +102,29 @@ object Similarity {
       .drop(cents.indices.map(j => s"kd$j"): _*)
   }
 
+  /** [[withKmeansCell]] + the SECOND-nearest cell (`cell2`) for nprobe=2
+    * probing: the chosen cell's distance is masked to Long.MaxValue and
+    * the argmin re-run — identical tie-breaks to rank-2 of an ORDER BY
+    * (distance, cell) ranking, which is what the oracle uses. */
+  private def withKmeansCell2(df: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+    val withD = cents.indices.foldLeft(df)((d, j) =>
+      d.withColumn(s"kd$j", intDist2(col("q"), cents(j))))
+    val dmin = least(cents.indices.map(j => col(s"kd$j")): _*)
+    val cell = cents.indices.foldRight(lit(-1L)) { case (j, acc) =>
+      when(col(s"kd$j") === dmin, lit(j.toLong)).otherwise(acc)
+    }
+    val c1 = withD.withColumn("cell", cell)
+    val masked = cents.indices.map(j =>
+      when(lit(j.toLong) === col("cell"), lit(Long.MaxValue)).otherwise(col(s"kd$j")))
+    val dmin2 = least(masked: _*)
+    val cell2 = masked.zipWithIndex.foldRight(lit(-1L)) { case ((m, j), acc) =>
+      when(m === dmin2, lit(j.toLong)).otherwise(acc)
+    }
+    c1.withColumn("cell2", cell2)
+      .drop(cents.indices.map(j => s"kd$j"): _*)
+  }
+
   /** Corpus projection with the vector norm PRECOMPUTED once per vector —
     * cosine inside a pairs join then costs one dot product, not three
     * folds (measured 3x on the sf0.1 bench; at 100 TB the norm is a table
@@ -201,6 +224,26 @@ object Similarity {
       withKmeansCell(qdf, cents).select(col("vec_id"), col("cell"), col("d2"))
     }),
 
+    // The trained codebook powering the actual SEARCH path: same
+    // cell-probe ANN shape as ann_ivf_topk (query probes its 2 nearest
+    // cells, exact cosine on candidates, broadcast probe side), but
+    // against the k-means-trained cells instead of the fixed seeded
+    // codebook — index build and search are now both oracle-checked.
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      val cents = kmeansTrain(s, dir)
+      val e = withKmeansCell2(
+        emb(s, dir).withColumn("q", quantize(col("v"))), cents)
+      val q = e.filter(col("vec_id") < NQuery)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+          explode(array(col("cell"), col("cell2"))).as("cell"))
+      val pairs = e.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+        .join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      topk(pairs)
+    }),
+
     // Multi-probe LSH ANN: the query probes its own bucket PLUS every
     // hamming-1 bucket (one flipped hyperplane sign) — the standard
     // recall-raising move for a sign-LSH index (near neighbors straddling
@@ -276,11 +319,13 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
        |FROM ranked WHERE rank <= $K""".stripMargin
 
-  /** Unrolled-Lloyd oracle: assignment = row_number over (dist, cell)
-    * — identical to the Spark first-wins argmin because distances are
-    * exact integers; update = per-(cell, dimension) integer sums +
-    * floor(s/n) mean; empty cells coalesce to the previous codebook. */
-  private def dkKmeans: String = {
+  /** Unrolled-Lloyd CTE chain (e, c0, a0, c1, a1, c2): assignment =
+    * row_number over (dist, cell) — identical to the Spark first-wins
+    * argmin because distances are exact integers; update =
+    * per-(cell, dimension) integer sums + floor(s/n) mean; empty cells
+    * coalesce to the previous codebook. `e` carries both the double
+    * vectors (for downstream cosine) and the quantized lists. */
+  private def dkKmeansChain: String = {
     val c0rows = (0 until KmeansK)
       .map(j => s"($j, ${intCentroid(j, Dims).mkString("[", ",", "]")})").mkString(",\n    ")
     def assign(prevC: String, out: String) =
@@ -298,22 +343,44 @@ object Similarity {
          |  FROM ${out}s GROUP BY cell),
          |$out AS (SELECT p.cell, coalesce(v.c, p.c) AS c
          |  FROM $prevC p LEFT JOIN ${out}v v ON p.cell = v.cell)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, ${Dk.quantize("embedding", Dims)} AS q FROM embeddings),
+    s"""e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v,
+       |  ${Dk.quantize("embedding", Dims)} AS q FROM embeddings),
        |c0 AS (SELECT * FROM (VALUES
        |    $c0rows) t(cell, c)),
        |${assign("c0", "a0")},
        |${update("a0", "c0", "c1")},
        |${assign("c1", "a1")},
        |${update("a1", "c1", "c2")},
-       |ad AS (SELECT e.vec_id, c.cell, ${Dk.intDist2("e.q", "c.c", Dims)} AS d2 FROM e, c2 c)
-       |SELECT vec_id, cell, d2 FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM ad)
-       |WHERE rn = 1""".stripMargin
+       |ad AS (SELECT e.vec_id, e.v, c.cell, ${Dk.intDist2("e.q", "c.c", Dims)} AS d2,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${Dk.intDist2("e.q", "c.c", Dims)}, c.cell) AS rn
+       |  FROM e, c2 c)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> dkBruteforce,
-    "ann_kmeans_cells" -> dkKmeans,
+    "ann_kmeans_cells" ->
+      s"""WITH $dkKmeansChain
+         |SELECT vec_id, cell, d2 FROM ad WHERE rn = 1""".stripMargin,
+    // rank-1/rank-2 rows of the same assignment ranking ARE (cell, cell2)
+    // — same tie-breaks as the Spark masked-argmin (distance, then cell)
+    "ann_ivf_trained_topk" ->
+      s"""WITH $dkKmeansChain,
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell FROM ad
+         |  WHERE vec_id < $NQuery AND rn <= 2),
+         |corpus AS (SELECT vec_id, v, cell FROM ad WHERE rn = 1),
+         |pairs AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    ${Dk.cosine("p.qv", "c.v", Dims)} AS cos
+         |  FROM corpus c JOIN probes p ON c.cell = p.cell
+         |  WHERE c.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_multiprobe_topk" ->
       s"""WITH e AS ($dkEmb), $dkPrm,
          |b AS (SELECT vec_id, v, $dkBktDyn AS bucket FROM e, prm),
