@@ -21,7 +21,9 @@ object PlanAudit {
       if (args.nonEmpty) args.toSeq
       else Seq("q_agg_pricing", "q_join_customer_orders", "q_topk_orders",
         "q_anti_join", "dedup_minhash_lsh", "ann_bruteforce_topk",
-        "text_tokens", "q_window_topn")
+        "text_tokens", "q_window_topn",
+        // round-3 shapes: scaling-bucket join, flagship chain, trained probe
+        "dedup_embedding_cosine", "corpus_curate", "ann_ivf_trained_topk")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
