@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ParallelGC, not the JDK17 G1 default: G1's concurrent machinery burns
+  // system CPU catastrophically at high thread counts on this hypervisor
+  // (A/B at 32 cores, same input/minute: G1 914 docs/s vs ParallelGC
+  // 4058 — see BENCH/BASELINE.md round 3); equivalent at low counts.
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq

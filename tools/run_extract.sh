@@ -36,9 +36,16 @@ done
 # sandbox artifact, not the cluster analog.)
 CEIL=$(( CPUS * 2 > 8 ? CPUS * 2 : 8 ))
 MEM="${SPARK_DRIVER_MEM:-$(( CEIL > 16 ? 16 : CEIL ))g}"
+# ParallelGC, not G1 (the JDK17 default): at 32 cores on this hypervisor
+# G1's concurrent machinery burns kernel-thread system CPU catastrophically
+# — A/B same input, same minute: G1 = 914 docs/s kernelCpuSec 1309;
+# ParallelGC = 4058 docs/s kernelCpuSec 317. At 2-8 cores the two are
+# equivalent; ParallelGC (Spark's classic throughput recommendation) is
+# strictly better here and keeps kernelCpuSec in the valid band at 32.
+GC="${SPARK_GC:--XX:+UseParallelGC}"
 # SPARK_EXTRA_OPTS: ad-hoc -Dspark.* conf overrides for A/B runs
 # (SparkConf loads spark.*-prefixed system properties).
 exec env SPARK_GRAFT_CPUS="$CPUS" SPARK_LOCAL_DIRS="${SPARK_LOCAL_DIRS:-/dev/shm/spark-local}" \
-  java $OPENS -Xms4g -Xmx"$MEM" ${SPARK_EXTRA_OPTS:-} \
+  java $OPENS -Xms4g -Xmx"$MEM" $GC ${SPARK_EXTRA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.ExtractMain "$DOCS" 42 "$OUTDIR" "$RUNID" "$@"
