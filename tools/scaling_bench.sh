@@ -91,7 +91,7 @@ for RUN in $(seq 1 "$PAIRS"); do
   # Spark — captures the allocation/L3 ceiling spin+stream miss (a real
   # 4N-executor cluster multiplies memory hierarchies; one box cannot)
   CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-  kcal() { taskset -c "$(cpuset "$1")" java -Xmx8g -cp "$CP" graft.KernelCal "$1" "$2" \
+  kcal() { taskset -c "$(cpuset "$1")" java -Xmx8g -XX:+UseParallelGC -cp "$CP" graft.KernelCal "$1" "$2" \
              | grep -o '"docsPerSec":[0-9.]*' | cut -d: -f2; }
   echo "cal run=r$RUN spin2=$(cal 2 Spin) spin8=$(cal 8 Spin) spin32=$(cal 32 Spin) bw2=$(cal 2 StreamSum) bw8=$(cal 8 StreamSum) bw32=$(cal 32 StreamSum) kern2=$(kcal 2 40000) kern8=$(kcal 8 10000)"
   for CPUS in 2 8 32; do
