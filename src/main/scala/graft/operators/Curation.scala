@@ -59,6 +59,28 @@ object Curation {
       keepers: DataFrame,  // deduped minus non-keeper cluster members
       packed: DataFrame)   // keepers + split/bucket/token/shard columns
 
+  /** Exact-dedup stage in the catalog's own scale-safe shape (the
+    * `dedup_exact` query, Dedup.scala): keeper ids = groupBy(content
+    * hash).agg(min(doc_id)) — partial aggregation makes each map task
+    * emit ONE (hash, id) row per distinct text it saw, so the
+    * hash-keyed shuffle carries hashes and ids, never text, and a crawl
+    * with 10M byte-identical copies of one boilerplate page costs the
+    * reduce side ~numPartitions rows instead of funnelling 10M full
+    * texts through a single window sorter (the round-3 shape this
+    * replaces). The keepers then SEMI-join back against the gated
+    * corpus: that join shuffles by doc_id — unique by construction, so
+    * perfectly uniform; no content hot-key can concentrate it (and on a
+    * doc_id-bucketed table it needs no shuffle at all). Equivalent to
+    * `row_number() over (partition by md5(text) order by doc_id) = 1`,
+    * which is what the oracle's `dd` CTE still spells. */
+  private[graft] def exactDedupKeepers(gated: DataFrame): DataFrame = {
+    val keepIds = gated
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    gated.join(keepIds, Seq("doc_id"), "left_semi")
+  }
+
   /** The end-to-end curation chain over ANY (doc_id, text) corpus:
     * quality gate → exact dedup (min doc_id per content hash) →
     * MinHash-LSH → connected components → keeper selection → train/val
@@ -68,11 +90,8 @@ object Curation {
     * See the `corpus_curate` query for the stage-by-stage scale notes. */
   def curateStages(corpus: DataFrame, nBuckets: Long,
       memoTag: Option[String] = None): CurationStages = {
-    val we = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val deduped = corpus
-      .filter(size(tokens(col("text"))).between(5, 10000))
-      .withColumn("rn", row_number().over(we))
-      .filter(col("rn") === 1).drop("rn")
+    val deduped = exactDedupKeepers(
+        corpus.filter(size(tokens(col("text"))).between(5, 10000)))
       .localCheckpoint() // consumed 3× (banding, verify, keeper join)
     val pairs    = Dedup.minhashLsh(deduped, memoTag).select("doc_a", "doc_b")
     val clusters = Dedup.connectedComponents(pairs)

@@ -107,6 +107,44 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!executed.contains("CartesianProduct"), "curation chain went cartesian")
   }
 
+  test("corpus_curate stage 2: the content-hash shuffle carries (hash, id), never text") {
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val executed = graft.operators.Curation.exactDedupKeepers(corpus)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        (e.outputPartitioning, e.output.map(_.name))
+    }
+    assert(exchanges.nonEmpty, root.toString.take(2000))
+    exchanges.foreach { case (part, cols) =>
+      if (cols.contains("text")) {
+        // the only text-carrying shuffle is the semi-join's corpus side,
+        // keyed by the UNIQUE doc_id — uniform by construction
+        val keys = part match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.flatMap(_.references.map(_.name))
+          case p => fail(s"text-carrying exchange with non-hash partitioning $p")
+        }
+        assert(keys == Seq("doc_id"),
+          s"text shuffled on non-doc_id keys $keys (cols $cols)")
+      } else {
+        // hash-keyed stage-2 shuffles carry only hash + id columns (the
+        // partial agg names them _groupingexpression / min internally)
+        val ok = Set("content_hash", "doc_id", "_groupingexpression", "min")
+        assert(cols.forall(ok), s"stage-2 shuffle carries unexpected columns: $cols")
+      }
+    }
+    // partial aggregation is present: HashAggregate above AND below the
+    // hash-keyed exchange (map-side combine is what collapses a hot key)
+    assert(count(root.toString, "HashAggregate") >= 2, root.toString.take(3000))
+  }
+
   test("ann_recall reuses the broadcast probe shape of both top-k paths") {
     val p = plan("ann_recall")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

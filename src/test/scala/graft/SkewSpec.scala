@@ -30,4 +30,27 @@ class SkewSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spans.max <= (2.5 * spans.sum / parts).toLong, s"span skew: $spans")
     assert(stats.values.map(_.errors).sum == 0)
   }
+
+  test("corpus_curate survives 10^4 byte-identical hot-content docs (stage-2 partial agg)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // hot text = the first doc that passes the quality gate, so the planted
+    // copies reach stage 2 (the exact-dedup shuffle) rather than dying in
+    // the narrow stage-1 filter
+    val hotText = base
+      .filter(size(graft.functions.TextKernels.tokens(col("text"))).between(5, 10000))
+      .orderBy(col("doc_id")).select(col("text")).head().getString(0)
+    val copies = spark.range(10000)
+      .select((col("id") + 5000000L).as("doc_id"), lit(hotText).as("text"))
+    val nb = Curation.packBucketsFor(base.count())
+    val hotPacked  = Curation.curateStages(base.unionByName(copies), nb).packed
+    val basePacked = Curation.curateStages(base, nb).packed
+    // every copy dies in stage 2 (its text's min doc_id is the original),
+    // so the curated output is IDENTICAL to the copy-free corpus — and the
+    // hot key cost the reduce side ~numPartitions rows, not 10^4 texts
+    assert(hotPacked.exceptAll(basePacked).isEmpty && basePacked.exceptAll(hotPacked).isEmpty,
+      "hot-content copies changed the curated output")
+  }
 }
