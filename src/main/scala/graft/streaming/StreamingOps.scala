@@ -61,67 +61,70 @@ object StreamingOps {
   final case class UserEvent(user_id: Long, event_time: Timestamp)
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
-  /** Per-user open-session state (epoch millis — GroupState payloads
-    * should stay small and encoder-friendly). */
+  /** One session interval (epoch millis — GroupState payloads should stay
+    * small and encoder-friendly). */
   final case class SessionState(start: Long, last: Long, n: Long)
+  /** Per-user state: EVERY session not yet finalized by the watermark —
+    * the open session plus any closed-by-successor sessions still inside
+    * the watermark horizon (they may yet merge with an in-watermark
+    * bridge event arriving in a later micro-batch). */
+  final case class SessionBuffer(sessions: List[SessionState])
 
   /** Gap-based sessionization with custom state: a session closes when a
-    * user is idle for `gap` or when a newer event arrives beyond the gap.
-    * Closed-by-successor sessions emit immediately; idle sessions emit
-    * when the event-time timeout fires (watermark passes last + gap).
+    * user is idle for `gap`; its row is emitted only once the WATERMARK
+    * passes its `last + gap` (event-time timeout or a later batch for the
+    * same user, whichever comes first).
     *
-    * Cross-batch out-of-order handling (events are in-watermark but may
-    * precede the open session's span): an event inside
-    * [start - gap, last + gap] EXTENDS the session on both ends
-    * (session_start is lowered, not just last raised); events more than a
-    * gap BEFORE the open session's start form their own earlier
-    * session(s) (late events within a gap of each other merge), emitted
-    * immediately — they can never merge with the open session, and
-    * anything that could merge with THEM would be beyond the watermark.
-    * This keeps the stream consistent with the batch twin `q_sessionize`
-    * for any in-watermark arrival order. */
+    * Emission is watermark-gated, not closed-by-successor-gated: append
+    * mode cannot retract, and with watermarkDelay < gap an in-watermark
+    * BRIDGE event can arrive in a later micro-batch and merge two
+    * intervals that an earlier batch already saw as separate (batch 1 =
+    * {t=0, t=2000s}, batch 2 = {t=1700s} at gap 30 min — the batch twin
+    * makes ONE session). So every not-yet-finalized interval stays in
+    * state, each batch re-runs the deterministic interval merge over
+    * (retained intervals ∪ new events) sorted by start, and only sessions
+    * whose entire admissible-extension window [start - gap, last + gap]
+    * lies strictly below the watermark are emitted — nothing Spark could
+    * still admit can change them. This keeps the stream consistent with
+    * the batch twin `q_sessionize` for ANY in-watermark arrival order;
+    * state stays bounded by the watermark exactly as before (a retained
+    * interval's last + gap is always > watermark). */
   def sessionize(events: Dataset[UserEvent], gapMs: Long = 30L * 60 * 1000,
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("event_time", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuffer, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, it: Iterator[UserEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
-          } else {
-            // Interval merge over (open session ∪ batch events) sorted by
-            // start time: iterator order is not deterministic, the sort is
-            // what makes the result so — and sorting the open session IN
-            // with the events is what makes a late batch (events before
-            // the session's start) produce the same sessions the batch
-            // twin would.
-            val intervals = (it.map { e =>
-              val t = e.event_time.getTime; SessionState(t, t, 1)
-            }.toSeq ++ state.getOption).sortBy(s => (s.start, s.last))
-            var closed = List.empty[Session]
-            var cur    = Option.empty[SessionState]
-            intervals.foreach { iv =>
-              cur match {
-                case Some(s) if iv.start - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, iv.last), s.n + iv.n))
-                case Some(s) =>
-                  closed = Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n) :: closed
-                  cur = Some(iv)
-                case None =>
-                  cur = Some(iv)
-              }
+        (user: Long, it: Iterator[UserEvent], state: GroupState[SessionBuffer]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // Interval merge over (retained sessions ∪ batch events) sorted
+          // by start: iterator order is not deterministic, the sort is
+          // what makes the result so — and merging retained sessions IN
+          // with the events is what lets a late (but in-watermark) bridge
+          // event fuse intervals an earlier batch kept apart.
+          val intervals = (it.map { e =>
+            val t = e.event_time.getTime; SessionState(t, t, 1)
+          }.toSeq ++ state.getOption.map(_.sessions).getOrElse(Nil))
+            .sortBy(s => (s.start, s.last))
+          var merged = List.empty[SessionState]
+          intervals.foreach { iv =>
+            merged match {
+              case s :: rest if iv.start - s.last <= gapMs =>
+                merged = SessionState(s.start, math.max(s.last, iv.last), s.n + iv.n) :: rest
+              case _ => merged = iv :: merged
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.reverse.iterator
           }
+          // finalized ⇔ no admissible event can still touch it: extensions
+          // need time <= last + gap, and admitted events have time >= wm
+          val (done, pending) = merged.reverse.partition(_.last + gapMs < wm)
+          if (pending.nonEmpty) {
+            state.update(SessionBuffer(pending))
+            state.setTimeoutTimestamp(math.max(pending.map(_.last + gapMs).min, wm + 1))
+          } else state.remove()
+          done.iterator.map(s =>
+            Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
       }
   }
 }

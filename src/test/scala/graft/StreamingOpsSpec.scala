@@ -79,19 +79,50 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       q.processAllAvailable()
       // batch 3: late events at -15/-10 (in-watermark: wm = 77-120) are
       // > gap before start 30: they merge with EACH OTHER, not with the
-      // open session, and close immediately
+      // open session. They must NOT emit yet — the watermark (-43) is
+      // still below their last+gap (20), so an in-watermark bridge (e.g.
+      // ts(5)) could still fuse them with the open session
       in.addData(UserEvent(1, ts(-15)), UserEvent(1, ts(-10)))
       q.processAllAvailable()
-      val closedEarly = spark.table("sess_late").as[StreamingOps.Session].collect().toSeq
-      assert(closedEarly.contains(StreamingOps.Session(1, ts(-15), ts(-10), 2)), closedEarly.toString)
-      // flush the open session via timeout: it must span [30, 77] with 5
-      // events — exactly what batch q_sessionize would produce
+      assert(spark.table("sess_late").isEmpty, "emitted before the watermark finalized it")
+      // flush via timeout: both retained sessions emit — [-15,-10] and
+      // [30, 77] with 5 events, exactly what batch q_sessionize produces
       in.addData(UserEvent(2, ts(500)))
       q.processAllAvailable()
       in.addData(UserEvent(2, ts(501))) // extra batch so the timeout fires
       q.processAllAvailable()
       val all = spark.table("sess_late").as[StreamingOps.Session].collect().toSeq
+      assert(all.contains(StreamingOps.Session(1, ts(-15), ts(-10), 2)), all.toString)
       assert(all.contains(StreamingOps.Session(1, ts(30), ts(77), 5)), all.toString)
+    } finally q.stop()
+  }
+
+  test("sessionize merges a cross-batch BRIDGE event into an already-closed session") {
+    // The retraction trap buffered emission exists for: watermarkDelay
+    // (10 min) < gap (30 min), batch 1 = {t=0, t=33} (33 - 0 > gap ⇒ two
+    // intervals), batch 2 = {t=28} — in-watermark (wm = 33 - 10 = 23 < 28)
+    // and within a gap of BOTH (28-0 ≤ 30, 33-28 ≤ 30): the batch twin
+    // makes ONE session [0, 33]. Eager closed-by-successor emission would
+    // have already emitted [0, 0] and could not retract it.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamingOps.sessionize(in.toDS(), gapMs = 30L * 60000,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_bridge").outputMode("append").start()
+    try {
+      in.addData(UserEvent(1, ts(0)), UserEvent(1, ts(33)))
+      q.processAllAvailable()
+      assert(spark.table("sess_bridge").isEmpty, "closed-by-successor emitted eagerly")
+      in.addData(UserEvent(1, ts(28))) // the bridge
+      q.processAllAvailable()
+      // flush: watermark far past 33 + 30
+      in.addData(UserEvent(2, ts(500)))
+      q.processAllAvailable()
+      in.addData(UserEvent(2, ts(501)))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_bridge").as[StreamingOps.Session]
+        .collect().toSeq.filter(_.user_id == 1)
+      assert(u1 == Seq(StreamingOps.Session(1, ts(0), ts(33), 3)), u1.toString)
     } finally q.stop()
   }
 
