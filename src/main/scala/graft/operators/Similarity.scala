@@ -49,8 +49,22 @@ object Similarity {
     * literals; the per-iteration update is one distributed
     * cell×dimension aggregation collected back (k·dims rows). Empty
     * cells keep their previous centroid. Seeded init = the md5-derived
-    * [[VectorKernels.intCentroid]]s, so both engines start identically. */
-  private def kmeansTrain(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Long]] = {
+    * [[VectorKernels.intCentroid]]s, so both engines start identically.
+    *
+    * Memoized per corpus dir: `ann_kmeans_cells` and
+    * `ann_ivf_trained_topk` share one codebook, and at scale a codebook is
+    * trained once and SHIPPED to consumers, not re-trained per query. The
+    * value is plain driver-side data (k×dims longs), so the memo is
+    * session-independent and safe across Verify's concurrent query pool
+    * (computeIfAbsent blocks the second trainer instead of duplicating
+    * the Lloyd jobs). */
+  private val kmeansMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[IndexedSeq[Long]]]()
+
+  private def kmeansTrain(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Long]] =
+    kmeansMemo.computeIfAbsent(dir, _ => kmeansTrainUncached(s, dir))
+
+  private def kmeansTrainUncached(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Long]] = {
     val qdf = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
     var cents: IndexedSeq[IndexedSeq[Long]] =
@@ -339,7 +353,10 @@ object Similarity {
          |  SELECT cell, i, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n
          |  FROM $a, generate_series(1, $Dims) t(i) GROUP BY 1, 2),
          |${out}v AS (
-         |  SELECT cell, list(floor(s::DOUBLE / n)::BIGINT ORDER BY i) AS c
+         |  -- exact int64 floor division (== Math.floorDiv): subtract the
+         |  -- floor-mod first so the truncating // divides exactly — going
+         |  -- through DOUBLE would lose integer precision past 2^53
+         |  SELECT cell, list(((s - ((s % n + n) % n)) // n)::BIGINT ORDER BY i) AS c
          |  FROM ${out}s GROUP BY cell),
          |$out AS (SELECT p.cell, coalesce(v.c, p.c) AS c
          |  FROM $prevC p LEFT JOIN ${out}v v ON p.cell = v.cell)""".stripMargin

@@ -102,12 +102,24 @@ object ManifestIO {
       case None => ()
     }
 
+  /** First-writer-wins marker creation. CREATE_NEW (atomic create-or-fail)
+    * instead of exists-check-then-write: two concurrent first writers with
+    * DIFFERENT (nBuckets, salt) would both pass the exists check and one
+    * marker would silently lose, leaving the losing writer committing
+    * manifests under a bucketing that contradicts the recorded marker. The
+    * loser instead re-reads the marker and re-runs the mismatch check —
+    * failing loudly if its parameters disagree with the winner's. */
   private def writeBucketingMarker(outDir: String, nBuckets: Int, salt: Int): Unit = {
     val p = bucketingPath(outDir)
     if (Files.exists(p)) return
     Files.createDirectories(p.getParent)
-    Files.write(p, s"""{"nBuckets":$nBuckets,"salt":$salt}""".getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try
+      Files.write(p, s"""{"nBuckets":$nBuckets,"salt":$salt}""".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        checkBucketing(outDir, nBuckets, salt)
+    }
   }
 
   def readManifests(spark: SparkSession, outDir: String): Seq[BucketManifest] = {
