@@ -88,7 +88,7 @@ object Dedup {
           col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
 
-  /** Per-session memo of the banded-keys frame, keyed by corpus tag. The
+  /** Per-JVM memo of the banded-keys frame, keyed by corpus tag. The
     * md5-per-shingle signature pass is the dominant dedup cost, and
     * `dedup_minhash_lsh`, `dedup_lsh_band_stats` and `dedup_cc_labels`
     * each need the same banded frame — a real pipeline materializes
@@ -97,13 +97,57 @@ object Dedup {
     * row) so later queries skip the signature pass entirely; its blocks
     * live outside the catalog cache, so per-query `clearCache` calls do
     * not evict it — by design: a signatures table is pipeline INPUT, not
-    * per-query state. Thread-safe for Verify's concurrent query pool. */
-  private val bandedMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * per-query state. Thread-safe for Verify's concurrent query pool
+    * (compute() locks per key, so two tags can build concurrently).
+    *
+    * Bounded, not monotone: entries beyond [[bandedMemoCap]] evict
+    * oldest-first and their checkpoint BLOCKS are unpersisted (the entry
+    * keeps a handle on the materialized RDD — dropping only the DataFrame
+    * would leak the blocks for the JVM's lifetime, since localCheckpoint
+    * storage is invisible to `clearCache`). A hit whose owning
+    * SparkSession has been stopped recomputes instead of returning a
+    * frame backed by a dead session (stop+recreate flows, notebook use). */
+  private final case class BandedEntry(df: DataFrame,
+      blocks: Option[org.apache.spark.rdd.RDD[_]], seq: Long)
+
+  @volatile private[graft] var bandedMemoCap = 8
+  private val bandedMemo = new java.util.concurrent.ConcurrentHashMap[String, BandedEntry]()
+  private val bandedMemoSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drop every memo entry and free its checkpoint blocks (test hook /
+    * long-lived-session reset). */
+  private[graft] def bandedMemoClear(): Unit = {
+    import scala.jdk.CollectionConverters._
+    bandedMemo.keySet().asScala.toSeq.foreach(evictTag)
+  }
+
+  private def evictTag(t: String): Unit =
+    Option(bandedMemo.remove(t)).foreach { e =>
+      if (!e.df.sparkSession.sparkContext.isStopped)
+        e.blocks.foreach(_.unpersist(blocking = false))
+    }
 
   private def bandedKeysMemo(tag: Option[String], corpus: => DataFrame): DataFrame =
     tag match {
-      case None    => bandedKeys(corpus)
-      case Some(t) => bandedMemo.computeIfAbsent(t, _ => bandedKeys(corpus).localCheckpoint())
+      case None => bandedKeys(corpus)
+      case Some(t) =>
+        val entry = bandedMemo.compute(t, (_, old) =>
+          if (old != null && !old.df.sparkSession.sparkContext.isStopped) old
+          else {
+            val ck = bandedKeys(corpus).localCheckpoint()
+            // the materialized blocks belong to the LogicalRDD inside the
+            // checkpointed plan — captured here so eviction can free them
+            val rdd = ck.queryExecution.analyzed.collectFirst {
+              case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+            }
+            BandedEntry(ck, rdd, bandedMemoSeq.incrementAndGet())
+          })
+        while (bandedMemo.size > bandedMemoCap) {
+          import scala.jdk.CollectionConverters._
+          bandedMemo.asScala.toSeq.sortBy(_._2.seq).headOption
+            .foreach { case (k, _) => evictTag(k) }
+        }
+        entry.df
     }
 
   /** Full MinHash → LSH band join → exact-Jaccard verify pipeline, in the
