@@ -387,36 +387,80 @@ object Dedup {
           jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
     }),
 
-    // Embedding-cosine near-dup: candidates come from a sign-LSH bucket
+    // Embedding-cosine near-dup: candidates come from sign-LSH buckets
     // whose plane count GROWS with the corpus (planesFor keeps ~64
-    // vectors/bucket), then survivors are exact-cosine verified — the same
-    // generate-then-verify shape as minhashLsh. The round-2 version
-    // bucketed on the 10-value `label` column, whose buckets grow linearly
-    // with the corpus (pairs ∝ corpus²/10 — a quadratic shuffle); here
-    // bucket COUNT scales instead, so pairs stay ∝ corpus. Single-probe
-    // LSH recall is < 100% by construction (a near-dup pair straddling a
-    // hyperplane is missed; `ann_recall` is the shipped observable for
-    // exactly this) — the oracle mirrors the identical buckets, so the
-    // check stays hash-exact. Planted near-dups = tiny deterministic
-    // perturbation; threshold 0.99 separates them from the corpus's true
-    // cosine range (max ≈ 0.51).
-    "dedup_embedding_cosine" -> ((s, dir) => {
-      val e      = emb(s, dir)
-      val planes = VectorKernels.planesFor(2L * e.count()) // metadata-cheap count
-      val base = e.select(col("vec_id"), VectorKernels.toDouble(col("embedding")).as("v"))
-      val pert = e.select((col("vec_id") + 100000L).as("vec_id"),
-        transform(col("embedding"), (x, i) => x.cast("double") + lit(0.01) * ((i % 3) - 1)).as("v"))
-      // norm precomputed per vector (once), not per pair — bit-identical
-      // to the inline cosine (same IEEE ops, same order), 3x on the bench
-      val all = base.unionByName(pert)
-        .withColumn("nrm", VectorKernels.norm(col("v")))
-        .withColumn("bkt", VectorKernels.lshBucket(col("v"), planes, 64))
-      all.as("l").join(all.as("r"),
-          col("l.bkt") === col("r.bkt") && col("l.vec_id") < col("r.vec_id"))
-        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-          round(VectorKernels.dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")), 4).as("cos"))
-        .filter(col("cos") >= 0.99)
-    }))
+    // vectors/bucket), with HAMMING-1 MULTIPROBE (each vector also probes
+    // every one-flipped-plane bucket — the ann_multiprobe_topk move), then
+    // survivors are exact-cosine verified. Round 3 joined on the single
+    // own bucket: a near-dup pair straddling ONE hyperplane was silently
+    // missed (DedupEmbeddingSpec plants exactly that pair). Probe cost is
+    // (planes+1)× on an (id, bucket)-longs frame only — vectors join back
+    // by id for surviving candidates (the minhashLsh shape). `probe_dist`
+    // (0 = same bucket, 1 = one plane apart) is the shipped observable;
+    // the oracle mirrors the identical probe set, so the check stays
+    // hash-exact. Planted near-dups = tiny deterministic perturbation;
+    // threshold 0.99 separates them from the corpus's true cosine range
+    // (max ≈ 0.51).
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      embeddingNearDups(dupEmbeddings(s, dir),
+        VectorKernels.planesFor(2L * emb(s, dir).count()))), // metadata-cheap count
+
+    // The recall observable for the dedup path: how many verified pairs
+    // each probe depth contributed. n_pairs at probe_dist=1 is EXACTLY
+    // what single-probe missed — at 100 TB you track this fraction on a
+    // sample, you don't eyeball pair lists (`ann_recall`'s role for the
+    // search path).
+    "dedup_embedding_probe_stats" -> ((s, dir) =>
+      embeddingNearDups(dupEmbeddings(s, dir),
+          VectorKernels.planesFor(2L * emb(s, dir).count()))
+        .groupBy(col("probe_dist"))
+        .agg(count(lit(1)).as("n_pairs"), round(min(col("cos")), 4).as("min_cos"))))
+
+  /** documents' embeddings ∪ a perturbed copy (ids + 100,000) — the
+    * planted-near-dup corpus both embedding-dedup queries run on. */
+  private def dupEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e    = emb(s, dir)
+    val base = e.select(col("vec_id"), VectorKernels.toDouble(col("embedding")).as("v"))
+    val pert = e.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) => x.cast("double") + lit(0.01) * ((i % 3) - 1)).as("v"))
+    base.unionByName(pert)
+  }
+
+  /** Verified near-dup pairs over a (vec_id, v: array<double>) corpus:
+    * sign-LSH candidate generation with hamming-≤`probeHamming` multiprobe
+    * (0 = own bucket only — the round-3 single-probe shape, kept for the
+    * straddling-pair regression test), exact-cosine verification at
+    * `threshold`. Scale shape: the (planes+1)× probe explosion happens on
+    * an (id, bucket) longs-only frame; each unordered pair surfaces
+    * exactly once (from the smaller id's probe set — own ≠ flipped and
+    * flips are pairwise distinct, so no dedup pass is needed); vectors
+    * (with norms precomputed once — bit-identical to the inline cosine,
+    * same IEEE ops in the same order) join back by unique id only for
+    * candidates that survive banding. */
+  def embeddingNearDups(all: DataFrame, planes: Int, dims: Int = 64,
+      threshold: Double = 0.99, probeHamming: Int = 1): DataFrame = {
+    val keys = all.select(col("vec_id"),
+      VectorKernels.lshBucket(col("v"), planes, dims).as("bkt"))
+    val flips =
+      if (probeHamming >= 1) (0 until planes).map(j => col("bkt").bitwiseXOR(lit(1L << j)))
+      else Seq.empty
+    val probes = keys.select(col("vec_id"), col("bkt").as("own"),
+      explode(array(col("bkt") +: flips: _*)).as("pb"))
+    val cand = probes.join(
+        keys.select(col("vec_id").as("vec_b"), col("bkt").as("bkt_b")),
+        col("pb") === col("bkt_b") && col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"),
+        when(col("pb") === col("own"), lit(0L)).otherwise(lit(1L)).as("probe_dist"))
+    val vecs = all.withColumn("nrm", VectorKernels.norm(col("v")))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("probe_dist"),
+        round(VectorKernels.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 
   // --- DuckDB oracles -----------------------------------------------------
 
@@ -550,18 +594,40 @@ object Dedup {
          |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, $dkJaccard AS jaccard
          |FROM d l JOIN d r ON r.doc_id = l.doc_id + 1""".stripMargin,
     "dedup_embedding_cosine" ->
-      s"""WITH base AS (
-         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 100000 AS vec_id,
-         |    [embedding[i]::DOUBLE + 0.01 * (((i - 1) % 3) - 1) for i in generate_series(1, 64)] AS v
-         |  FROM embeddings),
-         |prm AS (SELECT ${VectorKernels.Dk.planesCase("n")} AS np
-         |  FROM (SELECT 2 * count(*)::BIGINT AS n FROM embeddings)),
-         |b AS (SELECT vec_id, v, ${VectorKernels.Dk.lshBucketDyn("v", "np", 64)} AS bkt
-         |  FROM base, prm)
-         |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-         |  round(${VectorKernels.Dk.cosine("l.v", "r.v", 64)}, 4) AS cos
-         |FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
-         |WHERE round(${VectorKernels.Dk.cosine("l.v", "r.v", 64)}, 4) >= 0.99""".stripMargin)
+      s"""WITH $dkEmbNearDups
+         |SELECT vec_a, vec_b, probe_dist, cos FROM verified""".stripMargin,
+    "dedup_embedding_probe_stats" ->
+      s"""WITH $dkEmbNearDups
+         |SELECT probe_dist, count(*)::BIGINT AS n_pairs, round(min(cos), 4) AS min_cos
+         |FROM verified GROUP BY 1""".stripMargin)
+
+  /** Shared CTE chain for both embedding-dedup oracles: planted-perturbed
+    * corpus → corpus-scaling planes → hamming-1 multiprobe candidate join
+    * (probe list = own bucket prepended to every one-bit flip, mirroring
+    * the Spark probe set bit-for-bit) → exact-cosine verify. */
+  private def dkEmbNearDups: String =
+    s"""base AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id,
+       |    [embedding[i]::DOUBLE + 0.01 * (((i - 1) % 3) - 1) for i in generate_series(1, 64)] AS v
+       |  FROM embeddings),
+       |prm AS (SELECT ${VectorKernels.Dk.planesCase("n")} AS np
+       |  FROM (SELECT 2 * count(*)::BIGINT AS n FROM embeddings)),
+       |b AS (SELECT vec_id, v, ${VectorKernels.Dk.lshBucketDyn("v", "np", 64)} AS bkt
+       |  FROM base, prm),
+       |probes AS (
+       |  SELECT vec_id, bkt AS own,
+       |    unnest(list_prepend(bkt,
+       |      [xor(bkt, (1::BIGINT << j)) for j in generate_series(0, np - 1)])) AS pb
+       |  FROM b, prm),
+       |cand AS (
+       |  SELECT p.vec_id AS vec_a, c.vec_id AS vec_b,
+       |    (CASE WHEN p.pb = p.own THEN 0 ELSE 1 END)::BIGINT AS probe_dist
+       |  FROM probes p JOIN b c ON p.pb = c.bkt AND p.vec_id < c.vec_id),
+       |verified AS (
+       |  SELECT vec_a, vec_b, probe_dist,
+       |    round(${VectorKernels.Dk.cosine("l.v", "r.v", 64)}, 4) AS cos
+       |  FROM cand JOIN b l ON l.vec_id = vec_a JOIN b r ON r.vec_id = vec_b
+       |  WHERE round(${VectorKernels.Dk.cosine("l.v", "r.v", 64)}, 4) >= 0.99)""".stripMargin
 }
