@@ -217,6 +217,67 @@ object Curation {
 
   // --- DuckDB oracles -----------------------------------------------------
 
+  /** [[curateStages]] as a SQL chain over a `corpus(doc_id, text)` CTE
+    * already in scope (caller opens `WITH RECURSIVE corpus AS (...)` —
+    * recursive because the duplicate-cluster closure is a recursive CTE):
+    * quality gate → exact dedup → MinHash/band/cap/candidate/verify →
+    * transitive closure → keepers → split → pack, ending with the final
+    * SELECT. `nbSql` is the bucket-count expression; `idCast` casts the
+    * cluster label ("::BIGINT" for numeric doc_ids, "" for string ids —
+    * `least`/`min`/`<` work identically on VARCHAR, there is just nothing
+    * to cast). Shared by `corpus_curate` (planted generations over the
+    * documents table) and `extract_curate` (the EXTRACTED corpus). */
+  def dkCurateChain(nbSql: String, idCast: String = "::BIGINT"): String =
+    s"""q AS (SELECT doc_id, text FROM corpus
+       |  WHERE len(${Dk.tokens("text")}) BETWEEN 5 AND 10000),
+       |dd AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM q) WHERE rn = 1),
+       |${Dedup.dkSig("dd")},
+       |capped AS (
+       |  SELECT doc_id, band, k1, k2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
+       |    FROM banded) WHERE rn <= ${Dedup.MaxBandGroup}),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM capped l JOIN capped r
+       |    ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.doc_id < r.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sig l ON l.doc_id = doc_a
+       |  JOIN sig r ON r.doc_id = doc_b
+       |  WHERE ${Dedup.dkJaccard} >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |closure AS (
+       |  SELECT src AS a, dst AS b FROM edges
+       |  UNION
+       |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+       |labels AS (
+       |  SELECT a AS doc_id, least(a, min(b))$idCast AS cluster_id
+       |  FROM closure GROUP BY a),
+       |keepers AS (
+       |  SELECT dd.doc_id, dd.text FROM dd LEFT JOIN labels USING (doc_id)
+       |  WHERE labels.doc_id IS NULL OR labels.cluster_id = dd.doc_id),
+       |prm AS (SELECT ($nbSql)::BIGINT AS nb),
+       |packed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${Dk.hex32("'split:' || doc_id::VARCHAR")} % 100 < $TrainPct
+       |         THEN 'train' ELSE 'val' END AS split,
+       |    ${Dk.hex32("'pack:' || doc_id::VARCHAR")} % nb AS bucket,
+       |    len(${Dk.tokens("text")})::BIGINT AS n_tokens
+       |  FROM keepers, prm),
+       |c AS (
+       |  SELECT doc_id, split, bucket, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum_tokens
+       |  FROM packed)
+       |SELECT doc_id, split, bucket, n_tokens, cum_tokens::BIGINT AS cum_tokens,
+       |  ((cum_tokens - n_tokens) // $ShardBudget)::BIGINT AS shard
+       |FROM c""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_train_split" ->
       s"""SELECT doc_id,
@@ -254,55 +315,7 @@ object Curation {
          |  SELECT doc_id + 3000000, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 4000000, '!! ?? !!' FROM documents),
-         |q AS (SELECT doc_id, text FROM corpus
-         |  WHERE len(${Dk.tokens("text")}) BETWEEN 5 AND 10000),
-         |dd AS (SELECT doc_id, text FROM (
-         |    SELECT doc_id, text,
-         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |    FROM q) WHERE rn = 1),
-         |${Dedup.dkSig("dd")},
-         |capped AS (
-         |  SELECT doc_id, band, k1, k2 FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
-         |    FROM banded) WHERE rn <= ${Dedup.MaxBandGroup}),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM capped l JOIN capped r
-         |    ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.doc_id < r.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN sig l ON l.doc_id = doc_a
-         |  JOIN sig r ON r.doc_id = doc_b
-         |  WHERE ${Dedup.dkJaccard} >= 0.8),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |closure AS (
-         |  SELECT src AS a, dst AS b FROM edges
-         |  UNION
-         |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
-         |labels AS (
-         |  SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
-         |  FROM closure GROUP BY a),
-         |keepers AS (
-         |  SELECT dd.doc_id, dd.text FROM dd LEFT JOIN labels USING (doc_id)
-         |  WHERE labels.doc_id IS NULL OR labels.cluster_id = dd.doc_id),
-         |prm AS (SELECT ${dkPackBuckets("5 * (SELECT count(*) FROM documents)")}::BIGINT AS nb),
-         |packed AS (
-         |  SELECT doc_id,
-         |    CASE WHEN ${Dk.hex32("'split:' || doc_id::VARCHAR")} % 100 < $TrainPct
-         |         THEN 'train' ELSE 'val' END AS split,
-         |    ${Dk.hex32("'pack:' || doc_id::VARCHAR")} % nb AS bucket,
-         |    len(${Dk.tokens("text")})::BIGINT AS n_tokens
-         |  FROM keepers, prm),
-         |c AS (
-         |  SELECT doc_id, split, bucket, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum_tokens
-         |  FROM packed)
-         |SELECT doc_id, split, bucket, n_tokens, cum_tokens::BIGINT AS cum_tokens,
-         |  ((cum_tokens - n_tokens) // $ShardBudget)::BIGINT AS shard
-         |FROM c""".stripMargin,
+         |${dkCurateChain(dkPackBuckets("5 * (SELECT count(*) FROM documents)"))}""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

@@ -1,9 +1,10 @@
 package graft.operators
 
+import graft.{Document, Span}
 import graft.corpus.EvalCorpus
 import graft.eval.{EvalJob, J}
 import graft.plans.{ExtractJob, GoldenDiff, OracleAux}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The extraction/eval pipeline exposed through the query surface — WITH
@@ -73,6 +74,31 @@ object ExtractQueries {
         .select(col("doc_id"), col("golden_spans"), coalesce(col("matches"), lit(true)).as("matches"))
     }),
 
+    // ============== EXTRACTION → CURATION, END TO END ==============
+    // The two halves of the product composed: ExtractMain's kernel output
+    // (reassembled main-content text, ordered text-span concat — the
+    // reference's own join, field_extractor_gpt.py:16) fed into the
+    // corpus_curate chain. The planted defect is the case only the
+    // COMPOSITION can handle: every 10th doc gets a copy whose raw spans
+    // differ by an appended link-density-1.0 boilerplate block — raw-byte
+    // dedup canNOT merge the pair; after boilerplate stripping the
+    // extracted texts are identical and exact dedup kills every copy.
+    // Oracle: the same curation chain in SQL over the GOLDEN spans (the
+    // generator-side independent path) — hash equality therefore proves
+    // extraction output == golden THROUGH the whole curation chain.
+    "extract_curate" -> ((s, _) => {
+      import s.implicits._
+      val parts = s.sparkContext.defaultParallelism
+      val in = withBoilerCopies(ExtractJob.generateInputs(s, XcurDocs, XcurSeed, parts))
+      writeAux(GoldenDiff.explodeSpans(
+          withGoldenCopies(ExtractJob.generateGoldens(s, XcurDocs, XcurSeed, parts))),
+        "xcur_golden")
+      val corpus = spansToText(
+        GoldenDiff.explodeSpans(ExtractJob.extract(in, numPartitions = parts)))
+      Curation.curate(corpus, Curation.packBucketsFor(XcurDocs + XcurCopies),
+        Some(s"xcur#$XcurDocs"))
+    }),
+
     // The reference's field-level evaluation (EP2) end-to-end on a seeded
     // golden/prediction corpus with PLANTED defect counts: per-folder
     // accuracy summary, oracle-checked against the generator's declared
@@ -95,6 +121,55 @@ object ExtractQueries {
       EvalJob.folderSummary(EvalJob.evaluate(preds, goldens))
     }))
 
+  // --- extract_curate plumbing --------------------------------------------
+
+  private val XcurDocs   = 400L
+  private val XcurSeed   = 13L
+  private val XcurCopies = (0L until XcurDocs).count(_ % 10 == 3).toLong
+  /** Unambiguous boilerplate under the WSDM-2010 rules: every word inside
+    * an anchor (link density 1.0) — stripped by extraction regardless of
+    * neighbors, and appended LAST so it cannot change any existing
+    * block's flanking features into a different class (generator content
+    * blocks are >40 words ⇒ content on their own features). */
+  private val XcurBoiler =
+    """<div><a href="#home">home</a> <a href="#about">about</a> <a href="#terms">terms</a></div>"""
+
+  private def xcurIdx(docId: String): Long =
+    docId.stripPrefix("doc_").takeWhile(_.isDigit).toLong
+
+  /** Every 10th doc duplicated with an EXTRA boilerplate block: raw spans
+    * differ, extracted main content is identical. */
+  private def withBoilerCopies(ds: Dataset[Document]): Dataset[Document] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { d =>
+      if (xcurIdx(d.doc_id) % 10 == 3) {
+        val off = if (d.spans.isEmpty) 0 else d.spans.map(_.offset).max + 1
+        Seq(d, Document(d.doc_id + "_b",
+          d.spans :+ Span(Span.Kind.Html, XcurBoiler, "", off)))
+      } else Seq(d)
+    }
+  }
+
+  /** The copies' goldens are the originals' goldens verbatim (boilerplate
+    * never reaches the golden) under the suffixed id. */
+  private def withGoldenCopies(ds: Dataset[Document]): Dataset[Document] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { d =>
+      if (xcurIdx(d.doc_id) % 10 == 3) Seq(d, d.copy(doc_id = d.doc_id + "_b"))
+      else Seq(d)
+    }
+  }
+
+  /** Reassemble per-doc main-content text: ordered text-span concat (the
+    * reference's extraction-text join). Docs with no text spans drop out
+    * (empty/pure-media) — mirrored by the oracle's WHERE kind = 'text'. */
+  private[graft] def spansToText(spans: DataFrame): DataFrame =
+    spans.filter(col("kind") === "text")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("text")))),
+          x => x.getField("text")), " ").as("text"))
+
   // --- DuckDB oracles (over the aux tables) -------------------------------
 
   private val spanCols = "doc_id, pos, kind, text, media_ref"
@@ -102,6 +177,15 @@ object ExtractQueries {
   def oracles: Map[String, String] = Map(
     "extract_spans" ->
       s"SELECT $spanCols FROM ${OracleAux.sqlFrom("extract_spans_golden")}",
+    // the full curation chain over the GOLDEN spans' reassembled text —
+    // string doc_ids, so the cluster label stays VARCHAR (idCast = "")
+    "extract_curate" ->
+      s"""WITH RECURSIVE golden AS (
+         |  SELECT doc_id, pos, kind, text FROM ${OracleAux.sqlFrom("xcur_golden")}),
+         |corpus AS (
+         |  SELECT doc_id, string_agg(text, ' ' ORDER BY pos) AS text
+         |  FROM golden WHERE kind = 'text' GROUP BY doc_id),
+         |${Curation.dkCurateChain(Curation.dkPackBuckets((XcurDocs + XcurCopies).toString), "")}""".stripMargin,
     "extract_golden_match" ->
       s"""WITH e AS (SELECT $spanCols FROM ${OracleAux.sqlFrom("egm_extracted")}),
          |g AS (SELECT $spanCols FROM ${OracleAux.sqlFrom("egm_golden")}),
