@@ -38,6 +38,17 @@ object Corpus {
     "home", "about", "login", "next", "prev", "contact", "terms", "privacy",
     "subscribe", "share", "menu", "footer", "nav", "sitemap")
 
+  /** Multilingual content vocabulary for the UTF-8 corpus slot (%100=67):
+    * CJK (3-byte UTF-8), Cyrillic (2-byte), precomposed Latin accents, and
+    * a 4-byte emoji (a surrogate PAIR in JVM strings — any kernel counting
+    * UTF-16 units instead of words/codepoints breaks here). A real crawl
+    * is multilingual; the extraction rules (word counts, link density,
+    * whitespace collapse) must be script-agnostic. */
+  private val Utf8Vocab: IndexedSeq[String] = IndexedSeq(
+    "数据", "处理", "流水线", "模型", "字段", "表格", "合计", "金额",
+    "données", "schéma", "café", "résumé", "обработка", "данные", "поток",
+    "внимание", "🚀")
+
   private def mix(seed: Long, docIdx: Long): Long = {
     var z = seed + docIdx * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -49,8 +60,8 @@ object Corpus {
     Seq.fill(n)(vocab(rng.nextInt(vocab.length)))
 
   /** Unambiguous content block: >40 plain words, link density 0. */
-  private def contentBlock(rng: Random): (String, String) = {
-    val ws   = words(rng, 41 + rng.nextInt(40))
+  private def contentBlock(rng: Random, vocab: IndexedSeq[String] = Vocab): (String, String) = {
+    val ws   = words(rng, 41 + rng.nextInt(40), vocab)
     val text = ws.mkString(" ")
     // raw html wraps it in a tag pair + stray whitespace to exercise
     // tag-stripping and whitespace collapse
@@ -65,7 +76,8 @@ object Corpus {
 
   /** HTML doc: interleaved boiler/content blocks. Returns (input spans,
     * golden spans) without offsets assigned. */
-  private def htmlDoc(rng: Random, blocks: Int): (Seq[Span], Seq[String]) = {
+  private def htmlDoc(rng: Random, blocks: Int,
+      vocab: IndexedSeq[String] = Vocab): (Seq[Span], Seq[String]) = {
     val in     = Seq.newBuilder[Span]
     val golden = Seq.newBuilder[String]
     var off    = 0
@@ -73,7 +85,7 @@ object Corpus {
       if (rng.nextDouble() < 0.55) {
         in += Span(Kind.Html, boilerBlock(rng), "", off)
       } else {
-        val (raw, clean) = contentBlock(rng)
+        val (raw, clean) = contentBlock(rng, vocab)
         in += Span(Kind.Html, raw, "", off)
         golden += clean
       }
@@ -271,6 +283,12 @@ object Corpus {
         (in, g.map(t => Span(Kind.Text, t, "", 0)))
       case 55 => // ref_def shadowing media
         shadowMediaDoc(rng)
+      case 67 => // multilingual UTF-8 html (corpus v4): CJK/Cyrillic/
+        // accented/emoji content through the same boilerplate rules —
+        // goldens by construction, so 100% golden equality PROVES the
+        // kernel is script-agnostic
+        val (in, g) = htmlDoc(rng, 4 + rng.nextInt(10), Utf8Vocab)
+        (in, g.map(t => Span(Kind.Text, t, "", 0)))
       case _ => (docIdx % 20) match {
         case 0 => // empty doc
           (Nil, Nil)

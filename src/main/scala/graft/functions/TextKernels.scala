@@ -113,12 +113,17 @@ object TextKernels {
 
   /** Language marker stopword lists (tiny, deterministic n-gram heuristic
     * — the operator contract, not a trained model). Alphabetical lang
-    * order fixes argmax tie-breaks. */
+    * order fixes argmax tie-breaks. Includes non-ASCII scripts (Cyrillic,
+    * CJK): marker matching is exact UTF-8 string equality in both engines,
+    * so the heuristic extends beyond Latin corpora with no kernel change
+    * — the multilingual contract a real crawl needs. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "en" -> Seq("the", "a", "and", "of", "is"),
     "es" -> Seq("el", "la", "los", "de", "y"),
-    "fr" -> Seq("le", "les", "des", "de", "et"))
+    "fr" -> Seq("le", "les", "des", "de", "et"),
+    "ru" -> Seq("и", "в", "не", "на", "что"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
 
   /** Count of tokens contained in a marker list (multiset semantics:
     * every occurrence counts). */

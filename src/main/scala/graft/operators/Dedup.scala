@@ -64,7 +64,7 @@ object Dedup {
   /** doc_id + 8 minhashes. Base hashes live in their own named column so
     * the one-md5-per-shingle pass is computed once and shared by all k
     * families. */
-  private def signatures(corpus: DataFrame): DataFrame = {
+  private[operators] def signatures(corpus: DataFrame): DataFrame = {
     val mhs = (0 until MinhashK).map(j => minhash(col("hs"), j).as(s"mh$j"))
     corpus
       .withColumn("sh", shingles3(tokens(col("text"))))

@@ -32,6 +32,48 @@ object TextOps {
   private val ChunkW = 10
   private val Footer = "standard footer text all rights reserved contact legal team here"
 
+  /** Planted UTF-8 suffixes (by doc_id % 6) for the multilingual parity
+    * queries — each one a real-corpus hazard for an ASCII-tested engine:
+    *  0 CJK + IDEOGRAPHIC SPACE U+3000 (not regex \s in Java OR RE2: the
+    *    run stays ONE whitespace token — pinned, not assumed);
+    *  1 combining accent (e + U+0301) vs the precomposed é — distinct
+    *    code-point sequences, so distinct tokens and distinct md5 bytes
+    *    (neither engine normalizes — NFC is the caller's job);
+    *  2 NBSP U+00A0 binds two words into one token in both engines;
+    *  3 emoji (4-byte UTF-8, surrogate pairs in JVM strings — char counts
+    *    must be CODEPOINTS, not UTF-16 units);
+    *  4 Cyrillic markers (feeds the extended langid);
+    *  5 space-segmented CJK markers (whitespace tokenization only sees
+    *    CJK markers when text is pre-segmented — the documented contract).
+    * One shared Scala list builds BOTH the Spark column and the oracle SQL
+    * literal, so the planted bytes cannot drift between engines. */
+  private[graft] val Utf8Suffixes: IndexedSeq[String] = IndexedSeq(
+    " \u6570\u636e\u3000\u5904\u7406 \u6d41\u6c34\u7ebf",            // U+3000 inside the CJK run
+    " caf\u00e9 cafe\u0301 pr\u00e9paration",       // precomposed vs combining
+    " foo\u00a0bar baz",                          // NBSP binds foo+bar
+    " \ud83d\ude80 data \ud83d\udcbe \ud83d\udd25",      // emoji, surrogate pairs
+    " \u0438 \u0432 \u043d\u0435 \u043d\u0430 \u0447\u0442\u043e \u0434\u0430\u043d\u043d\u044b\u0435",
+    " \u7684 \u662f \u4e86 \u5728 \u6211 \u6a21\u578b")
+
+  /** documents with the planted UTF-8 suffix appended (deterministic per
+    * doc_id). */
+  private def utf8Corpus(s: SparkSession, dir: String): DataFrame = {
+    val suffix = Utf8Suffixes.indices.foldRight(lit("")) { (i, acc) =>
+      when(col("doc_id") % Utf8Suffixes.length === i, lit(Utf8Suffixes(i))).otherwise(acc)
+    }
+    docs(s, dir).select(col("doc_id"), concat(col("text"), suffix).as("text"))
+  }
+
+  /** [[utf8Corpus]]'s oracle twin (single-quote-free literals by
+    * construction). */
+  private def dkUtf8Corpus: String = {
+    val cases = Utf8Suffixes.zipWithIndex
+      .map { case (sfx, i) => s"WHEN $i THEN '$sfx'" }.mkString(" ")
+    s"""utf8c AS (SELECT doc_id,
+       |  text || (CASE doc_id % ${Utf8Suffixes.length} $cases END) AS text
+       |  FROM documents)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish regex pre-tokens.
     "text_tokens" -> ((s, dir) =>
@@ -104,6 +146,36 @@ object TextOps {
           EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>").as("redacted"))
     }),
 
+    // UTF-8/multilingual parity over the planted corpus (Utf8Suffixes):
+    // token counts (NBSP/U+3000 are NOT whitespace in either engine's
+    // regex \s — pinned here), CODEPOINT char counts (emoji are surrogate
+    // pairs in the JVM), md5 over UTF-8 bytes, and the extended langid
+    // (Cyrillic + CJK markers) — all hash-exact against DuckDB, which is
+    // the evidence the text kernels survive a real multilingual crawl,
+    // not just the ASCII sf tables.
+    "utf8_text_stats" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val base = utf8Corpus(s, dir).select(
+        col("doc_id") +:
+          size(toks).cast("long").as("n_tokens") +:
+          length(col("text")).cast("long").as("n_chars") +:
+          md5(col("text")).as("content_hash") +:
+          LangMarkers.map { case (lang, ms) =>
+            markerHits(toks, ms).cast("long").as(s"s_$lang")
+          }: _*)
+      val best = greatest(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+      val pred = LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+        when(col(s"s_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+      }
+      base.withColumn("lang_pred", pred)
+    }),
+
+    // The dedup signature pass over the UTF-8 corpus: tokens → 3-gram
+    // shingles (concat_ws over multi-byte strings) → md5-derived base
+    // hashes → 8 minhash families, bit-exact across engines — near-dup
+    // dedup does not quietly degrade on non-ASCII content.
+    "utf8_minhash_sig" -> ((s, dir) => Dedup.signatures(utf8Corpus(s, dir))),
+
     // Duplicated-chunk ratio: consecutive 10-token windows hashed, a chunk
     // is "duplicated" when ≥ 2 distinct docs carry it — per-doc ratio is
     // the RefinedWeb-style dup-fraction filter signal, and the scalable
@@ -172,6 +244,27 @@ object TextOps {
     "text_fingerprint" ->
       s"""SELECT doc_id, ${Dk.fingerprint("text")} AS fp, ${Dk.winnowMin("text")} AS winnow_min
          |FROM documents""".stripMargin,
+    "utf8_text_stats" -> {
+      val scores = LangMarkers.map { case (lang, ms) =>
+        s"${Dk.markerHits("toks", ms)}::BIGINT AS s_$lang"
+      }.mkString(", ")
+      val best = LangMarkers.map { case (lang, _) => s"s_$lang" }.mkString("greatest(", ", ", ")")
+      val pred = LangMarkers.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
+        s"CASE WHEN s_$lang = $best AND $best > 0 THEN '$lang' ELSE $acc END"
+      }
+      s"""WITH $dkUtf8Corpus,
+         |t AS (SELECT doc_id, text, ${Dk.tokens("text")} AS toks FROM utf8c),
+         |m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    length(text)::BIGINT AS n_chars, md5(text) AS content_hash, $scores
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_chars, content_hash,
+         |  ${LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")}, $pred AS lang_pred
+         |FROM m""".stripMargin
+    },
+    "utf8_minhash_sig" ->
+      s"""WITH $dkUtf8Corpus,
+         |${Dedup.dkSig("utf8c")}
+         |SELECT doc_id, ${(0 until 8).map(j => s"mh$j").mkString(", ")} FROM sig""".stripMargin,
     "text_pii_redact" ->
       s"""WITH planted AS (
          |  SELECT doc_id,
