@@ -1,8 +1,11 @@
 package graft
 
-import graft.operators.Curation
-import org.apache.spark.sql.SparkSession
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** spark-submit entry point for the corpus-curation pipeline — the
   * deployment surface of the `corpus_curate` flagship query: raw
@@ -12,17 +15,91 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   graft.CurateMain <documentsParquet> <outDir>
   *
-  * Reads a parquet table with (doc_id: long, text: string), runs
-  * quality gate → exact dedup → MinHash-LSH → connected components →
-  * keeper selection → 90/10 train/val split → token-budget shard
-  * packing ([[Curation.curateStages]]), writes the packed table
-  * partitioned by `split`, and prints ONE JSON line of per-stage counts
-  * (what each stage removed) + wall time — the lineage observables a
-  * curation run ships with. Every stage is deterministic (salted hashes,
-  * no rand()), so reruns over the same input produce byte-identical
-  * splits and shards.
+  * RESUMABLE at stage boundaries (the ExtractMain-manifest idea applied
+  * to curation): each expensive stage materializes to a durable table
+  * under `<outDir>/stages/` —
+  *   deduped/  quality gate + exact dedup (doc_id, text)
+  *   banded/   the MinHash banded-signature frame (doc_id, band, k1, k2)
+  *             — the in-session memo made DURABLE
+  *   clusters/ near-dup cluster labels (doc_id, cluster_id)
+  * A stage table is valid iff its `_SUCCESS` marker exists (Spark's
+  * commit protocol writes it last, so a killed run leaves an invalid
+  * partial dir that is simply overwritten). A rerun reuses every valid
+  * stage: after a crash between stages it re-pays NOTHING upstream —
+  * in particular the dominant signature pass — and every stage is
+  * deterministic (salted hashes, no rand()), so the resumed run's shards
+  * are identical to an uninterrupted run's (CurateResumeSpec reruns with
+  * the INPUT DELETED and gets byte-identical packed output).
+  * `STAGES.json` records (nRaw, nBuckets) on first run so a resume never
+  * re-counts — or even needs — the input.
   */
 object CurateMain {
+
+  private def valid(p: String): Boolean = Files.exists(Paths.get(p, "_SUCCESS"))
+
+  /** Run (or resume) the curation pipeline; returns the lineage JSON. */
+  def run(spark: SparkSession, input: String, outDir: String): String = {
+    val t0     = System.nanoTime()
+    val marker = Paths.get(outDir, "STAGES.json")
+
+    def rawCorpus: DataFrame =
+      spark.read.parquet(input).select(col("doc_id"), col("text"))
+
+    val (nRaw, nBuckets) =
+      if (Files.exists(marker)) {
+        val kv = "\"(\\w+)\"\\s*:\\s*(-?\\d+)".r
+          .findAllMatchIn(Files.readString(marker))
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+        (kv("nRaw"), kv("nBuckets"))
+      } else {
+        val n  = rawCorpus.count()
+        val nb = Curation.packBucketsFor(n)
+        Files.createDirectories(marker.getParent)
+        Files.write(marker, s"""{"nRaw":$n,"nBuckets":$nb}""".getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        (n, nb)
+      }
+
+    /** Materialize-or-reuse one stage table: compute + write only when no
+      * committed table exists, then always READ BACK from disk — every
+      * downstream consumer sees the durable table, never the lineage. */
+    def stage(path: String)(compute: => DataFrame): DataFrame = {
+      if (!valid(path)) compute.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+    val deduped = stage(s"$outDir/stages/deduped") {
+      Curation.exactDedupKeepers(Curation.qualityGate(rawCorpus))
+    }
+    val banded = stage(s"$outDir/stages/banded") {
+      Dedup.bandedKeysFor(deduped)
+    }
+    val clusters = stage(s"$outDir/stages/clusters") {
+      Dedup.connectedComponents(
+        Dedup.minhashLshFrom(deduped, banded).select("doc_a", "doc_b"))
+    }
+
+    val keepers = Curation.keepersFrom(deduped, clusters)
+    Curation.packFrom(keepers, nBuckets)
+      .write.mode("overwrite").partitionBy("split").parquet(s"$outDir/packed")
+
+    // per-stage counts: every stage is a durable table by now, so counts
+    // are metadata-cheap reads — no stage recomputes for its count
+    val nDeduped  = deduped.count()
+    val nClusters = clusters.select(col("cluster_id")).distinct().count()
+    val written   = spark.read.parquet(s"$outDir/packed")
+    val nKept     = written.count()
+    val nShards = written
+      .select(col("split"), col("bucket"), col("shard")).distinct().count()
+    val nTrain  = written.filter(col("split") === "train").count()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    f"""{"docsIn":$nRaw,"afterQualityAndExact":$nDeduped,""" +
+      f""""nearDupClusters":$nClusters,"keepers":$nKept,""" +
+      f""""train":$nTrain,"val":${nKept - nTrain},"shards":$nShards,""" +
+      f""""wallSec":$wallSec%.3f,"docsPerSec":${nRaw / wallSec}%.1f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val input  = args.headOption.getOrElse("/root/testdata/sf0.01/documents.parquet")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft-curate-out"
@@ -37,30 +114,7 @@ object CurateMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val t0     = System.nanoTime()
-    val corpus = spark.read.parquet(input).select(col("doc_id"), col("text"))
-    val nRaw   = corpus.count()
-    val stages = Curation.curateStages(corpus, Curation.packBucketsFor(nRaw))
-
-    stages.packed.write.mode("overwrite").partitionBy("split").parquet(outDir)
-
-    // per-stage counts: deduped/clusters are checkpoint/materialized by
-    // the chain, packed is read back from the table just written — no
-    // stage recomputes for its count
-    val nDeduped  = stages.deduped.count()
-    val nClusters = stages.clusters.select(col("cluster_id")).distinct().count()
-    val written   = spark.read.parquet(outDir)
-    val nKept     = written.count()
-    val nShards = written
-      .select(col("split"), col("bucket"), col("shard")).distinct().count()
-    val nTrain  = written.filter(col("split") === "train").count()
-    val wallSec = (System.nanoTime() - t0) / 1e9
-
-    println(
-      f"""{"docsIn":$nRaw,"afterQualityAndExact":$nDeduped,""" +
-        f""""nearDupClusters":$nClusters,"keepers":$nKept,""" +
-        f""""train":$nTrain,"val":${nKept - nTrain},"shards":$nShards,""" +
-        f""""wallSec":$wallSec%.3f,"docsPerSec":${nRaw / wallSec}%.1f}""")
+    println(run(spark, input, outDir))
     spark.stop()
   }
 }

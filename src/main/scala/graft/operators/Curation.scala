@@ -88,24 +88,35 @@ object Curation {
     * [[packBucketsFor]] over the raw corpus size (callers know their
     * count already; keeping it a parameter avoids a second count job).
     * See the `corpus_curate` query for the stage-by-stage scale notes. */
-  def curateStages(corpus: DataFrame, nBuckets: Long,
-      memoTag: Option[String] = None): CurationStages = {
-    val deduped = exactDedupKeepers(
-        corpus.filter(size(tokens(col("text"))).between(5, 10000)))
-      .localCheckpoint() // consumed 3× (banding, verify, keeper join)
-    val pairs    = Dedup.minhashLsh(deduped, memoTag).select("doc_a", "doc_b")
-    val clusters = Dedup.connectedComponents(pairs)
-    val keepers = deduped.join(clusters, Seq("doc_id"), "left")
+  /** Quality gate (stage 1): the narrow token-count scan. */
+  def qualityGate(corpus: DataFrame): DataFrame =
+    corpus.filter(size(tokens(col("text"))).between(5, 10000))
+
+  /** Keeper selection (stage after CC): cluster minima + unclustered. */
+  def keepersFrom(deduped: DataFrame, clusters: DataFrame): DataFrame =
+    deduped.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+
+  /** Split + token-budget shard packing (stages 4-5) over the keepers. */
+  def packFrom(keepers: DataFrame, nBuckets: Long): DataFrame = {
     val h  = hex32(concat(lit("split:"), col("doc_id").cast("string"))) % 100
     val wp = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-    val packed = keepers.select(col("doc_id"),
+    keepers.select(col("doc_id"),
         when(h < TrainPct, lit("train")).otherwise(lit("val")).as("split"),
         (hex32(concat(lit("pack:"), col("doc_id").cast("string"))) % nBuckets).as("bucket"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(wp))
       .withColumn("shard", floor((col("cum_tokens") - col("n_tokens")) / ShardBudget))
-    CurationStages(deduped, clusters, keepers, packed)
+  }
+
+  def curateStages(corpus: DataFrame, nBuckets: Long,
+      memoTag: Option[String] = None): CurationStages = {
+    val deduped = exactDedupKeepers(qualityGate(corpus))
+      .localCheckpoint() // consumed 3× (banding, verify, keeper join)
+    val pairs    = Dedup.minhashLsh(deduped, memoTag).select("doc_a", "doc_b")
+    val clusters = Dedup.connectedComponents(pairs)
+    val keepers  = keepersFrom(deduped, clusters)
+    CurationStages(deduped, clusters, keepers, packFrom(keepers, nBuckets))
   }
 
   def curate(corpus: DataFrame, nBuckets: Long,

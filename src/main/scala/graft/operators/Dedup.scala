@@ -166,9 +166,20 @@ object Dedup {
     *    never for the whole corpus a second time.
     * `corpus` needs (doc_id, text); exposed corpus-in so the bench can
     * stress it with a planted hot-key corpus. */
-  def minhashLsh(corpus: DataFrame, memoTag: Option[String] = None): DataFrame = {
+  def minhashLsh(corpus: DataFrame, memoTag: Option[String] = None): DataFrame =
+    minhashLshFrom(corpus, bandedKeysMemo(memoTag, corpus))
+
+  /** The banded-keys frame as a frame a caller can MATERIALIZE DURABLY
+    * (CurateMain writes it as a stage table so a resumed run never re-pays
+    * the signature pass — the at-scale shape: signatures are a table, not
+    * per-run state). */
+  def bandedKeysFor(corpus: DataFrame): DataFrame = bandedKeys(corpus)
+
+  /** [[minhashLsh]] against an externally-supplied banded frame (read back
+    * from a durable stage table on resume). */
+  def minhashLshFrom(corpus: DataFrame, banded: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = bandedKeysMemo(memoTag, corpus)
+    val capped = banded
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("doc_id"))))
       .filter(col("rn") <= MaxBandGroup).drop("rn")
