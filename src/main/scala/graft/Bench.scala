@@ -65,7 +65,12 @@ object Bench {
     graft.operators.ExtractQueries.auxWrites = false
 
     // ---- query catalog: `reps` interleaved passes, per-query median ----
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_ONLY=<q1,q2> restricts to a subset (isolation A/Bs —
+    // e.g. reproducing a single query's regression outside the full
+    // catalog's cache/memory neighborhood); extraction + skew sections are
+    // skipped in that mode so the subset is all that runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     val passes: Seq[Map[String, Double]] = (0 until reps).map { _ =>
       names.map { name =>
         val fn  = SparkEntry.queries(name)
@@ -85,33 +90,36 @@ object Bench {
     // ---- extraction throughput from a PRE-MATERIALIZED corpus ----
     val exN   = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_DOCS", "40000").toLong
     val parts = cpus.toInt * 2
-    val exDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-corpus-$exN"
-    ExtractJob.generateInputs(spark, exN, 42L, parts).write.mode("overwrite").parquet(exDir)
-    val exSecs = (0 until reps).map { _ =>
-      timed(runNoop(ExtractJob.extract(
-        spark.read.parquet(exDir).as[Document], parts).toDF()))
+    val exSec = if (only.isDefined) 0.0 else {
+      val exDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-corpus-$exN"
+      ExtractJob.generateInputs(spark, exN, 42L, parts).write.mode("overwrite").parquet(exDir)
+      median((0 until reps).map { _ =>
+        timed(runNoop(ExtractJob.extract(
+          spark.read.parquet(exDir).as[Document], parts).toDF()))
+      })
     }
-    val exSec = median(exSecs)
 
     // ---- skew stress: hot-key corpus through the capped LSH pipeline ----
     val hotCopies = 2000L
-    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    val hot = base.filter(col("doc_id") === 0).select(col("text"))
-      .crossJoin(spark.range(hotCopies).select((col("id") + 2000000L).as("doc_id")))
-      .select(col("doc_id"), col("text"))
-    val skewCorpus = base.unionByName(hot)
-    val skewSec = timed(runNoop(graft.operators.Dedup.minhashLsh(skewCorpus)))
-    spark.catalog.clearCache()
-    val stats = graft.operators.Dedup.lshBandStats(skewCorpus)
-      .agg(max(col("group_size")), sum(col("dropped_rows"))).head()
-    val (skewMaxBand, skewDropped) = (stats.getLong(0), stats.getLong(1))
+    val (skewSec, skewMaxBand, skewDropped) = if (only.isDefined) (0.0, 0L, 0L) else {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+      val hot = base.filter(col("doc_id") === 0).select(col("text"))
+        .crossJoin(spark.range(hotCopies).select((col("id") + 2000000L).as("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val skewCorpus = base.unionByName(hot)
+      val sec = timed(runNoop(graft.operators.Dedup.minhashLsh(skewCorpus)))
+      spark.catalog.clearCache()
+      val stats = graft.operators.Dedup.lshBandStats(skewCorpus)
+        .agg(max(col("group_size")), sum(col("dropped_rows"))).head()
+      (sec, stats.getLong(0), stats.getLong(1))
+    }
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + exSec
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""reps":$reps,"extract_docs":$exN,"extract_sec":$exSec%.3f,""" +
-        f""""extract_docs_per_sec":${exN / exSec}%.1f,"cpus":$cpus,""" +
+        f""""extract_docs_per_sec":${if (exSec == 0.0) 0.0 else exN / exSec}%.1f,"cpus":$cpus,""" +
         f""""skew_lsh_sec":$skewSec%.3f,"skew_hot_copies":$hotCopies,""" +
         f""""skew_max_band":$skewMaxBand,"skew_dropped_rows":$skewDropped}""")
     spark.stop()
