@@ -86,6 +86,11 @@ object Bench {
       val xs = passes.map(_(n))
       n -> (if (xs.exists(_ < 0)) -1.0 else median(xs))
     }
+    // First-pass (COLD) times alongside the medians: memo-backed queries
+    // (banded-signature memo, k-means codebook memo) pay their shared pass
+    // only in pass 0, so the median alone is a warm-cache figure — the
+    // cold column is what a standalone query run would cost (ADVICE r3).
+    val cold = names.map(n => n -> passes.head(n))
 
     // ---- extraction throughput from a PRE-MATERIALIZED corpus ----
     val exN   = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_DOCS", "40000").toLong
@@ -114,10 +119,11 @@ object Bench {
       (sec, stats.getLong(0), stats.getLong(1))
     }
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qs  = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qsc = cold.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + exSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$qsc,"sf":"$sfDir",""" +
         f""""reps":$reps,"extract_docs":$exN,"extract_sec":$exSec%.3f,""" +
         f""""extract_docs_per_sec":${if (exSec == 0.0) 0.0 else exN / exSec}%.1f,"cpus":$cpus,""" +
         f""""skew_lsh_sec":$skewSec%.3f,"skew_hot_copies":$hotCopies,""" +

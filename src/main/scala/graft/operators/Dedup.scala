@@ -450,8 +450,12 @@ object Dedup {
     * candidates that survive banding. */
   def embeddingNearDups(all: DataFrame, planes: Int, dims: Int = 64,
       threshold: Double = 0.99, probeHamming: Int = 1): DataFrame = {
+    // cached: both join sides (probe explode + own-bucket side) read keys,
+    // and without the cache the planes×64-dim bucket fold runs twice over
+    // the corpus. Tiny (2 longs/row); evicted by the caller's clearCache
+    // (at scale the bucket is a stored index column, computed never).
     val keys = all.select(col("vec_id"),
-      VectorKernels.lshBucket(col("v"), planes, dims).as("bkt"))
+      VectorKernels.lshBucket(col("v"), planes, dims).as("bkt")).cache()
     val flips =
       if (probeHamming >= 1) (0 until planes).map(j => col("bkt").bitwiseXOR(lit(1L << j)))
       else Seq.empty
