@@ -35,12 +35,27 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   */
 object CurateMain {
 
+  /** Version of the durable signature rule (bumped when the banded-stage
+    * schema or hash rule changes incompatibly): 1 = md5-of-shingle-string,
+    * 2 = per-token hash + polynomial shingle combine. A resume whose
+    * STAGES.json records a different rule fails loudly instead of mixing
+    * two signature families in one pipeline. */
+  private val SigRule = 2L
+
   private def valid(p: String): Boolean = Files.exists(Paths.get(p, "_SUCCESS"))
 
-  /** Run (or resume) the curation pipeline; returns the lineage JSON. */
+  /** Run (or resume) the curation pipeline; returns the lineage JSON.
+    *
+    * `SPARK_GRAFT_HASH=xx` switches the banded-signature stage to the
+    * production xxhash64 token hash (cheaper digests, not
+    * DuckDB-oracle-portable — see `TextKernels.hex32Fast`). The mode is
+    * recorded in `STAGES.json` and a resume under the OTHER mode fails
+    * loudly instead of silently mixing signatures from two hash families
+    * (same fail-loud contract as ExtractMain's BUCKETING.json). */
   def run(spark: SparkSession, input: String, outDir: String): String = {
-    val t0     = System.nanoTime()
-    val marker = Paths.get(outDir, "STAGES.json")
+    val t0       = System.nanoTime()
+    val marker   = Paths.get(outDir, "STAGES.json")
+    val fastHash = sys.env.get("SPARK_GRAFT_HASH").contains("xx")
 
     def rawCorpus: DataFrame =
       spark.read.parquet(input).select(col("doc_id"), col("text"))
@@ -50,12 +65,25 @@ object CurateMain {
         val kv = "\"(\\w+)\"\\s*:\\s*(-?\\d+)".r
           .findAllMatchIn(Files.readString(marker))
           .map(m => m.group(1) -> m.group(2).toLong).toMap
+        val recorded = kv.getOrElse("fastHash", 0L) == 1L
+        require(recorded == fastHash,
+          s"$marker was written with fastHash=$recorded but this run has " +
+            s"fastHash=$fastHash (SPARK_GRAFT_HASH): resuming would mix " +
+            "signatures from two hash families — rerun with the original " +
+            "mode or a fresh outDir")
+        val rule = kv.getOrElse("sigRule", 1L)
+        require(rule == SigRule,
+          s"$marker records signature rule $rule but this engine writes " +
+            s"rule $SigRule: the durable banded/ stage is incompatible — " +
+            "use a fresh outDir")
         (kv("nRaw"), kv("nBuckets"))
       } else {
         val n  = rawCorpus.count()
         val nb = Curation.packBucketsFor(n)
         Files.createDirectories(marker.getParent)
-        Files.write(marker, s"""{"nRaw":$n,"nBuckets":$nb}""".getBytes(StandardCharsets.UTF_8),
+        Files.write(marker,
+          (s"""{"nRaw":$n,"nBuckets":$nb,"fastHash":${if (fastHash) 1 else 0},""" +
+            s""""sigRule":$SigRule}""").getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE_NEW)
         (n, nb)
       }
@@ -72,7 +100,7 @@ object CurateMain {
       Curation.exactDedupKeepers(Curation.qualityGate(rawCorpus))
     }
     val banded = stage(s"$outDir/stages/banded") {
-      Dedup.bandedKeysFor(deduped)
+      Dedup.bandedKeysFor(deduped, fastHash)
     }
     val clusters = stage(s"$outDir/stages/clusters") {
       Dedup.connectedComponents(

@@ -43,6 +43,25 @@ object TextKernels {
   def hex32Of(digest: Column, start: Int): Column =
     conv(substring(digest, start, 8), 16, 10).cast("long")
 
+  /** PRODUCTION 32-bit hash: low 32 bits of Spark's codegen'd `xxhash64`.
+    * Same contract as [[hex32]] — non-negative, < 2^32 — so the MinHash
+    * overflow-safety analysis (A·h + B < 2^62 under ANSI mode) carries
+    * over unchanged. MEASURED honestly (`graft.SigProbe`, Bench
+    * `sig_md5_sec`/`sig_xx_sec`): on the token-hash signature path the
+    * md5→xxhash64 swap is worth ~1.6× on the hash pass itself and little
+    * end-to-end at sf0.1 — the big win was removing shingle-STRING
+    * materialization ([[shingleHashes]], ~18×), after which the digest is
+    * a minor term. Kept as the production option for digest-bound
+    * deployments (very short docs, token-heavy corpora). NOT
+    * oracle-portable: DuckDB has no xxhash64 with Spark's seed, so the
+    * driver-checked catalog stays on [[hex32]]. Dedup SEMANTICS are
+    * hash-agnostic: the LSH candidate set differs per hash family, but
+    * the exact-Jaccard verify stage re-filters every candidate against
+    * the true shingle sets, so precision is exact under either hash and
+    * recall keeps the same banding profile (DedupHashStrategySpec pins
+    * both). */
+  def hex32Fast(c: Column): Column = xxhash64(c).bitwiseAND(lit(0xFFFFFFFFL))
+
   /** MinHash via universal integer hashing over ONE md5-derived base hash
     * per shingle: mh_j = min over shingles of (A_j·h + B_j) mod P. The
     * digest (the expensive part) is computed once per shingle — k minhash
@@ -57,8 +76,43 @@ object TextKernels {
 
   /** Base-hash column: one md5 per shingle (compute ONCE, reuse for all
     * k families — keep it a named column so CollapseProject can't
-    * duplicate it into every family expression). */
+    * duplicate it into every family expression).
+    *
+    * REFERENCE implementation only (used by tests as the independent
+    * string-shingle recheck): the production signature path is
+    * [[tokenHashes]] + [[shingleHashes]], which never materializes
+    * shingle strings — measured 18× cheaper (see [[graft.SigProbe]]). */
   def baseHashes(shingles: Column): Column = transform(shingles, s => hex32(s))
+
+  /** Shingle-hash combination constants: hash(shingle) =
+    * (h1·C² + h2·C + h3) mod 2^32 over the three token hashes. C is a
+    * prime; every intermediate stays < 2^52 (h < 2^32, C < 2^20 after
+    * each mod), so the arithmetic is exact int64 in BOTH engines under
+    * ANSI mode — the DuckDB twin is bit-identical. */
+  val ShingleC = 1000003L
+  val ShingleM = 4294967296L // 2^32
+
+  /** One portable 32-bit hash per token (the only digest pass the
+    * signature pipeline needs). */
+  def tokenHashes(toks: Column): Column = transform(toks, t => hex32(t))
+
+  /** Word-3-gram shingle HASHES directly from token hashes — no shingle
+    * strings. Building `concat_ws` shingle strings just to digest them
+    * was measured to be ~95% of the signature-pass cost at sf0.1 (6.2 s
+    * of 7.0 s — string allocation, not hashing: see [[graft.SigProbe]]);
+    * combining the per-token hashes arithmetically gives the same
+    * near-dup semantics (distinct tokens ⇒ distinct hash inputs, order
+    * sensitive via the polynomial) at ~18× less cost, and at 100 TB the
+    * signature build is the dominant dedup cost. Same [0, 2^32) range as
+    * [[hex32]], so the MinHash overflow analysis is unchanged. Empty for
+    * < 3 tokens (same sequence-descend guard as [[shingles3]]). */
+  def shingleHashes(th: Column): Column =
+    when(size(th) >= 3,
+      transform(sequence(lit(0), size(th) - 3), i =>
+        (element_at(th, i + 1) * ShingleC % ShingleM * ShingleC % ShingleM
+          + element_at(th, i + 2) * ShingleC % ShingleM
+          + element_at(th, i + 3)) % ShingleM))
+      .otherwise(array().cast("array<long>"))
 
   /** MinHash family j over precomputed base hashes. Null on empty sets. */
   def minhash(baseHashes: Column, j: Int): Column =
@@ -158,6 +212,18 @@ object TextKernels {
 
     def baseHashes(shingles: String): String =
       s"[${hex32("s")} for s in $shingles]"
+
+    /** toks must be a list-typed SQL expression (bind it in a CTE). */
+    def tokenHashes(toks: String): String = s"[${hex32("t")} for t in $toks]"
+
+    /** th must be a list-typed BIGINT expression (bind it in a CTE);
+      * identical arithmetic to [[TextKernels.shingleHashes]] — DuckDB
+      * `generate_series(1, n)` is empty for n < 1, covering the < 3
+      * tokens case without a guard. */
+    def shingleHashes(th: String): String =
+      s"[((($th[i] * $ShingleC % $ShingleM) * $ShingleC % $ShingleM) + " +
+        s"($th[i+1] * $ShingleC % $ShingleM) + $th[i+2]) % $ShingleM " +
+        s"for i in generate_series(1, len($th)-2)]"
 
     /** hs must be a list-typed SQL expression of base hashes. */
     def minhash(hs: String, j: Int): String =

@@ -209,10 +209,11 @@ object Curation {
       val t = 8 // winnowing window (in shingle hashes) = 10 tokens
       // the repartition is the CollapseProject barrier: winnowSet
       // references `hs` three times, and inlining would run the
-      // md5-per-shingle pass once per reference (the bandedKeys trick)
+      // per-token digest + shingle-combine pass once per reference (the
+      // bandedKeys trick)
       def fps(df: DataFrame, idCol: String): DataFrame = df
-        .withColumn("sh", shingles3(col("toks")))
-        .withColumn("hs", baseHashes(col("sh")))
+        .withColumn("th", tokenHashes(col("toks")))
+        .withColumn("hs", shingleHashes(col("th")))
         .select(col(idCol), col("hs"))
         .repartition(col(idCol))
         .select(col(idCol), explode(winnowSet(col("hs"), t)).as("fp"))
@@ -330,13 +331,13 @@ object Curation {
 
     "q_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
-         |csh AS (SELECT doc_id, ${Dk.shingles3("toks")} AS sh FROM tok),
-         |chs AS (SELECT doc_id, ${Dk.baseHashes("sh")} AS hs FROM csh),
+         |cth AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM tok),
+         |chs AS (SELECT doc_id, ${Dk.shingleHashes("th")} AS hs FROM cth),
          |cfp AS (SELECT doc_id, unnest(${Dk.winnowSet("hs", 8)}) AS fp FROM chs),
          |btok AS (SELECT doc_id + 500000 AS bench_id, toks[10:39] AS toks
          |  FROM tok WHERE doc_id % 10 = 3),
-         |bsh AS (SELECT bench_id, ${Dk.shingles3("toks")} AS sh FROM btok),
-         |bhs AS (SELECT bench_id, ${Dk.baseHashes("sh")} AS hs FROM bsh),
+         |bth AS (SELECT bench_id, ${Dk.tokenHashes("toks")} AS th FROM btok),
+         |bhs AS (SELECT bench_id, ${Dk.shingleHashes("th")} AS hs FROM bth),
          |bfp AS (SELECT bench_id, unnest(${Dk.winnowSet("hs", 8)}) AS fp FROM bhs)
          |SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS n_shared
          |FROM cfp c JOIN bfp b USING (fp)

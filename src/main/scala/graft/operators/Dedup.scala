@@ -61,27 +61,35 @@ object Dedup {
     * to MaxBandGroup² pairs). Mirrored bit-for-bit in the DuckDB oracle. */
   val MaxBandGroup = 256
 
-  /** doc_id + 8 minhashes. Base hashes live in their own named column so
-    * the one-md5-per-shingle pass is computed once and shared by all k
-    * families. */
-  private[operators] def signatures(corpus: DataFrame): DataFrame = {
+  /** doc_id + 8 minhashes. ONE digest per TOKEN, then shingle hashes by
+    * integer combination ([[graft.functions.TextKernels.shingleHashes]])
+    * — shingle STRINGS are never materialized, which is where ~95% of the
+    * signature-pass cost was measured to go (string allocation, not
+    * hashing: `graft.SigProbe`, 7.3 s → 0.6 s at sf0.1). Token/shingle
+    * hash columns are named so the expensive passes stay shared across
+    * the k minhash families. `fastHash = true` swaps the oracle-portable
+    * md5-derived [[graft.functions.TextKernels.hex32]] token hash for the
+    * production [[graft.functions.TextKernels.hex32Fast]] (xxhash64) —
+    * identical value contract, cheaper still, not DuckDB-checkable. */
+  private[operators] def signatures(corpus: DataFrame, fastHash: Boolean = false): DataFrame = {
+    val h: Column => Column = if (fastHash) hex32Fast else hex32
     val mhs = (0 until MinhashK).map(j => minhash(col("hs"), j).as(s"mh$j"))
     corpus
-      .withColumn("sh", shingles3(tokens(col("text"))))
-      .withColumn("hs", baseHashes(col("sh")))
+      .withColumn("th", transform(tokens(col("text")), t => h(t)))
+      .withColumn("hs", shingleHashes(col("th")))
       .select(col("doc_id") +: mhs: _*)
   }
 
   /** (doc_id, band, k1, k2) band-key rows for LSH. The signature
     * projection is separated from the band explode by an explicit
     * repartition: without that Exchange, CollapseProject inlines the k
-    * minhash expressions into the band structs and the one-digest-per-
-    * shingle pass runs ~8× per row (measured 5-6× wall at sf0.1 —
-    * plan md5-occurrence count goes 18 → 1). The exchange shuffles only
-    * (doc_id, 8 longs): signatures move, text never does — which is also
-    * the at-scale shape. */
-  private def bandedKeys(corpus: DataFrame): DataFrame =
-    signatures(corpus)
+    * minhash expressions into the band structs and the token-digest +
+    * shingle-combine pass runs ~8× per row (measured 5-6× wall at sf0.1
+    * in the string-shingle era — digest-occurrence count in the plan goes
+    * 18 → 1). The exchange shuffles only (doc_id, 8 longs): signatures
+    * move, text never does — which is also the at-scale shape. */
+  private def bandedKeys(corpus: DataFrame, fastHash: Boolean = false): DataFrame =
+    signatures(corpus, fastHash)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(array((0 until MinhashK / 2).map(b =>
         struct(lit(b).as("band"),
@@ -89,7 +97,8 @@ object Dedup {
       .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
 
   /** Per-JVM memo of the banded-keys frame, keyed by corpus tag. The
-    * md5-per-shingle signature pass is the dominant dedup cost, and
+    * signature pass (tokenize + per-token digest + shingle combine) is
+    * the shared upstream cost of the dedup family, and
     * `dedup_minhash_lsh`, `dedup_lsh_band_stats` and `dedup_cc_labels`
     * each need the same banded frame — a real pipeline materializes
     * signatures ONCE as a table, not once per query. The memoized frame
@@ -127,14 +136,14 @@ object Dedup {
         e.blocks.foreach(_.unpersist(blocking = false))
     }
 
-  private def bandedKeysMemo(tag: Option[String], corpus: => DataFrame): DataFrame =
+  private def bandedKeysMemo(tag: Option[String], banded: => DataFrame): DataFrame =
     tag match {
-      case None => bandedKeys(corpus)
+      case None => banded
       case Some(t) =>
         val entry = bandedMemo.compute(t, (_, old) =>
           if (old != null && !old.df.sparkSession.sparkContext.isStopped) old
           else {
-            val ck = bandedKeys(corpus).localCheckpoint()
+            val ck = banded.localCheckpoint()
             // the materialized blocks belong to the LogicalRDD inside the
             // checkpointed plan — captured here so eviction can free them
             val rdd = ck.queryExecution.analyzed.collectFirst {
@@ -153,7 +162,7 @@ object Dedup {
   /** Full MinHash → LSH band join → exact-Jaccard verify pipeline, in the
     * at-scale shape:
     *  - only (doc_id, band, k1, k2) rows are cached/shuffled for candidate
-    *    generation (the md5 signature pass runs once into that cache; the
+    *    generation (the signature pass runs once into that cache; the
     *    full shingle arrays are never pinned in memory);
     *  - hot-band safety: a band group larger than [[MaxBandGroup]] is
     *    capped DETERMINISTICALLY to its MaxBandGroup smallest doc_ids
@@ -166,14 +175,18 @@ object Dedup {
     *    never for the whole corpus a second time.
     * `corpus` needs (doc_id, text); exposed corpus-in so the bench can
     * stress it with a planted hot-key corpus. */
-  def minhashLsh(corpus: DataFrame, memoTag: Option[String] = None): DataFrame =
-    minhashLshFrom(corpus, bandedKeysMemo(memoTag, corpus))
+  def minhashLsh(corpus: DataFrame, memoTag: Option[String] = None,
+      fastHash: Boolean = false): DataFrame =
+    minhashLshFrom(corpus,
+      bandedKeysMemo(memoTag.map(t => if (fastHash) s"$t#xx" else t),
+        bandedKeys(corpus, fastHash)))
 
   /** The banded-keys frame as a frame a caller can MATERIALIZE DURABLY
     * (CurateMain writes it as a stage table so a resumed run never re-pays
     * the signature pass — the at-scale shape: signatures are a table, not
     * per-run state). */
-  def bandedKeysFor(corpus: DataFrame): DataFrame = bandedKeys(corpus)
+  def bandedKeysFor(corpus: DataFrame, fastHash: Boolean = false): DataFrame =
+    bandedKeys(corpus, fastHash)
 
   /** [[minhashLsh]] against an externally-supplied banded frame (read back
     * from a durable stage table on resume). */
@@ -196,8 +209,13 @@ object Dedup {
       .cache()
     val ids = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // th must be a NAMED column: shingleHashes references it per shingle
+    // position inside its lambda, and an inlined tokenHashes subtree
+    // would re-hash every token once per reference (the winnowSet/
+    // bandedKeys CollapseProject trap — measured 2× on this query)
     val sets = corpus.join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .withColumn("th", tokenHashes(tokens(col("text"))))
+      .select(col("doc_id"), shingleHashes(col("th")).as("sh"))
       .cache()
     val verified = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -291,7 +309,7 @@ object Dedup {
 
   /** Band-group size histogram + rows a [[MaxBandGroup]] cap would drop. */
   def lshBandStats(corpus: DataFrame, memoTag: Option[String] = None): DataFrame =
-    bandedKeysMemo(memoTag, corpus)
+    bandedKeysMemo(memoTag, bandedKeys(corpus))
       .groupBy(col("band"), col("k1"), col("k2"))
       .agg(count(lit(1)).as("g"))
       .groupBy(col("g").as("group_size"))
@@ -392,7 +410,8 @@ object Dedup {
     // in isolation, linear in corpus size).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
-        .select(col("doc_id"), array_distinct(shingles3(tokens(col("text")))).as("sh"))
+        .withColumn("th", tokenHashes(tokens(col("text"))))
+        .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
       d.as("l").join(d.as("r"), col("r.doc_id") === col("l.doc_id") + 1)
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
           jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
@@ -488,9 +507,9 @@ object Dedup {
   private[operators] def dkSig(src: String): String = {
     val mhs = (0 until MinhashK).map(j => s"${Dk.minhash("hs", j)} AS mh$j").mkString(", ")
     s"""toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM $src),
-       |shsrc AS (SELECT doc_id, ${Dk.shingles3("toks")} AS sh FROM toksrc),
-       |hsrc AS (SELECT doc_id, sh, ${Dk.baseHashes("sh")} AS hs FROM shsrc),
-       |sig AS (SELECT doc_id, sh, $mhs FROM hsrc),
+       |thsrc AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM toksrc),
+       |hsrc AS (SELECT doc_id, ${Dk.shingleHashes("th")} AS hs FROM thsrc),
+       |sig AS (SELECT doc_id, hs AS sh, $mhs FROM hsrc),
        |banded AS (
        |  SELECT doc_id, band,
        |    CASE band ${(0 until 4).map(b => s"WHEN $b THEN mh${2 * b}").mkString(" ")} END AS k1,
@@ -605,7 +624,8 @@ object Dedup {
          |FROM closure GROUP BY a""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
-         |d AS (SELECT doc_id, list_distinct(${Dk.shingles3("toks")}) AS sh FROM toksrc)
+         |thsrc AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM toksrc),
+         |d AS (SELECT doc_id, list_distinct(${Dk.shingleHashes("th")}) AS sh FROM thsrc)
          |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, $dkJaccard AS jaccard
          |FROM d l JOIN d r ON r.doc_id = l.doc_id + 1""".stripMargin,
     "dedup_embedding_cosine" ->
