@@ -170,10 +170,10 @@ object TextOps {
       base.withColumn("lang_pred", pred)
     }),
 
-    // The dedup signature pass over the UTF-8 corpus: tokens → 3-gram
-    // shingles (concat_ws over multi-byte strings) → md5-derived base
-    // hashes → 8 minhash families, bit-exact across engines — near-dup
-    // dedup does not quietly degrade on non-ASCII content.
+    // The dedup signature pass over the UTF-8 corpus: tokens → md5-derived
+    // per-token hashes (over the multi-byte UTF-8 token bytes) → integer
+    // shingle combine → 8 minhash families, bit-exact across engines —
+    // near-dup dedup does not quietly degrade on non-ASCII content.
     "utf8_minhash_sig" -> ((s, dir) => Dedup.signatures(utf8Corpus(s, dir))),
 
     // Duplicated-chunk ratio: consecutive 10-token windows hashed, a chunk
