@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.{Sketches, Temporal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + plan-shape pins for the temporal joins (as-of, range) and
+  * the sketch/sampling family. Cross-engine value equality is the DuckDB
+  * oracle's job (q_asof_join is checked against DuckDB's NATIVE
+  * `ASOF LEFT JOIN`); here we pin the boundary semantics on planted
+  * micro-corpora and the physical shapes that decide 100 TB viability.
+  */
+class TemporalSketchSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Write a micro events table (only the columns the temporal queries
+    * read) and return its directory. */
+  private def microEvents(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-temporal").toString
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .drop("us")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("as-of join: latest view at-or-before, inclusive ties, null when none") {
+    val S = 1000000L // 1 s in us
+    val d = microEvents(Seq(
+      (1L, 1000 * S, 1L, "view"),   // matched by click@2000
+      (2L, 2000 * S, 1L, "click"),  // -> view 1, lag 1000 s
+      (3L, 3000 * S, 1L, "view"),   // later view must NOT match click 2
+      (4L, 4000 * S, 1L, "click"),  // -> view 3, lag 1000 s
+      (5L, 500 * S, 2L, "click"),   // user 2 has no views -> null
+      (6L, 700 * S, 3L, "view"),    // equal-ts tie: at-or-before is inclusive
+      (7L, 700 * S, 3L, "click"))) // -> view 6, lag 0
+    val out: Map[Long, (Option[Any], Option[Any])] =
+      SparkEntry.queries("q_asof_join")(spark, d)
+        .collect().map(r => r.getLong(0) -> ((Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(2L) == ((Some(1L), Some(1000 * S))))
+    assert(out(4L) == ((Some(3L), Some(1000 * S))))
+    assert(out(5L) == ((None, None)))
+    assert(out(7L) == ((Some(6L), Some(0L))))
+  }
+
+  test("range join: inclusive start, exclusive end, bin-straddling intervals found once") {
+    val W = Temporal.RangeWindowUs
+    val e = W - 100 // error window [W-100, 2W-100) straddles bins 0 and 1
+    val d = microEvents(Seq(
+      (1L, e, 1L, "error"),
+      (2L, e, 1L, "click"),          // gap 0: inclusive start
+      (3L, e + W - 1, 1L, "click"),  // gap W-1: last in-window us
+      (4L, e + W, 1L, "click"),      // gap W: exclusive end -> no match
+      (5L, W + 50, 1L, "click"),     // lives in bin 1, matched via the 2nd exploded bin
+      (6L, e + 10, 2L, "click")))    // other user -> no match
+    val out = SparkEntry.queries("q_range_join")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out == Map(2L -> 0L, 3L -> (W - 1), 5L -> (W + 50 - e)))
+  }
+
+  test("as-of join is one shuffle and NO join node (the sort-merge-asof shape)") {
+    val p = SparkEntry.queries("q_asof_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of planned a join node:\n${p.take(2000)}")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"expected exactly 1 Exchange:\n${p.take(3000)}")
+  }
+
+  test("range join is an equi-join on (key, bin) — never cartesian/nested-loop") {
+    val p = SparkEntry.queries("q_range_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degraded to a quadratic plan:\n${p.take(2000)}")
+  }
+
+  test("HLL sketch: 512-register bound, rho range, map-side partial agg shuffle") {
+    val regs = SparkEntry.queries("sketch_hll_registers")(spark, dir).cache()
+    assert(regs.count() <= Sketches.M)
+    val mm = regs.agg(min("rho"), max("rho")).head
+    assert(mm.getLong(0) >= 1L && mm.getLong(1) <= (Sketches.WBits + 1).toLong)
+    regs.unpersist()
+    val p = SparkEntry.queries("sketch_hll_registers")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one Exchange, bounded at 512 rows by the map-side partial max
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1, p.take(3000))
+    assert(p.contains("partial_max") || p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("HLL sketch merges: sketch(full) == max-merge of sketches of disjoint halves") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val full = Sketches.registersOf(ev)
+    val merged = Sketches.registersOf(ev.filter(col("event_id") % 2 === 0))
+      .unionByName(Sketches.registersOf(ev.filter(col("event_id") % 2 === 1)))
+      .groupBy("reg").agg(max("rho").as("rho"))
+    assert(full.exceptAll(merged).isEmpty && merged.exceptAll(full).isEmpty)
+  }
+
+  test("HLL estimate invariants: registers partition, estimate within the m=512 error bound") {
+    val r = SparkEntry.queries("sketch_hll_estimate")(spark, dir).head
+    val (mHit, vZero) = (r.getAs[Long]("m_hit"), r.getAs[Long]("v_zero"))
+    assert(mHit + vZero == Sketches.M.toLong)
+    val (est, exact) = (r.getAs[Double]("raw_estimate"), r.getAs[Long]("exact_distinct"))
+    // raw estimator only: below 2.5m it carries the documented LC-regime
+    // bias, so bound loosely at the small sf (driver sf sits in-regime)
+    assert(est > 0 && exact > 0)
+    if (exact > 2.5 * Sketches.M) assert(math.abs(est / exact - 1.0) < 0.15)
+  }
+
+  test("stratified sample is a shuffle-free deterministic filter with per-stratum rates") {
+    val out = SparkEntry.queries("q_stratified_sample")(spark, dir)
+    val p   = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"stateless sample introduced a shuffle:\n${p.take(2000)}")
+    // rates are 10-40% by construction; global count must land inside
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val n     = out.count()
+    assert(n > total / 20 && n < total * 45 / 100, s"sampled $n of $total")
+  }
+}
