@@ -431,9 +431,7 @@ object Dedup {
     // hash-exact. Planted near-dups = tiny deterministic perturbation;
     // threshold 0.99 separates them from the corpus's true cosine range
     // (max ≈ 0.51).
-    "dedup_embedding_cosine" -> ((s, dir) =>
-      embeddingNearDups(dupEmbeddings(s, dir),
-        VectorKernels.planesFor(2L * emb(s, dir).count()))), // metadata-cheap count
+    "dedup_embedding_cosine" -> ((s, dir) => embPairsMemo(s, dir)),
 
     // The recall observable for the dedup path: how many verified pairs
     // each probe depth contributed. n_pairs at probe_dist=1 is EXACTLY
@@ -441,10 +439,21 @@ object Dedup {
     // sample, you don't eyeball pair lists (`ann_recall`'s role for the
     // search path).
     "dedup_embedding_probe_stats" -> ((s, dir) =>
-      embeddingNearDups(dupEmbeddings(s, dir),
-          VectorKernels.planesFor(2L * emb(s, dir).count()))
+      embPairsMemo(s, dir)
         .groupBy(col("probe_dist"))
         .agg(count(lit(1)).as("n_pairs"), round(min(col("cos")), 4).as("min_cos"))))
+
+  /** Verified embedding near-dup pairs, memoized per corpus dir: the pair
+    * list is the shared upstream of BOTH embedding queries (the cosine
+    * list and its probe-depth rollup), and — like the banded-signature
+    * frame — a real pipeline materializes it once as a table. The frame is
+    * tiny (two ids + two small columns per surviving pair), so the
+    * localCheckpoint is cheap; the LSH fold, probe join and exact-cosine
+    * verify run once per dir per session instead of once per query. */
+  private def embPairsMemo(s: SparkSession, dir: String): DataFrame =
+    bandedKeysMemo(Some(s"$dir#embpairs"),
+      embeddingNearDups(dupEmbeddings(s, dir),
+        VectorKernels.planesFor(2L * emb(s, dir).count()))) // metadata-cheap count
 
   /** documents' embeddings ∪ a perturbed copy (ids + 100,000) — the
     * planted-near-dup corpus both embedding-dedup queries run on. */
