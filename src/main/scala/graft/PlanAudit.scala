@@ -23,7 +23,10 @@ object PlanAudit {
         "q_anti_join", "dedup_minhash_lsh", "ann_bruteforce_topk",
         "text_tokens", "q_window_topn",
         // round-3 shapes: scaling-bucket join, flagship chain, trained probe
-        "dedup_embedding_cosine", "corpus_curate", "ann_ivf_trained_topk")
+        "dedup_embedding_cosine", "corpus_curate", "ann_ivf_trained_topk",
+        // round-4 shapes: no-join as-of, bucketed range join, 512-row
+        // sketch shuffle, shuffle-free sample
+        "q_asof_join", "q_range_join", "sketch_hll_registers", "q_stratified_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

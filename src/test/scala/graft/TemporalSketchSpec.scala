@@ -60,6 +60,44 @@ class TemporalSketchSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out == Map(2L -> 0L, 3L -> (W - 1), 5L -> (W + 50 - e)))
   }
 
+  test("as-of and range joins match an O(n^2) brute force on random corpora") {
+    val rnd = new scala.util.Random(4242)
+    val W   = Temporal.RangeWindowUs
+    (1 to 3).foreach { trial =>
+      // distinct (user, us) pairs — the events-table uniqueness invariant
+      val keys = rnd.shuffle((0L until 4000L).toVector).take(600)
+      val rows = keys.zipWithIndex.map { case (slot, i) =>
+        val kind = rnd.nextInt(3) match {
+          case 0 => "click"; case 1 => "view"; case 2 => "error"
+        }
+        // us spread across ~5 windows so ranges overlap bins both ways
+        (i.toLong, slot * (W / 800), rnd.nextInt(5).toLong, kind)
+      }
+      val d = microEvents(rows)
+      val clicks = rows.filter(_._4 == "click")
+      val views  = rows.filter(_._4 == "view")
+      val errors = rows.filter(_._4 == "error")
+
+      val expAsof = clicks.map { c =>
+        val m = views.filter(v => v._3 == c._3 && v._2 <= c._2)
+          .sortBy(_._2).lastOption
+        c._1 -> m.map(v => (v._1, c._2 - v._2))
+      }.toMap
+      val gotAsof = SparkEntry.queries("q_asof_join")(spark, d).collect()
+        .map(r => r.getLong(0) ->
+          Option(r.get(2)).map(v => (v.asInstanceOf[Long], r.getLong(3)))).toMap
+      assert(gotAsof == expAsof, s"asof mismatch, trial $trial")
+
+      val expRange = (for {
+        c <- clicks; e <- errors
+        if c._3 == e._3 && c._2 >= e._2 && c._2 < e._2 + W
+      } yield (c._1, e._1, c._2 - e._2)).toSet
+      val gotRange = SparkEntry.queries("q_range_join")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(gotRange == expRange, s"range mismatch, trial $trial")
+    }
+  }
+
   test("as-of join is one shuffle and NO join node (the sort-merge-asof shape)") {
     val p = SparkEntry.queries("q_asof_join")(spark, dir)
       .queryExecution.executedPlan.toString
