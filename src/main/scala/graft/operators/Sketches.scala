@@ -1,7 +1,8 @@
 package graft.operators
 
-import graft.functions.TextKernels.{hex32, Dk}
+import graft.functions.TextKernels.{hex32, hex32Of, tokens, Dk}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch and deterministic-sampling operators — the
@@ -61,6 +62,51 @@ object Sketches {
   private def registers(s: SparkSession, dir: String): DataFrame =
     registersOf(t(s, dir, "events"))
 
+  /** CMS geometry: CmsD hash rows × CmsW counters. Error bound: est −
+    * exact ≤ e/CmsW · N with prob 1 − e^−CmsD. */
+  val CmsD = 4
+  val CmsW = 1024
+
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(explode(tokens(col("text"))).as("tok"))
+
+  /** The CmsD (row, counter-index) targets of one md5 digest column —
+    * rows draw disjoint 8-hex windows of the same 32-hex digest, so one
+    * digest pass feeds all rows (the simhash/minhash digest-reuse rule). */
+  private[graft] def cmsRowIdx(dg: org.apache.spark.sql.Column) =
+    array((0 until CmsD).map { j =>
+      struct(lit(j.toLong).as("row_j"), (hex32Of(dg, 1 + 8 * j) % CmsW).as("idx"))
+    }: _*)
+
+  private[graft] def cmsCounters(s: SparkSession, dir: String): DataFrame =
+    docTokens(s, dir)
+      .withColumn("dg", md5(col("tok")))
+      .select(explode(cmsRowIdx(col("dg"))).as("ri"))
+      .groupBy(col("ri.row_j").as("row_j"), col("ri.idx").as("idx"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Order values as exact integer cents ≥ 1 (the histogram's domain).
+    * round() not floor(): the true value is exact cents, the double
+    * product sits within 1e-9 of it, and positive-value HALF_UP ==
+    * half-away, so both engines land on the same integer. */
+  private def orderCents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+
+  /** Two-leading-digits log-ish binning: mag = decimal digits of v,
+    * lead = first one/two digits, bin spans [lead·10^p, (lead+1)·10^p).
+    * String/integer ops only — `length(v::string)` is the exact decimal
+    * magnitude, DIV is exact integer division in both engines. */
+  private def quantileBins(s: SparkSession, dir: String): DataFrame =
+    orderCents(s, dir)
+      .withColumn("mag", length(col("v").cast("string")).cast("long"))
+      .withColumn("p", greatest(col("mag") - 2, lit(0L)))
+      .withColumn("tens", pow(lit(10.0), col("p")).cast("long"))
+      .withColumn("lead", expr("v DIV tens"))
+      .groupBy((col("mag") * 100 + col("lead")).as("bin_id"),
+        (col("lead") * col("tens")).as("lo_cents"),
+        ((col("lead") + 1) * col("tens")).as("hi_cents"))
+      .agg(count(lit(1)).as("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_registers" -> ((s, dir) => registers(s, dir)),
 
@@ -91,6 +137,70 @@ object Sketches {
           col("m_hit").cast("long").as("m_hit"), col("v_zero"),
           col("raw_estimate"), col("exact_distinct"),
           round(col("raw_estimate") / col("exact_distinct"), 4).as("rel_to_exact"))
+    }),
+
+    // Count-min sketch over document tokens (heavy-hitter / hot-boilerplate
+    // detection): CmsD independent hash rows from ONE md5 digest (four
+    // disjoint 8-hex windows — the simhash move), CmsW counters each. The
+    // counter table is ≤ CmsD·CmsW rows regardless of corpus size — the
+    // map-side partial count collapses the explode before the shuffle —
+    // and two sketches merge by summing counters.
+    "sketch_cms_counters" -> ((s, dir) => cmsCounters(s, dir)),
+
+    // Point-query observable: CMS estimate vs exact count for the exact
+    // top-10 tokens. min-over-rows of the counters each candidate hashes
+    // into; over_count = est − exact is the CMS one-sided error (≥ 0
+    // ALWAYS — the sketch never undercounts; pinned in the spec).
+    "sketch_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = docTokens(s, dir)
+      val cand = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok").asc).limit(10)
+      cand.withColumn("dg", md5(col("tok")))
+        .select(col("tok"), col("exact_cnt"), explode(cmsRowIdx(col("dg"))).as("ri"))
+        .select(col("tok"), col("exact_cnt"),
+          col("ri.row_j").as("row_j"), col("ri.idx").as("idx"))
+        .join(broadcast(cmsCounters(s, dir)), Seq("row_j", "idx"))
+        .groupBy(col("tok"), col("exact_cnt"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("tok"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("over_count"))
+    }),
+
+    // Mergeable quantile histogram over order values (distribution
+    // monitoring at 100 TB): deterministic log-ish bins — two leading
+    // decimal digits + magnitude of the integer cents, ≤ 10% relative bin
+    // width, ~90 bins per decade — so the whole histogram is a few hundred
+    // rows whatever the input size, merges by summing counts, and is
+    // bit-exact cross-engine (string/integer ops only, no log()).
+    "sketch_quantile_bins" -> ((s, dir) => quantileBins(s, dir)),
+
+    // Quantile estimates read off the histogram (first bin whose running
+    // count reaches ceil(q·n)) bracketed against the EXACT k-th order
+    // statistic: contained must be true for every q by construction. At
+    // 100 TB the exact rank pass is what the sketch replaces — here it is
+    // the verification reference.
+    "sketch_quantile_est" -> ((s, dir) => {
+      val cents = orderCents(s, dir)
+      val cum = quantileBins(s, dir).withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("bin_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      import s.implicits._
+      val ks = Seq(0.5, 0.9, 0.99).toDF("q")
+        .crossJoin(cents.agg(count(lit(1)).as("n")))
+        .withColumn("k", ceil(col("q") * col("n")).cast("long"))
+      val ranked = cents.withColumn("r", row_number().over(Window.orderBy(col("v").asc)))
+      val kth = ks.join(ranked, col("r") === col("k"))
+        .select(col("q"), col("n"), col("k"), col("v").as("kth_cents"))
+      val est = ks.select(col("q").as("eq"), col("k").as("ek"))
+        .join(cum, col("cum") >= col("ek"))
+        .groupBy(col("eq"))
+        .agg(min_by(col("lo_cents"), col("bin_id")).as("est_lo_cents"),
+          min_by(col("hi_cents"), col("bin_id")).as("est_hi_cents"))
+      kth.join(est, col("q") === col("eq"))
+        .select(col("q"), col("n"), col("k"), col("kth_cents"),
+          col("est_lo_cents"), col("est_hi_cents"),
+          (col("est_lo_cents") <= col("kth_cents") &&
+            col("kth_cents") < col("est_hi_cents")).as("contained"))
     }),
 
     // Per-stratum deterministic sampling over documents: stratum = source,
@@ -137,6 +247,75 @@ object Sketches {
       "q_stratified_sample" ->
         s"""SELECT doc_id, source FROM documents
            |WHERE ${Dk.hex32("doc_id::VARCHAR || '|strat'")} % 10000
-           |    < 1000 + ${Dk.hex32("source")} % 3000""".stripMargin)
+           |    < 1000 + ${Dk.hex32("source")} % 3000""".stripMargin,
+      "sketch_cms_counters" ->
+        s"WITH $cmsCountersCte SELECT row_j, idx, cnt FROM counters",
+      "sketch_cms_heavy_hitters" ->
+        s"""WITH $cmsCountersCte,
+           |ex AS (
+           |  SELECT tok, count(*)::BIGINT AS exact_cnt FROM toks
+           |  GROUP BY 1 ORDER BY exact_cnt DESC, tok ASC LIMIT 10),
+           |cr AS (
+           |  SELECT tok, exact_cnt, row_j, $cmsIdxCase AS idx
+           |  FROM (SELECT tok, exact_cnt, md5(tok) AS dg FROM ex),
+           |       (SELECT unnest(generate_series(0, ${CmsD - 1})) AS row_j))
+           |SELECT tok, exact_cnt, min(cnt)::BIGINT AS cms_est,
+           |  (min(cnt) - exact_cnt)::BIGINT AS over_count
+           |FROM cr JOIN counters USING (row_j, idx)
+           |GROUP BY tok, exact_cnt""".stripMargin,
+      "sketch_quantile_bins" ->
+        s"WITH $quantileBinsCte SELECT bin_id, lo_cents, hi_cents, cnt FROM bins",
+      "sketch_quantile_est" ->
+        s"""WITH $quantileBinsCte,
+           |cum AS (
+           |  SELECT bin_id, lo_cents, hi_cents,
+           |    sum(cnt) OVER (ORDER BY bin_id) AS cum
+           |  FROM bins),
+           |ks AS (
+           |  SELECT q, n, ceil(q * n)::BIGINT AS k
+           |  FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+           |       (SELECT count(*)::BIGINT AS n FROM cents)),
+           |ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM cents),
+           |kth AS (
+           |  SELECT q, n, k, v AS kth_cents FROM ks JOIN ranked ON r = k),
+           |est AS (
+           |  SELECT q AS eq,
+           |    arg_min(lo_cents, bin_id) AS est_lo_cents,
+           |    arg_min(hi_cents, bin_id) AS est_hi_cents
+           |  FROM ks JOIN cum ON cum >= k GROUP BY 1)
+           |SELECT q, n, k, kth_cents, est_lo_cents, est_hi_cents,
+           |  (est_lo_cents <= kth_cents AND kth_cents < est_hi_cents) AS contained
+           |FROM kth JOIN est ON q = eq""".stripMargin)
   }
+
+  /** One CASE arm per CMS row: row j reads hex window 1+8j of the digest. */
+  private def cmsIdxCase: String =
+    "CASE row_j " +
+      (0 until CmsD).map(j => s"WHEN $j THEN ${Dk.hex32Of("dg", 1 + 8 * j)}").mkString(" ") +
+      s" END % $CmsW"
+
+  private def cmsCountersCte: String =
+    s"""toks AS (
+       |  SELECT unnest(${Dk.tokens("text")}) AS tok FROM documents),
+       |rowed AS (
+       |  SELECT row_j, $cmsIdxCase AS idx
+       |  FROM (SELECT md5(tok) AS dg FROM toks),
+       |       (SELECT unnest(generate_series(0, ${CmsD - 1})) AS row_j)),
+       |counters AS (
+       |  SELECT row_j::BIGINT AS row_j, idx, count(*)::BIGINT AS cnt
+       |  FROM rowed GROUP BY 1, 2)""".stripMargin
+
+  private def quantileBinsCte: String =
+    s"""cents AS (
+       |  SELECT round(l_extendedprice * 100)::BIGINT AS v FROM lineitem),
+       |b2 AS (
+       |  SELECT v, length(v::VARCHAR)::BIGINT AS mag,
+       |    power(10, greatest(length(v::VARCHAR)::BIGINT - 2, 0))::BIGINT AS tens
+       |  FROM cents),
+       |bins AS (
+       |  SELECT mag * 100 + (v // tens) AS bin_id,
+       |    (v // tens) * tens AS lo_cents,
+       |    ((v // tens) + 1) * tens AS hi_cents,
+       |    count(*)::BIGINT AS cnt
+       |  FROM b2 GROUP BY 1, 2, 3)""".stripMargin
 }

@@ -146,6 +146,48 @@ class TemporalSketchSpec extends AnyFunSuite with SparkSessionTestWrapper {
     if (exact > 2.5 * Sketches.M) assert(math.abs(est / exact - 1.0) < 0.15)
   }
 
+  test("CMS never undercounts: est >= exact for EVERY token in the vocabulary") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    // estimate every token through the shipped counters
+    val counters = Sketches.cmsCounters(spark, dir)
+    val est = exact.withColumn("dg", md5(col("tok")))
+      .select(col("tok"), col("exact_cnt"),
+        explode(Sketches.cmsRowIdx(col("dg"))).as("ri"))
+      .select(col("tok"), col("exact_cnt"),
+        col("ri.row_j").as("row_j"), col("ri.idx").as("idx"))
+      .join(counters, Seq("row_j", "idx"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+    assert(est.filter(col("cms_est") < col("exact_cnt")).count() == 0)
+  }
+
+  test("CMS merges: counters(full) == per-cell sum of counters over disjoint halves") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def cOf(df: org.apache.spark.sql.DataFrame) = {
+      val d = java.nio.file.Files.createTempDirectory("graft-cms").toString
+      df.write.mode("overwrite").parquet(s"$d/documents.parquet")
+      Sketches.cmsCounters(spark, d)
+    }
+    val full = Sketches.cmsCounters(spark, dir)
+    val merged = cOf(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(cOf(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy("row_j", "idx").agg(sum("cnt").as("cnt"))
+    assert(full.exceptAll(merged).isEmpty && merged.exceptAll(full).isEmpty)
+  }
+
+  test("quantile histogram: bounded bins, <=10% relative width, brackets always contain the exact rank") {
+    val bins = SparkEntry.queries("sketch_quantile_bins")(spark, dir).cache()
+    // a few hundred rows whatever the input size, width = 10^p per bin
+    assert(bins.count() < 1000)
+    assert(bins.filter(col("hi_cents") - col("lo_cents") > col("lo_cents") / 10).count() == 0)
+    bins.unpersist()
+    val est = SparkEntry.queries("sketch_quantile_est")(spark, dir)
+    assert(est.count() == 3)
+    assert(est.filter(!col("contained")).count() == 0)
+  }
+
   test("stratified sample is a shuffle-free deterministic filter with per-stratum rates") {
     val out = SparkEntry.queries("q_stratified_sample")(spark, dir)
     val p   = out.queryExecution.executedPlan.toString
