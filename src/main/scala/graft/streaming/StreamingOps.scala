@@ -89,6 +89,78 @@ object StreamingOps {
     * the batch twin `q_sessionize` for ANY in-watermark arrival order;
     * state stays bounded by the watermark exactly as before (a retained
     * interval's last + gap is always > watermark). */
+  /** One side-tagged event of the as-of pair (side 0 = right/view,
+    * 1 = left/click — same encoding as the batch union). */
+  final case class TaggedEvent(user_id: Long, event_time: Timestamp, side: Int, id: Long)
+  final case class AsofMatch(user_id: Long, click_id: Long,
+      view_id: Option[Long], lag_us: Option[Long])
+  /** (event-time micros, id) — micros, not Timestamp.getTime millis: the
+    * events table carries microsecond precision and the batch twin's
+    * lag_us is exact. */
+  final case class PendRow(us: Long, id: Long)
+  final case class AsofBuf(clicks: List[PendRow], views: List[PendRow])
+
+  private def usOf(t: Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+
+  /** Streaming as-of join — the streaming-enrichment primitive: for every
+    * left event (click), the latest right event (view) of the same key
+    * at-or-before it, exactly the batch `q_asof_join` semantics.
+    *
+    * Emission is watermark-gated like [[sessionize]]: a click is emitted
+    * only once the watermark passes its event time — after that, any
+    * still-admissible view has event time ≥ watermark > click time and
+    * can no longer be its match, so the result is frozen and append mode
+    * is safe for ANY in-watermark arrival order (a matching view arriving
+    * a micro-batch AFTER its click is still honored, because the click
+    * pends until the watermark passes it).
+    *
+    * State is watermark-bounded on both sides: pending clicks all have
+    * event time ≥ watermark by construction, and of the views at-or-below
+    * the watermark only the LATEST is retained (every future click has
+    * event time ≥ watermark, so that view dominates the rest) — the
+    * others are dropped each batch. No unbounded buffers, no stream-stream
+    * join state blowup. The one deliberate retention: an idle key keeps
+    * its single latest-view row indefinitely — that row IS the enrichment
+    * table (dropping it would silently null future matches); a production
+    * deployment bounds key count with an explicit TTL timeout when
+    * business rules allow stale keys to expire. */
+  def asofJoin(events: Dataset[TaggedEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofBuf, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[TaggedEvent], state: GroupState[AsofBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf  = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          val (newClicks, newViews) = it.partition(_.side == 1)
+          val views = (buf.views ++ newViews.map(e => PendRow(usOf(e.event_time), e.id)))
+            .sortBy(v => (v.us, v.id))
+          val clicks = buf.clicks ++ newClicks.map(e => PendRow(usOf(e.event_time), e.id))
+          // frozen ⇔ watermark passed the click: admitted views now all
+          // sit at-or-above the watermark, strictly after this click
+          val (done, pend) = clicks.partition(_.us < wmUs)
+          val out = done.sortBy(c => (c.us, c.id)).map { c =>
+            val m = views.takeWhile(_.us <= c.us).lastOption
+            AsofMatch(user, c.id, m.map(_.id), m.map(c.us - _.us))
+          }
+          // of the views the watermark has passed, only the latest can
+          // ever match a future (≥ watermark) click — drop the rest
+          val (old, live) = views.partition(_.us <= wmUs)
+          val kept = old.lastOption.toList ++ live
+          if (pend.nonEmpty || kept.nonEmpty) {
+            state.update(AsofBuf(pend, kept))
+            if (pend.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(pend.map(_.us).min / 1000 + 1, state.getCurrentWatermarkMs() + 1))
+          } else state.remove()
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[UserEvent], gapMs: Long = 30L * 60 * 1000,
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._

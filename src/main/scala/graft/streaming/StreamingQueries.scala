@@ -112,6 +112,46 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
     }),
 
+    // Streaming as-of enrichment join (clicks ⋈asof views per user)
+    // through the real watermark-gated state operator; oracle is the
+    // batch twin q_asof_join's SQL VERBATIM — including DuckDB's native
+    // ASOF LEFT JOIN — so the replay proves stream == batch == canonical
+    // operator. Quarter batches split clicks from their matching views
+    // across micro-batch boundaries; the pending-click buffer must honor
+    // matches that arrive in a later batch than the click.
+    "stream_asof_join" -> ((s, dir) => {
+      val ss = replaySession(s)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val rows = ss.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+          when(col("event_type") === "click", 1).otherwise(0).as("side"),
+          col("event_id").cast("long"))
+        .as[(Long, Timestamp, Int, Long)].collect()
+        .sortBy(r => (r._2.getTime, r._4))
+        .map(r => StreamingOps.TaggedEvent(r._1, r._2, r._3, r._4))
+      val maxTs = rows.map(_.event_time.getTime).max
+      val in    = MemoryStream[StreamingOps.TaggedEvent]
+      val name  = s"saj_${qId.incrementAndGet()}"
+      val q = StreamingOps.asofJoin(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        quarters(rows.toSeq).foreach { b => in.addData(b); q.processAllAvailable() }
+        // two sentinels: advance the watermark past every pending click,
+        // then fire the event-time timeouts that flush them
+        in.addData(StreamingOps.TaggedEvent(-1L,
+          new Timestamp(maxTs + 24 * 3600L * 1000), 0, -1L))
+        q.processAllAvailable()
+        in.addData(StreamingOps.TaggedEvent(-1L,
+          new Timestamp(maxTs + 24 * 3600L * 1000 + 60000), 0, -1L))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table(name)
+        .filter(col("user_id") =!= -1L)
+        .select(col("click_id"), col("user_id"), col("view_id"), col("lag_us"))
+    }),
+
     // Streaming exact dedup over documents ∪ byte-identical re-crawled
     // copies arriving in later micro-batches (constant event time keeps
     // all state in-watermark, so the run is a full-history dedup). Output
@@ -162,5 +202,14 @@ object StreamingQueries {
         |SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM x GROUP BY 1""".stripMargin,
     "stream_dedup_exact" ->
-      "SELECT DISTINCT md5(text) AS content_hash FROM documents")
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    // q_asof_join's oracle verbatim (DuckDB native ASOF LEFT JOIN): the
+    // stream must reproduce the canonical batch as-of exactly
+    "stream_asof_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, v.view_id, c.c_us - v.v_us AS lag_us
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.c_us >= v.v_us""".stripMargin)
 }

@@ -152,4 +152,62 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(all.contains(StreamingOps.Session(1, ts(95), ts(95), 1)), all.toString)
     } finally q.stop()
   }
+
+  test("asofJoin honors a matching view that arrives a micro-batch AFTER its click") {
+    // The case a time-sorted replay cannot produce: click at t=20 lands in
+    // batch 1; its true match (view t=15, in-watermark) arrives in batch 2.
+    // Eager emission would have matched the click to view t=0; the
+    // watermark-gated pending buffer must hold the click until its match
+    // set freezes.
+    import StreamingOps.{AsofMatch, TaggedEvent}
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[TaggedEvent]
+    val q = StreamingOps.asofJoin(in.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      def us(min: Long): Long = ts(min).getTime * 1000
+      in.addData(TaggedEvent(1, ts(0), 0, 100), TaggedEvent(1, ts(20), 1, 200))
+      q.processAllAvailable()
+      // watermark = 20 - 10 = 10 < 20: the click must still be pending
+      assert(spark.table("asof").isEmpty, "click emitted before its match set froze")
+      in.addData(TaggedEvent(1, ts(15), 0, 101)) // in-watermark late view
+      q.processAllAvailable()
+      // click for a user with NO views, plus watermark advance + timeout fire
+      in.addData(TaggedEvent(2, ts(100), 1, 300))
+      q.processAllAvailable()
+      in.addData(TaggedEvent(3, ts(500), 0, 999))
+      q.processAllAvailable()
+      in.addData(TaggedEvent(3, ts(501), 0, 998))
+      q.processAllAvailable()
+      val rows = spark.table("asof").as[AsofMatch].collect().sortBy(_.click_id).toSeq
+      assert(rows == Seq(
+        AsofMatch(1, 200, Some(101L), Some(us(20) - us(15))),
+        AsofMatch(2, 300, None, None)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("asofJoin retains only the dominating view at-or-below the watermark") {
+    import StreamingOps.{AsofMatch, TaggedEvent}
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[TaggedEvent]
+    val q = StreamingOps.asofJoin(in.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("asof2").outputMode("append").start()
+    try {
+      // three old views; after the watermark passes them only v=102 (the
+      // latest) may be retained — and it must still match a later click
+      in.addData(TaggedEvent(1, ts(0), 0, 100), TaggedEvent(1, ts(1), 0, 101),
+        TaggedEvent(1, ts(2), 0, 102))
+      q.processAllAvailable()
+      in.addData(TaggedEvent(1, ts(300), 0, 103)) // advance watermark far past
+      q.processAllAvailable()
+      in.addData(TaggedEvent(1, ts(305), 1, 200)) // click: latest ≤ is 103
+      q.processAllAvailable()
+      in.addData(TaggedEvent(1, ts(400), 0, 104))
+      q.processAllAvailable()
+      in.addData(TaggedEvent(1, ts(401), 0, 105))
+      q.processAllAvailable()
+      val rows = spark.table("asof2").as[AsofMatch].collect().toSeq
+      assert(rows.map(r => (r.click_id, r.view_id)) == Seq((200L, Some(103L))), rows.toString)
+    } finally q.stop()
+  }
 }
