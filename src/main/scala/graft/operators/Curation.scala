@@ -206,26 +206,101 @@ object Curation {
     }),
 
     "q_decontaminate" -> ((s, dir) => {
-      val t = 8 // winnowing window (in shingle hashes) = 10 tokens
-      // the repartition is the CollapseProject barrier: winnowSet
-      // references `hs` three times, and inlining would run the
-      // per-token digest + shingle-combine pass once per reference (the
-      // bandedKeys trick)
-      def fps(df: DataFrame, idCol: String): DataFrame = df
-        .withColumn("th", tokenHashes(col("toks")))
-        .withColumn("hs", shingleHashes(col("th")))
-        .select(col(idCol), col("hs"))
-        .repartition(col(idCol))
-        .select(col(idCol), explode(winnowSet(col("hs"), t)).as("fp"))
-      val corpus = fps(docs(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks")), "doc_id")
-      val bench = fps(docs(s, dir).filter(col("doc_id") % 10 === 3)
-        .select((col("doc_id") + 500000L).as("bench_id"),
-          slice(tokens(col("text")), 10, 30).as("toks")), "bench_id")
-      corpus.join(broadcast(bench), Seq("fp"))
+      corpusFps(s, dir).join(broadcast(benchFps(s, dir)), Seq("fp"))
         .groupBy(col("doc_id"), col("bench_id"))
         .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // The benchmark fingerprint set as a BLOOM FILTER (m = 2^16 bits as
+    // 2048 32-bit words, k = 4 probes from one md5 digest — the CMS
+    // window rule): the decontamination scale path when the benchmark
+    // fingerprint set itself is too large to broadcast raw — the bits are
+    // a FIXED 2048 rows whatever the benchmark size, and two filters
+    // merge by per-word bit_or.
+    "sketch_bloom_bits" -> ((s, dir) => bloomBits(s, dir)),
+
+    // Bloom-probed decontamination, verified against the exact
+    // fingerprint intersection: a corpus fingerprint is flagged iff ALL k
+    // probed bits are set. No false negatives — every exactly-shared
+    // fingerprint MUST be flagged (sound = n_bloom >= n_exact, an
+    // invariant the spec requires for every doc); false positives are the
+    // tunable price (~(fill)^k, observably ~0 at this fill).
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val probe = corpusFps(s, dir).select(col("doc_id"), col("fp")).distinct()
+      val hits = probe
+        .withColumn("dg", md5(col("fp").cast("string")))
+        .select(col("doc_id"), col("fp"), explode(bloomPos(col("dg"))).as("bp"))
+        .select(col("doc_id"), col("fp"),
+          col("bp.block").as("block"), col("bp.word").as("mask"))
+        .join(broadcast(bloomBits(s, dir)), Seq("block"))
+        .filter((col("word").bitwiseAND(col("mask"))) =!= 0)
+        .groupBy(col("doc_id"), col("fp"))
+        .agg(count(lit(1)).as("nbits"))
+        .filter(col("nbits") === BloomK)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
+      val exact = probe
+        .join(benchFps(s, dir).select(col("fp")).distinct(), Seq("fp"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+      hits.join(exact, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_bloom"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (col("n_bloom") >= coalesce(col("n_exact"), lit(0L))).as("sound"))
     }))
+
+  /** Winnowing window (in shingle hashes) = 10 tokens. */
+  private val WinnowT = 8
+
+  /** Winnowed fingerprint rows (idCol, fp) of a (idCol, toks) frame. The
+    * repartition is the CollapseProject barrier: winnowSet references
+    * `hs` three times, and inlining would run the per-token digest +
+    * shingle-combine pass once per reference (the bandedKeys trick). */
+  private def fps(df: DataFrame, idCol: String): DataFrame = df
+    .withColumn("th", tokenHashes(col("toks")))
+    .withColumn("hs", shingleHashes(col("th")))
+    .select(col(idCol), col("hs"))
+    .repartition(col(idCol))
+    .select(col(idCol), explode(winnowSet(col("hs"), WinnowT)).as("fp"))
+
+  private def corpusFps(s: SparkSession, dir: String): DataFrame =
+    fps(docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks")), "doc_id")
+
+  /** The planted benchmark: 30-token mid-document slices of every tenth
+    * doc (the q_decontaminate corpus). */
+  private def benchFps(s: SparkSession, dir: String): DataFrame =
+    fps(docs(s, dir).filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        slice(tokens(col("text")), 10, 30).as("toks")), "bench_id")
+
+  /** Bloom geometry: m = 2^16 bits in 32-bit words (bit values ≤ 2^31 —
+    * exact through power() in both engines, no signed-shift edge), k = 4
+    * positions per key from disjoint 8-hex windows of one md5 digest. */
+  val BloomM = 65536
+  val BloomK = 4
+
+  /** The k (block, word-mask) targets of one digest column. */
+  private[graft] def bloomPos(dg: org.apache.spark.sql.Column) =
+    array((0 until BloomK).map { j =>
+      val pos = hex32Of(dg, 1 + 8 * j) % BloomM
+      struct((pos / 32).cast("long").as("block"),
+        pow(lit(2.0), pos % 32).cast("long").as("word"))
+    }: _*)
+
+  /** Bloom bits of any (fp) frame — split out so the merge property
+    * (bits(full) == per-word bit_or of bits over disjoint splits) is
+    * testable on the shipped code path. */
+  private[graft] def bloomBitsOf(fpFrame: DataFrame): DataFrame =
+    fpFrame.select(col("fp")).distinct()
+      .withColumn("dg", md5(col("fp").cast("string")))
+      .select(explode(bloomPos(col("dg"))).as("bp"))
+      .groupBy(col("bp.block").as("block"))
+      .agg(expr("bit_or(bp.word)").as("word"))
+
+  private[graft] def bloomBits(s: SparkSession, dir: String): DataFrame =
+    bloomBitsOf(benchFps(s, dir))
+
+  /** Test hook: the benchmark fingerprint frame (for merge-property tests). */
+  private[graft] def bloomTestFps(s: SparkSession, dir: String): DataFrame =
+    benchFps(s, dir)
 
   // --- DuckDB oracles -----------------------------------------------------
 
@@ -330,16 +405,58 @@ object Curation {
          |${dkCurateChain(dkPackBuckets("5 * (SELECT count(*) FROM documents)"))}""".stripMargin,
 
     "q_decontaminate" ->
-      s"""WITH tok AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
-         |cth AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM tok),
-         |chs AS (SELECT doc_id, ${Dk.shingleHashes("th")} AS hs FROM cth),
-         |cfp AS (SELECT doc_id, unnest(${Dk.winnowSet("hs", 8)}) AS fp FROM chs),
-         |btok AS (SELECT doc_id + 500000 AS bench_id, toks[10:39] AS toks
-         |  FROM tok WHERE doc_id % 10 = 3),
-         |bth AS (SELECT bench_id, ${Dk.tokenHashes("toks")} AS th FROM btok),
-         |bhs AS (SELECT bench_id, ${Dk.shingleHashes("th")} AS hs FROM bth),
-         |bfp AS (SELECT bench_id, unnest(${Dk.winnowSet("hs", 8)}) AS fp FROM bhs)
+      s"""WITH $dkFpsCte
          |SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS n_shared
          |FROM cfp c JOIN bfp b USING (fp)
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin,
+    "sketch_bloom_bits" ->
+      s"""WITH $dkFpsCte, $dkBloomCte
+         |SELECT block, word FROM bloom""".stripMargin,
+    "q_decontaminate_bloom" ->
+      s"""WITH $dkFpsCte, $dkBloomCte,
+         |probe AS (SELECT DISTINCT doc_id, fp FROM cfp),
+         |ppos AS (
+         |  SELECT doc_id, fp, $dkBloomPosCase AS pos
+         |  FROM (SELECT doc_id, fp, md5(fp::VARCHAR) AS dg FROM probe),
+         |       (SELECT unnest(generate_series(0, ${BloomK - 1})) AS row_j)),
+         |hits AS (
+         |  SELECT doc_id, fp FROM ppos p JOIN bloom b ON (p.pos // 32) = b.block
+         |  WHERE (b.word & power(2, p.pos % 32)::BIGINT) <> 0
+         |  GROUP BY 1, 2 HAVING count(*) = $BloomK),
+         |nb AS (SELECT doc_id, count(*)::BIGINT AS n_bloom FROM hits GROUP BY 1),
+         |ne AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_exact FROM probe
+         |  WHERE fp IN (SELECT fp FROM bfp) GROUP BY 1)
+         |SELECT doc_id, n_bloom, coalesce(n_exact, 0)::BIGINT AS n_exact,
+         |  n_bloom >= coalesce(n_exact, 0) AS sound
+         |FROM nb LEFT JOIN ne USING (doc_id)""".stripMargin)
+
+  /** Corpus + benchmark winnowed-fingerprint CTEs (shared by the three
+    * decontamination oracles). */
+  private def dkFpsCte: String =
+    s"""tok AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+       |cth AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM tok),
+       |chs AS (SELECT doc_id, ${Dk.shingleHashes("th")} AS hs FROM cth),
+       |cfp AS (SELECT doc_id, unnest(${Dk.winnowSet("hs", 8)}) AS fp FROM chs),
+       |btok AS (SELECT doc_id + 500000 AS bench_id, toks[10:39] AS toks
+       |  FROM tok WHERE doc_id % 10 = 3),
+       |bth AS (SELECT bench_id, ${Dk.tokenHashes("toks")} AS th FROM btok),
+       |bhs AS (SELECT bench_id, ${Dk.shingleHashes("th")} AS hs FROM bth),
+       |bfp AS (SELECT bench_id, unnest(${Dk.winnowSet("hs", 8)}) AS fp FROM bhs)""".stripMargin
+
+  /** One CASE arm per bloom probe: probe j reads hex window 1+8j. */
+  private def dkBloomPosCase: String =
+    "CASE row_j " +
+      (0 until BloomK).map(j => s"WHEN $j THEN ${Dk.hex32Of("dg", 1 + 8 * j)}").mkString(" ") +
+      s" END % $BloomM"
+
+  private def dkBloomCte: String =
+    s"""bpos AS (
+       |  SELECT $dkBloomPosCase AS pos
+       |  FROM (SELECT md5(fp::VARCHAR) AS dg FROM (SELECT DISTINCT fp FROM bfp)),
+       |       (SELECT unnest(generate_series(0, ${BloomK - 1})) AS row_j)),
+       |bloom AS (
+       |  SELECT (pos // 32)::BIGINT AS block,
+       |    bit_or(power(2, pos % 32)::BIGINT)::BIGINT AS word
+       |  FROM bpos GROUP BY 1)""".stripMargin
 }

@@ -188,6 +188,32 @@ class TemporalSketchSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(est.filter(!col("contained")).count() == 0)
   }
 
+  test("bloom decontamination has NO false negatives and a fixed-size broadcastable filter") {
+    val out = SparkEntry.queries("q_decontaminate_bloom")(spark, dir).cache()
+    // soundness: every exactly-contaminated fingerprint must be flagged
+    assert(out.filter(!col("sound")).count() == 0)
+    assert(out.filter(col("n_bloom") < col("n_exact")).count() == 0)
+    // every doc the exact intersection flags appears in the bloom output
+    val exactDocs = SparkEntry.queries("q_decontaminate")(spark, dir)
+      .select(col("doc_id")).distinct()
+    assert(exactDocs.join(out, Seq("doc_id"), "left_anti").count() == 0,
+      "bloom missed an exactly-contaminated doc")
+    out.unpersist()
+    val bits = SparkEntry.queries("sketch_bloom_bits")(spark, dir)
+    assert(bits.count() <= graft.operators.Curation.BloomM / 32)
+  }
+
+  test("bloom filter merges: bits(full) == per-word bit_or of disjoint halves") {
+    import graft.operators.Curation
+    val fps = Curation.bloomTestFps(spark, dir).cache()
+    val full = Curation.bloomBitsOf(fps)
+    val merged = Curation.bloomBitsOf(fps.filter(col("fp") % 2 === 0))
+      .unionByName(Curation.bloomBitsOf(fps.filter(col("fp") % 2 === 1)))
+      .groupBy("block").agg(expr("bit_or(word)").as("word"))
+    assert(full.exceptAll(merged).isEmpty && merged.exceptAll(full).isEmpty)
+    fps.unpersist()
+  }
+
   test("stratified sample is a shuffle-free deterministic filter with per-stratum rates") {
     val out = SparkEntry.queries("q_stratified_sample")(spark, dir)
     val p   = out.queryExecution.executedPlan.toString
