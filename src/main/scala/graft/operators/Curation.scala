@@ -271,9 +271,10 @@ object Curation {
       .select((col("doc_id") + 500000L).as("bench_id"),
         slice(tokens(col("text")), 10, 30).as("toks")), "bench_id")
 
-  /** Bloom geometry: m = 2^16 bits in 32-bit words (bit values ≤ 2^31 —
-    * exact through power() in both engines, no signed-shift edge), k = 4
-    * positions per key from disjoint 8-hex windows of one md5 digest. */
+  /** Bloom geometry (Bloom 1970): m = 2^16 bits in 32-bit words (bit
+    * values ≤ 2^31 — exact through power() in both engines, no
+    * signed-shift edge), k = 4 positions per key from disjoint 8-hex
+    * windows of one md5 digest. */
   val BloomM = 65536
   val BloomK = 4
 

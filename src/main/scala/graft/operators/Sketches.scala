@@ -6,7 +6,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch and deterministic-sampling operators — the
-  * "count/sample a 100 TB column without moving it" family.
+  * "count/sample a 100 TB column without moving it" family. Algorithms
+  * are the published classics — HyperLogLog (Flajolet, Fusy, Gandouet,
+  * Meunier 2007), count-min sketch (Cormode & Muthukrishnan 2005) — built
+  * on this repo's portable md5-derived hashing so every register/counter
+  * is bit-exact across engines.
   *
   *  - **HyperLogLog (p=9, m=512 registers)**, built DETERMINISTICALLY on
   *    the portable md5-derived 32-bit hash so the whole sketch is

@@ -89,7 +89,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("dedup_embedding_cosine joins on the scaling LSH bucket, never on label") {
-    val executed = SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
+    // assert on the pair-BUILD plan (the shipped embeddingNearDups path):
+    // the catalog query memoizes the built pairs per corpus dir, so its
+    // own plan is a checkpoint scan once any embedding query has run
+    import org.apache.spark.sql.functions.{col, transform, lit}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val all = e.select(col("vec_id"), graft.functions.VectorKernels.toDouble(col("embedding")).as("v"))
+      .unionByName(e.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => x.cast("double") + lit(0.01) * ((i % 3) - 1)).as("v")))
+    val executed = graft.operators.Dedup.embeddingNearDups(all,
+        graft.functions.VectorKernels.planesFor(2L * e.count()))
       .queryExecution.executedPlan
     val p = executed.toString
     // the round-2 shape joined on the 10-value `label` column — candidate
