@@ -238,6 +238,54 @@ object Similarity {
       withKmeansCell(qdf, cents).select(col("vec_id"), col("cell"), col("d2"))
     }),
 
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): near-duplicate
+    // detection by clustering + within-cluster comparison, here in the
+    // HIERARCHICAL shape that survives scale — the trained k-means
+    // codebook (the same one the IVF search ships) as the coarse level,
+    // a corpus-scaling sign-LSH bucket with hamming-1 multiprobe as the
+    // fine level. Pure within-cell pairwise cosine is the paper's
+    // configuration but is Σ|cell|²·dims work (MEASURED 34 s at sf0.1
+    // with k=8 — the quadratic the fine level removes); candidates here
+    // are (same cell ∧ same-or-one-flip bucket), so pairs ∝ corpus, and
+    // survivors are still exact-cosine verified, so precision is exact.
+    // Corpus = the planted-perturbation corpus the LSH dedup path uses
+    // (comparable ground truth); a planted pair is missed only if the
+    // perturbation crosses a CELL boundary or ≥2 hyperplanes (the spec
+    // pins recall ≥ 85%, same observable discipline as the LSH path).
+    "dedup_semantic" -> ((s, dir) => {
+      val cents  = kmeansTrain(s, dir) // trained on the base corpus, memoized
+      val e0     = s.read.parquet(s"$dir/embeddings.parquet")
+      val planes = planesFor(2L * e0.count())
+      val base = e0.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val pert = e0.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => x.cast("double") + lit(0.01) * ((i % 3) - 1)).as("v"))
+      val assigned = withKmeansCell(
+          base.unionByName(pert).withColumn("q", quantize(col("v"))), cents)
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("bkt", lshBucket(col("v"), planes, Dims))
+        .select(col("cell"), col("bkt"), col("vec_id"), col("v"), col("nrm"))
+      // candidate generation on (id, cell, bucket) longs only
+      val keys = assigned.select(col("vec_id"), col("cell"), col("bkt"))
+      val flips = (0 until planes).map(j => col("bkt").bitwiseXOR(lit(1L << j)))
+      val probes = keys.select(col("vec_id"), col("cell"),
+        explode(array(col("bkt") +: flips: _*)).as("pb"))
+      val cand = probes.join(
+          keys.select(col("vec_id").as("vec_b"), col("cell").as("cell_r"),
+            col("bkt").as("bkt_r")),
+          col("pb") === col("bkt_r") && col("cell") === col("cell_r") &&
+            col("vec_id") < col("vec_b"))
+        .select(col("vec_id").as("vec_a"), col("vec_b"), col("cell"))
+      val vecs = assigned.select(col("vec_id"), col("v"), col("nrm"))
+      cand
+        .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")),
+          Seq("vec_a"))
+        .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")),
+          Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("cell"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+        .filter(col("cos") >= 0.99)
+    }),
+
     // The trained codebook powering the actual SEARCH path: same
     // cell-probe ANN shape as ann_ivf_topk (query probes its 2 nearest
     // cells, exact cosine on candidates, broadcast probe side), but
@@ -379,6 +427,43 @@ object Similarity {
     "ann_kmeans_cells" ->
       s"""WITH $dkKmeansChain
          |SELECT vec_id, cell, d2 FROM ad WHERE rn = 1""".stripMargin,
+    // trained codebook (the chain trains on the base corpus), then the
+    // planted-perturbation corpus is ASSIGNED against c2 (mirror of the
+    // Spark withKmeansCell tie-break: distance, then cell id), bucketed
+    // by the corpus-scaling sign-LSH, and paired within
+    // (cell ∧ own-or-hamming-1 bucket)
+    "dedup_semantic" ->
+      s"""WITH $dkKmeansChain,
+         |pert AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    [embedding[i]::DOUBLE + 0.01 * (((i - 1) % 3) - 1)
+         |     for i in generate_series(1, $Dims)] AS v
+         |  FROM embeddings),
+         |all2 AS (
+         |  SELECT vec_id, v, q FROM e
+         |  UNION ALL
+         |  SELECT vec_id, v, ${Dk.quantize("v", Dims)} AS q FROM pert),
+         |prm AS (SELECT ${Dk.planesCase("n")} AS np
+         |  FROM (SELECT 2 * count(*)::BIGINT AS n FROM embeddings)),
+         |asg AS (SELECT vec_id, v, cell,
+         |    ${Dk.lshBucketDyn("v", "np", Dims)} AS bkt FROM (
+         |  SELECT a.vec_id, a.v, c.cell,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${Dk.intDist2("a.q", "c.c", Dims)}, c.cell) AS rn
+         |  FROM all2 a, c2 c) , prm WHERE rn = 1),
+         |sprobes AS (
+         |  SELECT vec_id, cell,
+         |    unnest(list_prepend(bkt,
+         |      [xor(bkt, (1::BIGINT << j)) for j in generate_series(0, np - 1)])) AS pb
+         |  FROM asg, prm),
+         |scand AS (
+         |  SELECT p.vec_id AS vec_a, c.vec_id AS vec_b, p.cell
+         |  FROM sprobes p JOIN asg c ON p.pb = c.bkt AND p.cell = c.cell
+         |    AND p.vec_id < c.vec_id)
+         |SELECT vec_a, vec_b, s.cell,
+         |  round(${Dk.cosine("l.v", "r.v", Dims)}, 4) AS cos
+         |FROM scand s JOIN asg l ON l.vec_id = vec_a JOIN asg r ON r.vec_id = vec_b
+         |WHERE round(${Dk.cosine("l.v", "r.v", Dims)}, 4) >= 0.99""".stripMargin,
     // rank-1/rank-2 rows of the same assignment ranking ARE (cell, cell2)
     // — same tie-breaks as the Spark masked-argmin (distance, then cell)
     "ann_ivf_trained_topk" ->

@@ -52,4 +52,18 @@ class DedupEmbeddingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select("vec_a", "vec_b", "probe_dist").as[(Long, Long, Long)].collect().toSeq
     assert(rows == Seq((1L, 2L, 0L)), rows.toString)
   }
+
+  test("semantic dedup (k-means cells): exact precision, cell-boundary-bounded recall") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dedup_semantic")(spark, dir).cache()
+    // precision is exact: survivors are cosine-verified, and only the
+    // planted perturbed twins sit above 0.99 in this corpus
+    assert(out.filter(col("vec_b") =!= col("vec_a") + 100000L).count() == 0)
+    assert(out.agg(org.apache.spark.sql.functions.min("cos")).head.getDouble(0) >= 0.99)
+    // recall: a planted pair is missed only when the perturbation crosses
+    // a k-means cell boundary — must stay high, like the LSH path
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.count() >= n * 85 / 100, s"cell recall collapsed: ${out.count()} of $n")
+    out.unpersist()
+  }
 }
