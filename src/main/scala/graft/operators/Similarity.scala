@@ -259,13 +259,15 @@ object Similarity {
       val base = e0.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val pert = e0.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), (x, i) => x.cast("double") + lit(0.01) * ((i % 3) - 1)).as("v"))
-      val assigned = withKmeansCell(
-          base.unionByName(pert).withColumn("q", quantize(col("v"))), cents)
-        .withColumn("nrm", norm(col("v")))
+      val all = base.unionByName(pert)
+      // candidate generation on (id, cell, bucket) longs only — cached:
+      // both join sides read the keys, and without the cache the 8
+      // distance folds + the planes×64-dim bucket fold run twice over the
+      // corpus (the embeddingNearDups lesson; evicted by the caller's
+      // clearCache — at scale cell and bucket are stored index columns)
+      val keys = withKmeansCell(all.withColumn("q", quantize(col("v"))), cents)
         .withColumn("bkt", lshBucket(col("v"), planes, Dims))
-        .select(col("cell"), col("bkt"), col("vec_id"), col("v"), col("nrm"))
-      // candidate generation on (id, cell, bucket) longs only
-      val keys = assigned.select(col("vec_id"), col("cell"), col("bkt"))
+        .select(col("vec_id"), col("cell"), col("bkt")).cache()
       val flips = (0 until planes).map(j => col("bkt").bitwiseXOR(lit(1L << j)))
       val probes = keys.select(col("vec_id"), col("cell"),
         explode(array(col("bkt") +: flips: _*)).as("pb"))
@@ -275,7 +277,9 @@ object Similarity {
           col("pb") === col("bkt_r") && col("cell") === col("cell_r") &&
             col("vec_id") < col("vec_b"))
         .select(col("vec_id").as("vec_a"), col("vec_b"), col("cell"))
-      val vecs = assigned.select(col("vec_id"), col("v"), col("nrm"))
+      // the vector side never pays the assignment: it only carries
+      // (id, v, norm) for the exact verify of banding survivors
+      val vecs = all.withColumn("nrm", norm(col("v")))
       cand
         .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")),
           Seq("vec_a"))
