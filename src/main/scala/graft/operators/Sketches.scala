@@ -66,6 +66,36 @@ object Sketches {
   private def registers(s: SparkSession, dir: String): DataFrame =
     registersOf(t(s, dir, "events"))
 
+  /** Per-day register sets: same rho rule, keyed by (day_key, reg). */
+  private def registersByDay(ev: DataFrame): DataFrame =
+    ev
+      .select(col("day_key"),
+        hex32(concat(col("user_id").cast("string"), lit("|"), col("props"))).as("h"))
+      .select(col("day_key"), (col("h") % M).as("reg"), expr(s"h DIV $M").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(WBits + 1).cast("long"))
+          .otherwise(lit(WBits + 1) - length(conv(col("w").cast("string"), 10, 2))).cast("long"))
+      .groupBy(col("day_key"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+
+  /** The raw HLL estimator per day_key group of a (day_key, reg, rho)
+    * frame — same integer-space sum rule as [[queries]]' global
+    * estimate. */
+  private def estimateOf(regs: DataFrame): DataFrame = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble))
+    val scale = lit((1L << (WBits + 1)).toDouble)
+    regs.groupBy(col("day_key"))
+      .agg(count(lit(1)).as("m_hit"),
+        sum(pow(lit(2.0), lit(WBits + 1) - col("rho")).cast("long")).as("hit_sum"))
+      .withColumn("v_zero", lit(M.toLong) - col("m_hit"))
+      .withColumn("sum_inv",
+        (col("hit_sum") + col("v_zero") * (1L << (WBits + 1))).cast("double") / scale)
+      .withColumn("raw_estimate",
+        round(alpha * lit(M.toDouble) * lit(M.toDouble) / col("sum_inv"), 4))
+      .select(col("day_key"), col("m_hit").cast("long").as("m_hit"),
+        col("v_zero"), col("raw_estimate"))
+  }
+
   /** CMS geometry: CmsD hash rows × CmsW counters. Error bound: est −
     * exact ≤ e/CmsW · N with prob 1 − e^−CmsD. */
   val CmsD = 4
@@ -141,6 +171,36 @@ object Sketches {
           col("m_hit").cast("long").as("m_hit"), col("v_zero"),
           col("raw_estimate"), col("exact_distinct"),
           round(col("raw_estimate") / col("exact_distinct"), 4).as("rel_to_exact"))
+    }),
+
+    // Windowed HLL rollup — the monitoring shape at 100 TB: one sketch
+    // per day, plus the all-time total computed by MERGING the per-day
+    // register sets (max per register). The oracle computes the total row
+    // INDEPENDENTLY from the global hash stream, so the driver's hash
+    // compare is itself the proof that merging day sketches loses nothing
+    // — the equivalence that lets a real deployment keep only per-window
+    // sketches and roll them up on demand. Per-day cardinalities sit in
+    // the linear-counting regime at small sf (raw estimator overreads,
+    // v_zero ≫ 0 is the consumer's LC trigger — documented at
+    // [[queries]]' global estimate); the merged total is in-regime and
+    // lands within the m=512 error bound.
+    "sketch_hll_daily" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day_key", expr("unix_micros(cast(ts AS timestamp)) DIV 86400000000"))
+      val dayRegs = registersByDay(ev)
+      val merged = dayRegs.groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+        .withColumn("day_key", lit(-1L))
+      val exactDay = ev.groupBy(col("day_key"))
+        .agg(countDistinct(concat(col("user_id").cast("string"), lit("|"), col("props")))
+          .as("exact_distinct"))
+      val exactAll = ev
+        .agg(countDistinct(concat(col("user_id").cast("string"), lit("|"), col("props")))
+          .as("exact_distinct"))
+        .withColumn("day_key", lit(-1L))
+      estimateOf(dayRegs.unionByName(merged.select(dayRegs.columns.map(col): _*)))
+        .join(exactDay.unionByName(exactAll.select(exactDay.columns.map(col): _*)),
+          Seq("day_key"))
+        .withColumn("rel_to_exact", round(col("raw_estimate") / col("exact_distinct"), 4))
     }),
 
     // Count-min sketch over document tokens (heavy-hitter / hot-boilerplate
@@ -252,6 +312,42 @@ object Sketches {
         s"""SELECT doc_id, source FROM documents
            |WHERE ${Dk.hex32("doc_id::VARCHAR || '|strat'")} % 10000
            |    < 1000 + ${Dk.hex32("source")} % 3000""".stripMargin,
+      // per-day rows computed per day; the total (day_key = -1) computed
+      // INDEPENDENTLY from the global stream — if Spark's merged-register
+      // total row hashes equal, the merge lost nothing
+      "sketch_hll_daily" ->
+        s"""WITH dbase AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day_key,
+           |    ${Dk.hex32("user_id::VARCHAR || '|' || props")} AS h,
+           |    user_id::VARCHAR || '|' || props AS key
+           |  FROM events),
+           |rho0 AS (
+           |  SELECT day_key, h % $M AS reg,
+           |    CASE WHEN h // $M = 0 THEN ${WBits + 1}
+           |         ELSE ${WBits + 1} - length(to_base(h // $M, 2)) END AS rho
+           |  FROM dbase),
+           |allregs AS (
+           |  SELECT day_key, reg, max(rho) AS rho FROM rho0 GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT (-1)::BIGINT AS day_key, reg, max(rho) AS rho FROM rho0 GROUP BY 2),
+           |sums AS (
+           |  SELECT day_key, count(*) AS m_hit,
+           |    sum((2.0 ^ (${WBits + 1} - rho))::BIGINT)::BIGINT AS hit_sum
+           |  FROM allregs GROUP BY 1),
+           |est AS (
+           |  SELECT day_key, m_hit::BIGINT AS m_hit, ($M - m_hit)::BIGINT AS v_zero,
+           |    round((0.7213 / (1.0 + 1.079 / ${M.toDouble})) * ${M.toDouble} * ${M.toDouble}
+           |      / (((hit_sum + ($M - m_hit) * ${1L << (WBits + 1)})::DOUBLE) / ${(1L << (WBits + 1)).toDouble}),
+           |      4) AS raw_estimate
+           |  FROM sums),
+           |exacts AS (
+           |  SELECT day_key, count(DISTINCT key)::BIGINT AS exact_distinct
+           |  FROM dbase GROUP BY 1
+           |  UNION ALL
+           |  SELECT (-1)::BIGINT, count(DISTINCT key)::BIGINT FROM dbase)
+           |SELECT day_key, m_hit, v_zero, raw_estimate, exact_distinct,
+           |  round(raw_estimate / exact_distinct, 4) AS rel_to_exact
+           |FROM est JOIN exacts USING (day_key)""".stripMargin,
       "sketch_cms_counters" ->
         s"WITH $cmsCountersCte SELECT row_j, idx, cnt FROM counters",
       "sketch_cms_heavy_hitters" ->

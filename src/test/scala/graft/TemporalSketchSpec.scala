@@ -146,6 +146,17 @@ class TemporalSketchSpec extends AnyFunSuite with SparkSessionTestWrapper {
     if (exact > 2.5 * Sketches.M) assert(math.abs(est / exact - 1.0) < 0.15)
   }
 
+  test("daily HLL rollup: merged total row == the global sketch's estimate") {
+    val daily = SparkEntry.queries("sketch_hll_daily")(spark, dir).cache()
+    val total = daily.filter(col("day_key") === -1L).head
+    val global = SparkEntry.queries("sketch_hll_estimate")(spark, dir).head
+    assert(total.getAs[Double]("raw_estimate") == global.getAs[Double]("raw_estimate"))
+    assert(total.getAs[Long]("m_hit") == global.getAs[Long]("m_hit"))
+    // per-day register partitions hold too
+    assert(daily.filter(col("m_hit") + col("v_zero") =!= Sketches.M.toLong).count() == 0)
+    daily.unpersist()
+  }
+
   test("CMS never undercounts: est >= exact for EVERY token in the vocabulary") {
     val toks = spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
