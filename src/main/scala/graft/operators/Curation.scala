@@ -205,6 +205,52 @@ object Curation {
       curate(corpus, nb, Some(s"$dir#curate"))
     }),
 
+    // Domain-mixture resampling (the Pile/Dolma-style mixing step): given
+    // per-domain raw counts, compute temperature-scaled target weights
+    // w_d ∝ n_d^0.5 (α = 0.5 flattens the mix toward rare domains), turn
+    // them into DOWNSAMPLING keep-rates (scaled so the most up-weighted
+    // domain keeps 100% — no upsampling), and hash-threshold sample each
+    // domain deterministically (no rand(): a doc's keep decision is stable
+    // under reruns and incremental arrivals, the q_train_split property).
+    // Cross-engine exactness: sqrt is IEEE-correctly-rounded in both
+    // engines, keep-rates are floored to integer millionths before the
+    // per-doc compare, and the arg-max domain is selected with a
+    // deterministic (ratio DESC, domain ASC) ranking — no float summation
+    // order anywhere. Scale shape: one groupBy(domain) count (partial agg;
+    // domains ≪ docs), the 5-row weight table broadcast back, then a
+    // narrow per-doc hash filter — the corpus is scanned, never shuffled.
+    "q_domain_mix" -> ((s, dir) => {
+      // planted SKEWED domain mix — 50/30/10/5/5% — so the rebalancer has
+      // real work (a uniform plant keeps every domain at 100% vacuously)
+      val m20 = col("doc_id") % 20
+      val domain = when(m20 < 10, lit("web")).when(m20 < 16, lit("news"))
+        .when(m20 < 18, lit("books")).when(m20 === 18, lit("code"))
+        .otherwise(lit("wiki"))
+      val d = docs(s, dir).select(col("doc_id"), domain.as("domain"))
+      val w = d.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight_scaled",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      val mx = w
+        .orderBy((col("weight_scaled").cast("double") / col("n_docs")).desc, col("domain"))
+        .limit(1).select(col("weight_scaled").as("wm"), col("n_docs").as("nm"))
+      val k = w.crossJoin(broadcast(mx))
+        .withColumn("keep_scaled",
+          floor(lit(1e6) * (col("weight_scaled").cast("double") / col("n_docs"))
+            / (col("wm").cast("double") / col("nm"))).cast("long"))
+        .select("domain", "n_docs", "weight_scaled", "keep_scaled")
+      val kept = d.join(broadcast(k), Seq("domain"))
+        .withColumn("kh", hex32(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L)
+        .groupBy(col("domain"))
+        .agg(count(when(col("kh") < col("keep_scaled"), 1)).as("n_kept"))
+      val out = k.join(kept, Seq("domain"))
+      val tot = out.agg(sum(col("n_docs")).as("tn"), sum(col("n_kept")).as("tk"))
+      out.crossJoin(broadcast(tot))
+        .select(col("domain"), col("n_docs"),
+          round(col("n_docs") / col("tn"), 4).as("share_raw"),
+          col("weight_scaled"), col("keep_scaled"), col("n_kept"),
+          round(col("n_kept") / col("tk"), 4).as("share_sampled"))
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       corpusFps(s, dir).join(broadcast(benchFps(s, dir)), Seq("fp"))
         .groupBy(col("doc_id"), col("bench_id"))
@@ -405,6 +451,32 @@ object Curation {
          |  SELECT doc_id + 4000000, '!! ?? !!' FROM documents),
          |${dkCurateChain(dkPackBuckets("5 * (SELECT count(*) FROM documents)"))}""".stripMargin,
 
+    "q_domain_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 20 < 10 THEN 'web' WHEN doc_id % 20 < 16 THEN 'news'
+         |      WHEN doc_id % 20 < 18 THEN 'books' WHEN doc_id % 20 = 18 THEN 'code'
+         |      ELSE 'wiki' END AS domain
+         |  FROM documents),
+         |c AS (SELECT domain, count(*)::BIGINT AS n_docs FROM d GROUP BY 1),
+         |w AS (SELECT domain, n_docs,
+         |    floor(sqrt(n_docs::DOUBLE) * 1000000.0)::BIGINT AS weight_scaled FROM c),
+         |m AS (SELECT weight_scaled AS wm, n_docs AS nm FROM (
+         |    SELECT *, row_number() OVER (
+         |      ORDER BY (weight_scaled::DOUBLE / n_docs) DESC, domain) AS rn
+         |    FROM w) WHERE rn = 1),
+         |k AS (SELECT domain, n_docs, weight_scaled,
+         |    floor(1000000.0 * ((weight_scaled::DOUBLE / n_docs) / (wm::DOUBLE / nm)))::BIGINT AS keep_scaled
+         |  FROM w, m),
+         |kept AS (
+         |  SELECT d.domain, count(CASE WHEN ${Dk.hex32("'mix:' || doc_id::VARCHAR")} % 1000000 < keep_scaled THEN 1 END)::BIGINT AS n_kept
+         |  FROM d JOIN k ON d.domain = k.domain GROUP BY 1),
+         |o AS (SELECT k.domain, n_docs, weight_scaled, keep_scaled, n_kept
+         |  FROM k JOIN kept ON k.domain = kept.domain),
+         |tot AS (SELECT sum(n_docs)::BIGINT AS tn, sum(n_kept)::BIGINT AS tk FROM o)
+         |SELECT domain, n_docs, round(n_docs / tn, 4) AS share_raw,
+         |  weight_scaled, keep_scaled, n_kept, round(n_kept / tk, 4) AS share_sampled
+         |FROM o, tot""".stripMargin,
     "q_decontaminate" ->
       s"""WITH $dkFpsCte
          |SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS n_shared

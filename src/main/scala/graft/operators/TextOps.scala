@@ -30,6 +30,9 @@ object TextOps {
   /** Chunk-dedup window (tokens) and the planted boilerplate footer
     * (exactly [[ChunkW]] tokens ⇒ exactly one corpus-wide hot chunk). */
   private val ChunkW = 10
+
+  /** Repetition-rule line width (tokens per synthesized line). */
+  private val LineW = 8
   private val Footer = "standard footer text all rights reserved contact legal team here"
 
   /** Planted UTF-8 suffixes (by doc_id % 6) for the multilingual parity
@@ -183,6 +186,62 @@ object TextOps {
     // suffix-array all-pairs). Corpus = documents ∪ a 2-chunk prefix copy
     // with a shared boilerplate footer (+1e6 ids): prefix chunks duplicate
     // pairwise, the footer chunk duplicates corpus-wide (the hot-key case).
+    // Gopher-style repetition quality rules (Rae et al. 2021, "Scaling
+    // Language Models", filter table A1): duplicate-line fraction,
+    // duplicate-line CHARACTER fraction, and top-2-gram character fraction
+    // — the standard signals a crawl filter uses to drop
+    // boilerplate/spam-repetition pages. The sf corpus has no newlines, so
+    // "lines" are synthesized deterministically as [[LineW]]-token
+    // windows; every 3rd doc gets its first line planted again at the end
+    // (so the duplicate-line counters are exercised nonzero, not just
+    // vacuously oracle-equal). Token stream for the 2-gram rule is
+    // re-derived by flattening the lines — plant included, alignment by
+    // construction. Scale shape: two aggregations keyed (doc_id, unit)
+    // then (doc_id) — per-doc analytics whose shuffles carry counts and
+    // short strings, parallelism ∝ docs; no global state, no windows wider
+    // than one document. Thresholds (0.30 / 0.20 / 0.20) are Gopher's.
+    "text_repetition_stats" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nln  = floor((size(toks) + LineW - 1) / LineW).cast("int")
+      val lines = transform(sequence(lit(0), nln - 1), i =>
+        array_join(slice(toks, i * LineW + 1, lit(LineW)), " "))
+      val base = docs(s, dir).filter(size(tokens(col("text"))) >= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(lines, array(element_at(lines, 1))))
+            .otherwise(lines).as("lines"))
+        .select(col("doc_id"), col("lines"),
+          flatten(transform(col("lines"), l => split(l, " "))).as("toks2"))
+      val lineAgg = base.select(col("doc_id"), explode(col("lines")).as("line"))
+        .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_lines"),
+          count(lit(1)).as("n_dist"),
+          sum(when(col("cnt") >= 2, col("cnt") * length(col("line"))).otherwise(0L)).as("dup_chars"),
+          sum(col("cnt") * length(col("line"))).as("tot_chars"))
+      val grams = when(size(col("toks2")) >= 2,
+        transform(sequence(lit(1), size(col("toks2")) - 1), i =>
+          concat_ws(" ", element_at(col("toks2"), i), element_at(col("toks2"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("gram"))
+      val gramTop = base.select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("gram").as("top_2gram"), col("cnt").as("top_cnt"))
+      val tokChars = base.select(col("doc_id"),
+        aggregate(transform(col("toks2"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("tok_chars"))
+      lineAgg.join(gramTop, Seq("doc_id"), "left").join(tokChars, Seq("doc_id"))
+        .select(col("doc_id"), col("n_lines"),
+          round((col("n_lines") - col("n_dist")) / col("n_lines"), 4).as("dup_line_frac"),
+          round(col("dup_chars") / col("tot_chars"), 4).as("dup_line_char_frac"),
+          coalesce(col("top_2gram"), lit("")).as("top_2gram"),
+          round(coalesce(col("top_cnt") * (length(col("top_2gram")) - 1), lit(0L)) / col("tok_chars"), 4).as("top_2gram_frac"))
+        .withColumn("quality_pass",
+          col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+            col("top_2gram_frac") <= 0.20)
+    }),
+
     "text_dup_chunk_ratio" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val copies = d.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -280,6 +339,52 @@ object TextOps {
          |    '$EmailPat', '<EMAIL>', 'g'), '$Ipv4Pat', '<IP>', 'g'),
          |    '$PhonePat', '<PHONE>', 'g') AS redacted
          |FROM planted""".stripMargin,
+    "text_repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |l0 AS (
+         |  SELECT doc_id,
+         |    [array_to_string(toks[(i*$LineW+1):(i*$LineW+$LineW)], ' ')
+         |     for i in generate_series(0, (len(toks) + ${LineW - 1}) // $LineW - 1)] AS lines
+         |  FROM t WHERE len(toks) >= 1),
+         |l2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN list_append(lines, lines[1]) ELSE lines END AS lines
+         |  FROM l0),
+         |base AS (
+         |  SELECT doc_id, lines,
+         |    flatten([string_split(l, ' ') for l in lines]) AS toks2
+         |  FROM l2),
+         |lr AS (SELECT doc_id, unnest(lines) AS line FROM base),
+         |lg AS (SELECT doc_id, line, count(*) AS cnt FROM lr GROUP BY 1, 2),
+         |la AS (
+         |  SELECT doc_id, sum(cnt)::BIGINT AS n_lines, count(*)::BIGINT AS n_dist,
+         |    sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END)::BIGINT AS dup_chars,
+         |    sum(cnt * length(line))::BIGINT AS tot_chars
+         |  FROM lg GROUP BY 1),
+         |gr AS (
+         |  SELECT doc_id,
+         |    unnest([toks2[i] || ' ' || toks2[i+1] for i in generate_series(1, len(toks2)-1)]) AS gram
+         |  FROM base),
+         |gg AS (SELECT doc_id, gram, count(*) AS cnt FROM gr GROUP BY 1, 2),
+         |gt AS (
+         |  SELECT doc_id, gram AS top_2gram, cnt AS top_cnt FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+         |    FROM gg) WHERE rn = 1),
+         |tc AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(0::BIGINT, [length(x)::BIGINT for x in toks2]), (a, b) -> a + b) AS tok_chars
+         |  FROM base),
+         |m AS (
+         |  SELECT la.doc_id, n_lines,
+         |    round((n_lines - n_dist) / n_lines, 4) AS dup_line_frac,
+         |    round(dup_chars / tot_chars, 4) AS dup_line_char_frac,
+         |    coalesce(top_2gram, '') AS top_2gram,
+         |    round(coalesce(top_cnt * (length(top_2gram) - 1), 0) / tok_chars, 4) AS top_2gram_frac
+         |  FROM la LEFT JOIN gt ON la.doc_id = gt.doc_id
+         |  JOIN tc ON la.doc_id = tc.doc_id)
+         |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, top_2gram, top_2gram_frac,
+         |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20 AND top_2gram_frac <= 0.20) AS quality_pass
+         |FROM m""".stripMargin,
     "text_dup_chunk_ratio" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

@@ -43,6 +43,32 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.count() >= eligible * 95 / 100, s"found ${out.count()} of $eligible planted pairs")
   }
 
+  test("text_repetition_stats: planted dup line is counted, fractions bounded") {
+    val out = SparkEntry.queries("text_repetition_stats")(spark, dir).cache()
+    // every 3rd doc carries its first line planted again → dup_line_frac > 0
+    assert(out.filter(col("doc_id") % 3 === 0 && col("dup_line_frac") <= 0.0).count() == 0)
+    // fractions are valid ratios
+    assert(out.filter(col("dup_line_frac") < 0 || col("dup_line_frac") > 1
+      || col("dup_line_char_frac") < 0 || col("dup_line_char_frac") > 1
+      || col("top_2gram_frac") < 0 || col("top_2gram_frac") > 1).count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("q_domain_mix: temperature resampling flattens the planted skew, no upsampling") {
+    val rows = SparkEntry.queries("q_domain_mix")(spark, dir).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_raw"),
+        r.getAs[Long]("keep_scaled"), r.getAs[Double]("share_sampled"))).toSeq
+    // no domain keeps more than 100% and the rarest keeps exactly 100%
+    assert(rows.forall(_._3 <= 1000000L))
+    assert(rows.filter(r => r._2 == rows.map(_._2).min).forall(_._3 == 1000000L))
+    // the dominant domain's share shrinks, the rarest's grows (flattening)
+    val top  = rows.maxBy(_._2)
+    val rare = rows.minBy(_._2)
+    assert(top._4 < top._2 && rare._4 > rare._2,
+      s"mix did not flatten: $rows")
+  }
+
   test("dedup_embedding_cosine finds planted pairs via corpus-scaling LSH buckets") {
     val out = SparkEntry.queries("dedup_embedding_cosine")(spark, dir).cache()
     // every reported pair is a planted near-dup above threshold (precision
