@@ -34,7 +34,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextOps.queries ++ Multimodal.queries ++ Curation.queries ++
-      Temporal.queries ++ Sketches.queries ++
+      Temporal.queries ++ Sketches.queries ++ Search.queries ++
       ExtractQueries.queries ++ graft.streaming.StreamingQueries.queries
 
   /** DuckDB-equivalent ANSI SQL per query. The extraction/eval kernels are
@@ -44,6 +44,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextOps.oracles ++ Multimodal.oracles ++ Curation.oracles ++
-      Temporal.oracles ++ Sketches.oracles ++
+      Temporal.oracles ++ Sketches.oracles ++ Search.oracles ++
       ExtractQueries.oracles ++ graft.streaming.StreamingQueries.oracles
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.TextKernels._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus: an inverted index (posting lists
+  * with term frequencies + document frequencies) and BM25-style ranked
+  * search — the lexical retrieval primitive a training-data pipeline uses
+  * for corpus exploration, targeted filtering, and hard-negative mining
+  * next to the embedding-ANN path (`Similarity`).
+  *
+  * Scale shape (the standard distributed inverted-index build):
+  *  - posting lists are ONE `groupBy(doc_id, term)` over exploded tokens —
+  *    map-side partial aggregation collapses within-partition repeats, the
+  *    shuffle key is (term, doc) so hot terms spread across their doc
+  *    sets, and no row ever carries more than a token and two counters;
+  *  - the query set is tiny and BROADCAST twice (term prune, then df) —
+  *    the corpus-side index is touched only via equi-joins on term;
+  *  - df/idf are computed on the PRUNED postings (only query terms), so
+  *    the expensive global term-statistics pass is deferred until a query
+  *    set needs it — at 100 TB the full index + df table would instead be
+  *    built once and bucketed by term (`BucketedJoinSpec` shape), making
+  *    each query wave a zero-shuffle probe;
+  *  - per-(query, doc) scores sum as INTEGER micro-points, so aggregation
+  *    order cannot perturb the result (float addition is not associative;
+  *    int64 addition is) — the same order-independence trick the trained
+  *    k-means path uses — and top-k is a per-query row_number window over
+  *    the few thousand docs that share a query term, never a global sort.
+  *
+  * Cross-engine exactness: scores are floored to integer micro-points
+  * from an IDENTICAL double expression tree in both engines (IEEE
+  * division/multiplication are correctly rounded, so same operands + same
+  * shape = same bits), and ranking ties break on doc_id. The idf is the
+  * RATIONAL form (N - df + 0.5)/(df + 0.5) — BM25's idf without the final
+  * log. The log is a monotone per-term transform: dropping it keeps
+  * per-term ranking identical and makes the score exact in int64 across
+  * engines; the tradeoff (rare terms weigh in linearly rather than
+  * logarithmically in multi-term sums) is documented, deliberate, and
+  * what makes the whole scorer hash-checkable against DuckDB.
+  */
+object Search {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** BM25 constants (Robertson/Spärck Jones defaults). K1p1 is written as
+    * its own literal — NOT computed as K1 + 1.0 — so the Scala double and
+    * the SQL-interpolated literal are the same bits (1.2 + 1.0 in binary
+    * is not the double nearest 2.2). 1 - B = 0.25 is exact. */
+  private val K1   = 1.2
+  private val K1p1 = 2.2
+  private val B    = 0.75
+  private val TopK = 5
+
+  /** Planted query workload: every 100th doc gets a UNIQUE marker token
+    * (`qk<doc_id>`) appended to its text, and contributes a 3-term query
+    * of that marker plus its tokens 5..6 (query_id = doc_id + 900000).
+    * The marker term has df = 1 — maximal idf — so a correct scorer MUST
+    * rank the source doc first (the catalog test pins it), while the two
+    * common terms exercise the tf/length-normalization arm; the sf corpus
+    * is a ~50-word vocabulary soup where common terms alone cannot
+    * discriminate. */
+  private def queryFrame(t: DataFrame): DataFrame =
+    t.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 900000L).as("query_id"),
+        concat(array(concat(lit("qk"), col("doc_id").cast("string"))),
+          slice(col("toks"), 5, 2)).as("qtoks"))
+
+  /** The ranked search: top-[[TopK]] docs per query by integer-scaled
+    * BM25-style score. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(col("doc_id"),
+      tokens(when(col("doc_id") % 100 === 0,
+        concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
+        .otherwise(col("text"))).as("toks"))
+    val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tdl"))
+      .select(col("n"), (col("tdl").cast("double") / col("n")).as("avgdl"))
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val qt = queryFrame(t)
+      .select(col("query_id"), explode(col("qtoks")).as("term")).distinct()
+    val ptf = tf.join(broadcast(qt), Seq("term"))
+    val df  = ptf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val idf = (col("n") - col("df") + 0.5) / (col("df") + 0.5)
+    val num = col("tf") * K1p1
+    val den = col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / col("avgdl")))
+    val sc = ptf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"),
+        floor(lit(1e6) * idf * num / den).cast("long").as("s"))
+    val agg = sc.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score_scaled"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "doc_id", "score_scaled")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 100 = 0
+         |    THEN text || ' qk' || doc_id::VARCHAR ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |q AS (SELECT doc_id + 900000 AS query_id,
+         |    list_prepend('qk' || doc_id::VARCHAR, toks[5:6]) AS qtoks
+         |  FROM t WHERE doc_id % 100 = 0),
+         |qt AS (SELECT DISTINCT query_id, unnest(qtoks) AS term FROM q),
+         |ptf AS (SELECT qt.query_id, tf.doc_id, tf.term, tf.tf
+         |  FROM tf JOIN qt ON tf.term = qt.term),
+         |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ptf GROUP BY 1),
+         |sc AS (
+         |  SELECT query_id, ptf.doc_id,
+         |    floor(1000000.0::DOUBLE * ((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) * (tf * $K1p1::DOUBLE)
+         |      / (tf + $K1::DOUBLE * (${1.0 - B}::DOUBLE + $B::DOUBLE * (dl / avgdl))))::BIGINT AS s
+         |  FROM ptf JOIN df ON ptf.term = df.term
+         |  JOIN dl ON ptf.doc_id = dl.doc_id, st),
+         |agg AS (SELECT query_id, doc_id, sum(s)::BIGINT AS score_scaled
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, score_scaled FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
+         |  FROM agg) WHERE rank <= $TopK""".stripMargin)
+}

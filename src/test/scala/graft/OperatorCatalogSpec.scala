@@ -69,6 +69,17 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"mix did not flatten: $rows")
   }
 
+  test("text_bm25_topk: unique-marker query term ranks its source doc first") {
+    val top = SparkEntry.queries("text_bm25_topk")(spark, dir)
+      .filter(col("rank") === 1).collect()
+    assert(top.nonEmpty)
+    // the df=1 marker term's idf must dominate: rank-1 = the source doc
+    top.foreach { r =>
+      assert(r.getAs[Long]("doc_id") == r.getAs[Long]("query_id") - 900000L,
+        s"query ${r.getAs[Long]("query_id")} rank-1 was ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("dedup_embedding_cosine finds planted pairs via corpus-scaling LSH buckets") {
     val out = SparkEntry.queries("dedup_embedding_cosine")(spark, dir).cache()
     // every reported pair is a planted near-dup above threshold (precision
