@@ -58,6 +58,34 @@ object StreamingOps {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** One fact event of the stream-static enrichment pair. */
+  final case class EnrichEvent(user_id: Long, event_time: Timestamp, event_id: Long)
+
+  /** Stream-static broadcast enrichment feeding a watermarked windowed
+    * aggregation — the canonical streaming-dimension-join shape: facts
+    * stream in, the dimension table is a BATCH frame joined per
+    * micro-batch (stateless — no join state at all, unlike stream-stream
+    * joins), explicitly broadcast so each micro-batch is a map-side hash
+    * probe, and the enriched rows roll up into append-mode tumbling
+    * windows per dimension attribute. At scale the dimension is the
+    * usual broadcast-size contract (MBs, not the fact stream); a
+    * too-large dim moves to a bucketed storage join, not more state.
+    * Facts whose key is absent from the dim are dropped by the inner
+    * join AFTER the watermark operator has seen them — so late-ish
+    * unmatched facts still advance the clock. */
+  def enrichedCohortCounts(
+      events: Dataset[EnrichEvent],
+      dim: DataFrame, // (user_id, cohort)
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("event_time"), windowLen), col("cohort"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("cohort"), col("n_events"))
+
   final case class UserEvent(user_id: Long, event_time: Timestamp)
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)

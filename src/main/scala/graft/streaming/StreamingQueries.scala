@@ -152,6 +152,46 @@ object StreamingQueries {
         .select(col("click_id"), col("user_id"), col("view_id"), col("lag_us"))
     }),
 
+    // Stream-static enrichment: facts stream through MemoryStream, the
+    // user→cohort dimension is a STATIC batch frame broadcast into every
+    // micro-batch (stateless join), enriched rows aggregate into
+    // watermarked tumbling windows per cohort. The sentinel fact's user
+    // is absent from the dim — it must still advance the watermark (the
+    // join sits downstream of the watermark operator), which is exactly
+    // the subtle ordering the operator documents. Oracle: the batch twin
+    // join+window in SQL.
+    "stream_static_join" -> ((s, dir) => {
+      val ss = replaySession(s)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val rows = ss.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+          col("event_id").cast("long"))
+        .as[(Long, Timestamp, Long)].collect()
+        .sortBy(r => (r._2.getTime, r._3))
+        .map(r => StreamingOps.EnrichEvent(r._1, r._2, r._3))
+      val dim = ss.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").cast("long")).distinct()
+        .select(col("user_id"), (col("user_id") % 3).as("cohort"))
+      val maxTs = rows.map(_.event_time.getTime).max
+      val in    = MemoryStream[StreamingOps.EnrichEvent]
+      val name  = s"ssj_${qId.incrementAndGet()}"
+      val q = StreamingOps.enrichedCohortCounts(in.toDS(), dim)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        quarters(rows.toSeq).foreach { b => in.addData(b); q.processAllAvailable() }
+        // sentinel: unmatched user (dropped by the join) still advances
+        // the watermark past every real window's end
+        in.addData(StreamingOps.EnrichEvent(-1L,
+          new Timestamp(maxTs + 3600L * 1000), -1L))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table(name)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          unix_micros(col("window_end")).as("window_end_us"),
+          col("cohort"), col("n_events"))
+    }),
+
     // Streaming exact dedup over documents ∪ byte-identical re-crawled
     // copies arriving in later micro-batches (constant event time keeps
     // all state in-watermark, so the run is a full-history dedup). Output
@@ -203,6 +243,15 @@ object StreamingQueries {
         |FROM x GROUP BY 1""".stripMargin,
     "stream_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    // batch twin of the stream-static enrichment: every event user is in
+    // the (distinct-users) dim, so the inner join keeps all events
+    "stream_static_join" ->
+      """WITH dim AS (SELECT DISTINCT user_id, user_id % 3 AS cohort FROM events)
+        |SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_us,
+        |  epoch_us(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes') AS window_end_us,
+        |  cohort, count(*) AS n_events
+        |FROM events JOIN dim USING (user_id)
+        |GROUP BY 1, 2, 3""".stripMargin,
     // q_asof_join's oracle verbatim (DuckDB native ASOF LEFT JOIN): the
     // stream must reproduce the canonical batch as-of exactly
     "stream_asof_join" ->
