@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextKernels._
+import graft.functions.{VectorKernels => VK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -101,12 +102,67 @@ object Search {
       .select("query_id", "rank", "doc_id", "score_scaled")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)))
+  /** Embedding dimensionality of the `embeddings` table (the Similarity
+    * family's constant). */
+  private val Dims = 64
 
-  val oracles: Map[String, String] = Map(
-    "text_bm25_topk" ->
-      s"""WITH corpus AS (
+  /** RRF constant (Cormack/Clarke/Büttcher 2009's k = 60) and the integer
+    * scale: points = 10^9 // (k + rank) — exact int64 floor-division in
+    * both engines, so fusion sums are order-independent and cross-engine
+    * bit-exact (the BM25 integer-micro-points rule again). */
+  private val RrfK = 60
+
+  /** Semantic ranked list for the SAME query set as [[bm25TopK]]: the
+    * source doc's embedding (vec_id == doc_id in the sf tables) against
+    * the whole embedding corpus, exact cosine top-[[TopK]]. Self-match
+    * included — both lists may rank the source doc, as a real hybrid
+    * retriever's lists do. */
+  private def annList(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VK.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VK.norm(col("v")))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 900000L).as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
+    e.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (VK.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "doc_id", "rank")
+  }
+
+  /** Hybrid retrieval: the lexical (BM25) and semantic (embedding cosine)
+    * top-k lists for one query set, fused by reciprocal-rank fusion.
+    * This is the composition a modern retrieval stack actually ships —
+    * each sub-ranker is the catalog's own oracle-proven operator, and the
+    * fusion layer adds no new float surface at all (integer floor-divided
+    * RRF points, integer sums). Scale shape: both lists are per-query
+    * top-k frames (rows = queries × k), so the fusion
+    * union→groupBy→window works on a frame whose size is set by the
+    * QUERY workload, not the corpus — the corpus-sized work lives inside
+    * the two sub-rankers, each already in its documented scale shape. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lists = bm25TopK(s, dir).select("query_id", "doc_id", "rank")
+      .unionByName(annList(s, dir))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+    lists
+      .withColumn("pts", expr(s"1000000000L div (${RrfK}L + rank)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("pts")).as("rrf_scaled"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "doc_id", "rrf_scaled", "n_lists")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk"    -> ((s, dir) => bm25TopK(s, dir)),
+    "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)))
+
+  private val dkBm25 =
+    s"""WITH corpus AS (
          |  SELECT doc_id, CASE WHEN doc_id % 100 = 0
          |    THEN text || ' qk' || doc_id::VARCHAR ELSE text END AS text
          |  FROM documents),
@@ -133,5 +189,35 @@ object Search {
          |SELECT query_id, rank, doc_id, score_scaled FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
-         |  FROM agg) WHERE rank <= $TopK""".stripMargin)
+         |  FROM agg) WHERE rank <= $TopK""".stripMargin
+
+  private val dkAnnList =
+    s"""emb AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |aq AS (SELECT vec_id + 900000 AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+       |ap AS (SELECT query_id, vec_id AS doc_id,
+       |    ${graft.functions.VectorKernels.Dk.cosine("qv", "v", Dims)} AS cos
+       |  FROM emb, aq),
+       |al AS (SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+       |    FROM ap) WHERE rank <= $TopK)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25_topk" -> dkBm25,
+    "search_hybrid_rrf" ->
+      s"""WITH bm AS ($dkBm25),
+         |$dkAnnList,
+         |u AS (
+         |  SELECT query_id, doc_id, rank FROM bm
+         |  UNION ALL
+         |  SELECT query_id, doc_id, rank FROM al),
+         |f AS (
+         |  SELECT query_id, doc_id,
+         |    sum(1000000000 // ($RrfK + rank))::BIGINT AS rrf_scaled,
+         |    count(*)::BIGINT AS n_lists
+         |  FROM u GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, rrf_scaled, n_lists FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
+         |  FROM f) WHERE rank <= $TopK""".stripMargin)
 }

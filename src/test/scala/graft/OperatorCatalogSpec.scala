@@ -80,6 +80,17 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("search_hybrid_rrf: source doc tops the fusion with both lists contributing") {
+    val top = SparkEntry.queries("search_hybrid_rrf")(spark, dir)
+      .filter(col("rank") === 1).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getAs[Long]("doc_id") == r.getAs[Long]("query_id") - 900000L)
+      assert(r.getAs[Long]("n_lists") == 2L,
+        s"query ${r.getAs[Long]("query_id")}: lexical and semantic lists should both rank the source")
+    }
+  }
+
   test("dedup_embedding_cosine finds planted pairs via corpus-scaling LSH buckets") {
     val out = SparkEntry.queries("dedup_embedding_cosine")(spark, dir).cache()
     // every reported pair is a planted near-dup above threshold (precision
