@@ -160,6 +160,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text_bm25_topk: query-side joins broadcast, top-k pre-pruned by WindowGroupLimit") {
+    val p = plan("text_bm25_topk")
+    // the corpus-sized side must never sort-merge against the tiny query
+    // frames; the only non-broadcast exchanges are the index groupBys and
+    // the per-query window
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "query-side join degraded to SortMerge")
+    assert(!p.contains("CartesianProduct"), "scorer planned a cartesian")
+    // Spark 4 rank-limit pushdown: each partition keeps only its top-k
+    // candidates BEFORE the per-query exchange
+    assert(p.contains("WindowGroupLimit"), s"top-k not pre-pruned:\n${p.take(2000)}")
+  }
+
+  test("q_domain_mix: corpus is scanned and counted, never shuffled by row") {
+    val p = plan("q_domain_mix")
+    // the 5-row weight table broadcasts back; the only exchanges aggregate
+    // (domain, count) pairs — nothing exchanges per-document rows
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "per-doc frame shuffled for a 5-row dim join")
+  }
+
+  test("search_hybrid_rrf: fusion inherits both sub-rankers' shapes, no cartesian blowup") {
+    val p = plan("search_hybrid_rrf")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // the one nested-loop is the broadcast of the 5-query embedding frame
+    assert(!p.contains("CartesianProduct"), "fusion planned a real cartesian")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("golden diff legs plan as hash anti-joins (extract flagship)") {
     val parts = spark.sparkContext.defaultParallelism
     val out   = graft.plans.ExtractJob.extract(
