@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextKernels._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` corpus: token counting,
@@ -33,6 +34,27 @@ object TextOps {
 
   /** Repetition-rule line width (tokens per synthesized line). */
   private val LineW = 8
+
+  /** Per-doc quality signals + composite score (the `text_quality`
+    * contract), extracted so the adaptive gate can reuse the identical
+    * score computation. Narrow — one codegen'd scan, no shuffle. */
+  private def qualityFrame(d: DataFrame): DataFrame = {
+    val toks  = tokens(col("text"))
+    val nTok  = size(toks).cast("long")
+    val sumLn = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    val nStop = markerHits(toks, Stopwords).cast("long")
+    val nPunc = length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))
+    d.withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len", round(sumLn / nTok, 4))
+      .withColumn("stopword_ratio", round(nStop / nTok, 4))
+      .withColumn("punct_ratio", round(nPunc / length(col("text")), 4))
+      .withColumn("quality",
+        round(
+          when(col("n_tokens").between(5, 10000), lit(1.0)).otherwise(lit(0.5))
+            * (lit(1.0) - col("punct_ratio"))
+            * when(col("avg_token_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.8)), 4))
+      .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality")
+  }
   private val Footer = "standard footer text all rights reserved contact legal team here"
 
   /** Planted UTF-8 suffixes (by doc_id % 6) for the multilingual parity
@@ -87,23 +109,45 @@ object TextOps {
         length(col("text")).cast("long").as("chars"))),
 
     // Quality scoring: length/punctuation/stopword signals → one score.
-    "text_quality" -> ((s, dir) => {
-      val toks  = tokens(col("text"))
-      val nTok  = size(toks).cast("long")
-      val sumLn = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-      val nStop = markerHits(toks, Stopwords).cast("long")
-      val nPunc = length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))
-      docs(s, dir)
-        .withColumn("n_tokens", nTok)
-        .withColumn("avg_token_len", round(sumLn / nTok, 4))
-        .withColumn("stopword_ratio", round(nStop / nTok, 4))
-        .withColumn("punct_ratio", round(nPunc / length(col("text")), 4))
-        .withColumn("quality",
-          round(
-            when(col("n_tokens").between(5, 10000), lit(1.0)).otherwise(lit(0.5))
-              * (lit(1.0) - col("punct_ratio"))
-              * when(col("avg_token_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.8)), 4))
-        .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality")
+    "text_quality" -> ((s, dir) => qualityFrame(docs(s, dir))),
+
+    // Sketch-driven ADAPTIVE quality gate — the two-pass shape a 100 TB
+    // filter actually uses: pass 1 reduces the corpus to a ≤101-row
+    // score histogram (bin = floor(quality·100); map-side partial agg),
+    // the bottom-decile threshold bin is derived from the histogram's
+    // running count (thr = smallest bin whose cumulative count reaches
+    // ceil(N/10), computed as the exact integer (N+9)//10), and pass 2
+    // re-scans the corpus with the broadcast single-row threshold — no
+    // global sort, no percentile over raw rows, nothing corpus-sized
+    // ever shuffles. Docs strictly below the threshold bin are dropped
+    // (≤10% by construction — the straddling bin is kept, the
+    // conservative side). A FIXED quality cutoff is the naive
+    // alternative; it silently drops 0% or 90% as the corpus drifts —
+    // deriving the cutoff from the observed distribution is the
+    // operator's point.
+    // The sf corpus is uniformly clean (every doc lands in bin 100, and a
+    // decile gate over a constant distribution is vacuous), so the gate
+    // runs over a planted CONTINUOUS degradation: doc_id % 50 junk
+    // punctuation chars appended per doc spread punct_ratio — and hence
+    // quality — across ~15 bins, making the derived threshold land inside
+    // the distribution and actually drop the worst ~decile.
+    "text_quality_adaptive_gate" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), expr("repeat('!', cast(doc_id % 50 as int))")).as("text"))
+      val q = qualityFrame(planted).select(col("doc_id"), col("quality"))
+        .withColumn("qbin", floor(col("quality") * 100).cast("long"))
+      val hist = q.groupBy(col("qbin")).agg(count(lit(1)).as("c"))
+      val wcum = Window.orderBy(col("qbin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot  = q.agg(count(lit(1)).as("n"))
+        .select(expr("(n + 9) div 10").as("target"))
+      val thr = hist.withColumn("cum", sum(col("c")).over(wcum))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") >= col("target"))
+        .agg(min(col("qbin")).as("thr_bin"))
+      q.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("quality"), col("qbin"), col("thr_bin"),
+          (col("qbin") >= col("thr_bin")).as("keep"))
     }),
 
     // Language-ID: marker-stopword hit counts per language, argmax with
@@ -268,6 +312,24 @@ object TextOps {
 
   private def dkStop(toks: String) = Dk.markerHits(toks, Stopwords)
 
+  /** [[qualityFrame]]'s oracle twin, ending in a `qual` CTE (shared by
+    * `text_quality` and the adaptive gate; `src` = source CTE/table). */
+  private def dkQualityCte(src: String = "documents"): String =
+    s"""t AS (SELECT doc_id, text, ${Dk.tokens("text")} AS toks FROM $src),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks)::BIGINT AS n_tokens,
+       |    round(list_reduce(list_prepend(0::BIGINT, [length(x)::BIGINT for x in toks]), (a, b) -> a + b) / len(toks), 4) AS avg_token_len,
+       |    round(${dkStop("toks")} / len(toks), 4) AS stopword_ratio,
+       |    round((length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g'))) / length(text), 4) AS punct_ratio
+       |  FROM t),
+       |qual AS (
+       |  SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+       |    round((CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.5 END)::DOUBLE
+       |          * (1.0 - punct_ratio)
+       |          * (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.8 END)::DOUBLE, 4) AS quality
+       |  FROM m)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
       s"""SELECT doc_id,
@@ -276,19 +338,21 @@ object TextOps {
          | length(text)::BIGINT AS chars
          |FROM documents""".stripMargin,
     "text_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, ${Dk.tokens("text")} AS toks FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    len(toks)::BIGINT AS n_tokens,
-         |    round(list_reduce(list_prepend(0::BIGINT, [length(x)::BIGINT for x in toks]), (a, b) -> a + b) / len(toks), 4) AS avg_token_len,
-         |    round(${dkStop("toks")} / len(toks), 4) AS stopword_ratio,
-         |    round((length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g'))) / length(text), 4) AS punct_ratio
-         |  FROM t)
-         |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
-         |  round((CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.5 END)::DOUBLE
-         |        * (1.0 - punct_ratio)
-         |        * (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.8 END)::DOUBLE, 4) AS quality
-         |FROM m""".stripMargin,
+      s"""WITH ${dkQualityCte()}
+         |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio, quality
+         |FROM qual""".stripMargin,
+    "text_quality_adaptive_gate" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text || repeat('!', (doc_id % 50)::INT) AS text
+         |  FROM documents),
+         |${dkQualityCte("planted")},
+         |b AS (SELECT doc_id, quality, floor(quality * 100)::BIGINT AS qbin FROM qual),
+         |h AS (SELECT qbin, count(*)::BIGINT AS c FROM b GROUP BY 1),
+         |prm AS (SELECT ((count(*) + 9) // 10)::BIGINT AS target FROM b),
+         |cum AS (SELECT qbin, sum(c) OVER (ORDER BY qbin)::BIGINT AS cum FROM h),
+         |thr AS (SELECT min(qbin)::BIGINT AS thr_bin FROM cum, prm WHERE cum >= target)
+         |SELECT doc_id, quality, qbin, thr_bin, qbin >= thr_bin AS keep
+         |FROM b, thr""".stripMargin,
     "text_langid" -> {
       val scores = LangMarkers.map { case (lang, ms) => s"${Dk.markerHits("toks", ms)}::BIGINT AS s_$lang" }.mkString(", ")
       val best   = LangMarkers.map { case (lang, _) => s"s_$lang" }.mkString("greatest(", ", ", ")")

@@ -91,6 +91,22 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("text_quality_adaptive_gate: derived decile threshold drops the worst, conservatively") {
+    val out = SparkEntry.queries("text_quality_adaptive_gate")(spark, dir).cache()
+    val n   = out.count()
+    val dropped = out.filter(!col("keep")).count()
+    // the gate must do real work on the planted spread, but never drop
+    // MORE than the decile target (the straddling bin is kept)
+    assert(dropped > 0, "gate dropped nothing — planted spread missing?")
+    assert(dropped <= (n + 9) / 10, s"dropped $dropped of $n > decile target")
+    // threshold separates cleanly: every dropped bin < every kept bin
+    val maxDropped = out.filter(!col("keep")).agg(max("qbin")).head.getLong(0)
+    val minKept    = out.filter(col("keep")).agg(min("qbin")).head.getLong(0)
+    assert(maxDropped < minKept)
+    out.unpersist()
+    ()
+  }
+
   test("dedup_embedding_cosine finds planted pairs via corpus-scaling LSH buckets") {
     val out = SparkEntry.queries("dedup_embedding_cosine")(spark, dir).cache()
     // every reported pair is a planted near-dup above threshold (precision
