@@ -26,7 +26,11 @@ object PlanAudit {
         "dedup_embedding_cosine", "corpus_curate", "ann_ivf_trained_topk",
         // round-4 shapes: no-join as-of, bucketed range join, 512-row
         // sketch shuffle, shuffle-free sample
-        "q_asof_join", "q_range_join", "sketch_hll_registers", "q_stratified_sample")
+        "q_asof_join", "q_range_join", "sketch_hll_registers", "q_stratified_sample",
+        // round-4 late: broadcast-probed inverted index, RRF fusion,
+        // scan-only mixing, histogram-thresholded two-pass gate
+        "text_bm25_topk", "search_hybrid_rrf", "q_domain_mix",
+        "text_quality_adaptive_gate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
