@@ -346,11 +346,90 @@ object Dedup {
       .select(col("doc_id"), pack("vh").as("simhash_hi"), pack("vl").as("simhash_lo"))
   }
 
+  /** Incremental-ingest classification — the daily-crawl shape: a NEW
+    * batch is classified against the STANDING corpus without ever
+    * re-deduplicating the old data. Stages (each the incremental twin of
+    * a full-corpus operator):
+    *   1 exact-vs-index:  new content hashes semi-join the index's hash
+    *     set — the shuffle carries (hash, id) sized by the BATCH;
+    *   2 exact-in-batch:  min-id per hash among the remainder (keeper
+    *     stays in the flow, the rest are `batch_dup`);
+    *   3 near-vs-index:   the batch keepers' banded signature keys
+    *     equi-join the index's banded table (at scale: the durable
+    *     signatures table CurateMain already materializes — the index is
+    *     READ, not recomputed), exact-Jaccard verify on survivors;
+    *   4 everything else is `novel`.
+    * Cost scales with the batch (plus one index-side scan of hashes +
+    * band keys), not with corpus × batch — the property that makes daily
+    * ingestion affordable at 100 TB standing corpora. Both band-key
+    * sides carry the deterministic [[MaxBandGroup]] cap, mirrored in the
+    * oracle. */
+  private def incrementalClassify(old: DataFrame, newb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oldH  = old.select(md5(col("text")).as("h")).distinct()
+    val nh    = newb.withColumn("h", md5(col("text")))
+    val exact = nh.join(oldH, Seq("h"), "left_semi").select(col("doc_id"))
+    val rest  = nh.join(oldH, Seq("h"), "left_anti")
+    val keepIds = rest.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val bdup    = rest.join(keepIds, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    val keepers = rest.join(keepIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    def cap(b: DataFrame) = b.withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= MaxBandGroup).drop("rn")
+    val bN = cap(bandedKeys(keepers))
+    val bO = cap(bandedKeys(old))
+    val cand = bN.as("n").join(bO.as("o"),
+        col("n.band") === col("o.band") && col("n.k1") === col("o.k1") &&
+          col("n.k2") === col("o.k2"))
+      .select(col("n.doc_id").as("n_id"), col("o.doc_id").as("o_id")).distinct()
+    def sets(src: DataFrame, ids: DataFrame, idc: String) =
+      src.join(ids.select(col(idc).as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .withColumn("th", tokenHashes(tokens(col("text"))))
+        .select(col("doc_id"), shingleHashes(col("th")).as("sh"))
+    val shN = sets(keepers, cand, "n_id")
+    val shO = sets(old, cand, "o_id")
+    val near = cand
+      .join(shN.select(col("doc_id").as("n_id"), col("sh").as("sh_a")), Seq("n_id"))
+      .join(shO.select(col("doc_id").as("o_id"), col("sh").as("sh_b")), Seq("o_id"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select(col("n_id").as("doc_id")).distinct()
+    val novel = keepers.select(col("doc_id"))
+      .join(near, Seq("doc_id"), "left_anti")
+    exact.withColumn("status", lit("exact_dup"))
+      .unionByName(bdup.withColumn("status", lit("batch_dup")))
+      .unionByName(near.withColumn("status", lit("near_dup")))
+      .unionByName(novel.withColumn("status", lit("novel")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest; keeper = min doc_id.
     "dedup_exact" -> ((s, dir) =>
       docs(s, dir).groupBy(md5(col("text")).as("content_hash"))
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))),
+
+    // Incremental ingest over a planted batch with one member per
+    // classification (per old doc_id % 4): an exact copy of an old doc
+    // (exact_dup), an old doc + ' zzz' (near_dup vs the index), a
+    // reversed-token text (novel — same vocabulary, disjoint shingles),
+    // and a second copy of that reversed text under a higher id
+    // (batch_dup — duplicate WITHIN the batch, unseen by the index).
+    "dedup_incremental" -> ((s, dir) => {
+      val old = docs(s, dir).select(col("doc_id"), col("text"))
+      val rev = array_join(reverse(tokens(col("text"))), " ")
+      val base = 5000000L
+      val newb = old.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + base).as("doc_id"), col("text"))
+        .unionByName(old.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + base).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+        .unionByName(old.filter(col("doc_id") % 4 === 2)
+          .select((col("doc_id") + base).as("doc_id"), rev.as("text")))
+        .unionByName(old.filter(col("doc_id") % 4 === 2)
+          .select((col("doc_id") + 1 + base).as("doc_id"), rev.as("text")))
+      incrementalClassify(old, newb)
+    }),
 
     // Per-doc MinHash signature (k=8 over word 3-gram shingles).
     "dedup_minhash_sig" -> ((s, dir) =>
@@ -526,6 +605,25 @@ object Dedup {
        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band))""".stripMargin
   }
 
+  /** [[dkSig]] with suffixed CTE names so two signature chains (e.g. the
+    * standing index and an incoming batch) can coexist in one query. */
+  private def dkSigSfx(src: String, x: String): String = {
+    val mhs = (0 until MinhashK).map(j => s"${Dk.minhash("hs", j)} AS mh$j").mkString(", ")
+    s"""tok$x AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM $src),
+       |th$x AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM tok$x),
+       |hs$x AS (SELECT doc_id, ${Dk.shingleHashes("th")} AS hs FROM th$x),
+       |sig$x AS (SELECT doc_id, hs AS sh, $mhs FROM hs$x),
+       |band$x AS (
+       |  SELECT doc_id, band,
+       |    CASE band ${(0 until 4).map(b => s"WHEN $b THEN mh${2 * b}").mkString(" ")} END AS k1,
+       |    CASE band ${(0 until 4).map(b => s"WHEN $b THEN mh${2 * b + 1}").mkString(" ")} END AS k2
+       |  FROM sig$x, (SELECT unnest(generate_series(0, 3)) AS band)),
+       |cap$x AS (
+       |  SELECT doc_id, band, k1, k2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
+       |    FROM band$x) WHERE rn <= $MaxBandGroup)""".stripMargin
+  }
+
   private[operators] val dkJaccard =
     "round(len(list_intersect(l.sh, r.sh)) / " +
       "(len(list_distinct(l.sh)) + len(list_distinct(r.sh)) - len(list_intersect(l.sh, r.sh))), 4)"
@@ -555,6 +653,43 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS cnt, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH old AS (SELECT doc_id, text FROM documents),
+         |newb AS (
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, text || ' zzz' FROM documents WHERE doc_id % 4 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 5000000,
+         |    array_to_string(list_reverse(${Dk.tokens("text")}), ' ')
+         |  FROM documents WHERE doc_id % 4 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 1 + 5000000,
+         |    array_to_string(list_reverse(${Dk.tokens("text")}), ' ')
+         |  FROM documents WHERE doc_id % 4 = 2),
+         |oldh AS (SELECT DISTINCT md5(text) AS h FROM old),
+         |nh AS (SELECT doc_id, text, md5(text) AS h FROM newb),
+         |exact AS (SELECT doc_id FROM nh WHERE h IN (SELECT h FROM oldh)),
+         |rest AS (SELECT * FROM nh WHERE h NOT IN (SELECT h FROM oldh)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM rest GROUP BY h),
+         |bdup AS (SELECT doc_id FROM rest WHERE doc_id NOT IN (SELECT doc_id FROM keep)),
+         |keepers AS (SELECT doc_id, text FROM rest WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |${dkSigSfx("keepers", "_n")},
+         |${dkSigSfx("old", "_o")},
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS n_id, o.doc_id AS o_id
+         |  FROM cap_n n JOIN cap_o o
+         |    ON n.band = o.band AND n.k1 = o.k1 AND n.k2 = o.k2),
+         |near AS (
+         |  SELECT DISTINCT n_id AS doc_id FROM cand
+         |  JOIN sig_n l ON l.doc_id = n_id
+         |  JOIN sig_o r ON r.doc_id = o_id
+         |  WHERE $dkJaccard >= 0.8)
+         |SELECT doc_id, 'exact_dup' AS status FROM exact
+         |UNION ALL SELECT doc_id, 'batch_dup' FROM bdup
+         |UNION ALL SELECT doc_id, 'near_dup' FROM near
+         |UNION ALL SELECT doc_id, 'novel' FROM keepers
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin,
     "dedup_minhash_sig" ->
       s"""WITH ${dkSig("documents")}
          |SELECT doc_id, ${(0 until MinhashK).map(j => s"mh$j").mkString(", ")} FROM sig""".stripMargin,

@@ -107,6 +107,25 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     ()
   }
 
+  test("dedup_incremental: each planted batch member gets its classification") {
+    val out = SparkEntry.queries("dedup_incremental")(spark, dir).cache()
+    // new ids are source+5e6 (mod 0/1/2) and source+1+5e6 (the within-batch
+    // copies — the only ids ≡ 3 mod 4 after subtracting the base)
+    def statusOf(mod: Long) = out.filter((col("doc_id") - 5000000L) % 4 === mod)
+    // exact copies of indexed docs
+    assert(statusOf(0).filter(col("status") =!= "exact_dup").count() == 0)
+    // ' zzz' perturbations: never exact/batch dups; ≥95% caught as near
+    val m1 = statusOf(1).cache()
+    assert(m1.filter(col("status").isin("exact_dup", "batch_dup")).count() == 0)
+    assert(m1.filter(col("status") === "near_dup").count() >= m1.count() * 95 / 100)
+    // reversed texts under the LOWER id are batch keepers → novel
+    assert(statusOf(2).filter(col("status") =!= "novel").count() == 0)
+    // their higher-id copies are duplicates WITHIN the batch
+    assert(statusOf(3).filter(col("status") =!= "batch_dup").count() == 0)
+    m1.unpersist(); out.unpersist()
+    ()
+  }
+
   test("dedup_embedding_cosine finds planted pairs via corpus-scaling LSH buckets") {
     val out = SparkEntry.queries("dedup_embedding_cosine")(spark, dir).cache()
     // every reported pair is a planted near-dup above threshold (precision
