@@ -128,7 +128,63 @@ object CurateMain {
       f""""wallSec":$wallSec%.3f,"docsPerSec":${nRaw / wallSec}%.1f}"""
   }
 
+  /** Incremental-ingest mode: classify a NEW batch against the pipeline's
+    * durable stage tables without recomputing them — `deduped/` is the
+    * exact-hash index, `banded/` the near-dup signature index (built
+    * under whatever hash mode STAGES.json records; the batch side uses
+    * the same mode, fail-loud on mismatch by construction). Writes the
+    * (doc_id, status) classification to `<outDir>/ingest/<runId>/` and
+    * returns per-status counts as the lineage JSON. An ingest run pays
+    * only the batch's signature pass + index-side scans — never
+    * corpus × batch, and never a re-curation of the standing corpus. */
+  def ingest(spark: SparkSession, outDir: String, batchParquet: String,
+      runId: String): String = {
+    val t0     = System.nanoTime()
+    val marker = Paths.get(outDir, "STAGES.json")
+    require(Files.exists(marker),
+      s"$outDir has no STAGES.json — run the curation pipeline first")
+    val kv = "\"(\\w+)\"\\s*:\\s*(-?\\d+)".r
+      .findAllMatchIn(Files.readString(marker))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    require(kv.getOrElse("sigRule", 1L) == SigRule,
+      s"$marker records signature rule ${kv.getOrElse("sigRule", 1L)} but " +
+        s"this engine writes rule $SigRule — the banded/ index is incompatible")
+    val fastHash = kv.getOrElse("fastHash", 0L) == 1L
+    Seq("deduped", "banded").foreach { st =>
+      require(valid(s"$outDir/stages/$st"), s"stage table $st is missing/uncommitted")
+    }
+    val old    = spark.read.parquet(s"$outDir/stages/deduped")
+    val banded = spark.read.parquet(s"$outDir/stages/banded")
+    val newb   = spark.read.parquet(batchParquet).select(col("doc_id"), col("text"))
+    val classified = Dedup.incrementalIngest(old, banded, newb, fastHash)
+    classified.write.mode("overwrite").parquet(s"$outDir/ingest/$runId")
+    val counts = spark.read.parquet(s"$outDir/ingest/$runId")
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    def c(s: String) = counts.getOrElse(s, 0L)
+    f"""{"batch":${counts.values.sum},"exactDup":${c("exact_dup")},""" +
+      f""""batchDup":${c("batch_dup")},"nearDup":${c("near_dup")},""" +
+      f""""novel":${c("novel")},"fastHash":${if (fastHash) 1 else 0},""" +
+      f""""wallSec":$wallSec%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--ingest")) {
+      // usage: graft.CurateMain --ingest <batchParquet> <outDir> [runId]
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+        .appName("graft-ingest")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      println(ingest(spark, args(2), args(1), args.lift(3).getOrElse("i1")))
+      spark.stop()
+      return
+    }
     val input  = args.headOption.getOrElse("/root/testdata/sf0.01/documents.parquet")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft-curate-out"
 

@@ -364,8 +364,21 @@ object Dedup {
     * ingestion affordable at 100 TB standing corpora. Both band-key
     * sides carry the deterministic [[MaxBandGroup]] cap, mirrored in the
     * oracle. */
+  /** [[incrementalClassify]] against an EXTERNAL banded-signature index —
+    * the deployment form (`CurateMain --ingest`): the standing corpus's
+    * banded table is read from its durable stage, never recomputed, so an
+    * ingest run pays only the batch's signature pass plus index-side
+    * scans of hashes and band keys. `fastHash` must match the mode the
+    * index was written with (keys from two hash families never match);
+    * the exact-Jaccard verify is hash-family-independent (always the md5
+    * token hash), so precision is identical under either mode. */
+  def incrementalIngest(old: DataFrame, bandedOld: DataFrame, newb: DataFrame,
+      fastHash: Boolean = false): DataFrame =
+    incrementalClassify(old, newb, bandedOld = Some(bandedOld), fastHash = fastHash)
+
   private def incrementalClassify(old: DataFrame, newb: DataFrame,
-      memoTag: Option[String] = None): DataFrame = {
+      memoTag: Option[String] = None, bandedOld: Option[DataFrame] = None,
+      fastHash: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val oldH = old.select(md5(col("text")).as("h")).distinct()
     // the batch frame is MATERIALIZED once (batch-sized — at scale a real
@@ -383,11 +396,12 @@ object Dedup {
     def cap(b: DataFrame) = b.withColumn("rn", row_number().over(
         Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("doc_id"))))
       .filter(col("rn") <= MaxBandGroup).drop("rn")
-    val bN = cap(bandedKeys(keepers))
+    val bN = cap(bandedKeys(keepers, fastHash))
     // the standing index's banded signature table is a DURABLE artifact
-    // in a real deployment (CurateMain materializes it); the memo is its
-    // in-session stand-in — repeat ingests re-pay only the BATCH's pass
-    val bO = cap(bandedKeysMemo(memoTag, bandedKeys(old)))
+    // in a real deployment (CurateMain materializes it; `bandedOld` reads
+    // it back); the memo is its in-session stand-in — repeat ingests
+    // re-pay only the BATCH's pass
+    val bO = cap(bandedOld.getOrElse(bandedKeysMemo(memoTag, bandedKeys(old, fastHash))))
     val cand = bN.as("n").join(bO.as("o"),
         col("n.band") === col("o.band") && col("n.k1") === col("o.k1") &&
           col("n.k2") === col("o.k2"))

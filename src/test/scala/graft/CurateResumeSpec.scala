@@ -60,4 +60,41 @@ class CurateResumeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val resumed2Set = multiset(spark.read.parquet(s"$outB/packed").collect().toSeq)
     assert(resumed2Set == resumedSet)
   }
+
+  test("--ingest classifies a new batch off the durable index, input long gone") {
+    val tmp   = Files.createTempDirectory("curate-ingest").toString
+    val input = s"$tmp/input"
+    val out   = s"$tmp/out"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    docs.write.parquet(input)
+    CurateMain.run(spark, input, out)
+    // the standing corpus's input disappears — ingest must work from the
+    // durable deduped/ + banded/ stage tables alone
+    deleteRec(Paths.get(input))
+
+    // batch: an exact copy, a near-dup, and a reversed-token novel doc
+    val batch = s"$tmp/batch"
+    docs.limit(3).select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+      .unionByName(docs.limit(3)
+        .select((col("doc_id") + 9100000L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text")))
+      .unionByName(docs.limit(3)
+        .select((col("doc_id") + 9200000L).as("doc_id"),
+          array_join(reverse(split(trim(col("text")), "\\s+")), " ").as("text")))
+      .write.parquet(batch)
+
+    val json = CurateMain.ingest(spark, out, batch, "t1")
+    assert(json.contains("\"exactDup\":3"), json)
+    assert(json.contains("\"novel\":3"), json)
+    val byId = spark.read.parquet(s"$out/ingest/t1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.filter(_._1 >= 9200000L).values.forall(_ == "novel"))
+    assert(byId.filter(kv => kv._1 >= 9000000L && kv._1 < 9100000L).values.forall(_ == "exact_dup"))
+    // near-dups: never exact; (tiny docs may miss the 0.8 jaccard bar)
+    assert(byId.filter(kv => kv._1 >= 9100000L && kv._1 < 9200000L)
+      .values.forall(s => s == "near_dup" || s == "novel"))
+    docs.unpersist()
+    ()
+  }
 }
