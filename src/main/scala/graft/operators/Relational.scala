@@ -120,6 +120,35 @@ object Relational {
         .select(col("r_name"), col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_customers"))
     }),
 
+    // Corpus snapshot diff — the table-maintenance op two corpus versions
+    // need before anything downstream reruns: v2 is a planted evolution of
+    // the documents table (every 10th doc removed, the next modified, the
+    // one after re-added under a new id), and the diff is a FULL OUTER
+    // join on doc_id comparing content hashes → added/removed/changed/
+    // unchanged per doc. Scale shape: the join carries (doc_id, hash)
+    // only — never text — and on doc_id-bucketed tables (the
+    // BucketedJoinSpec layout) it plans with ZERO exchanges; downstream
+    // consumers re-process exactly the changed+added slice, which is what
+    // makes snapshot-over-snapshot reruns affordable at 100 TB.
+    "q_corpus_diff" -> ((s, dir) => {
+      val d  = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = d.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(col("text"), lit(" brand new")).as("text")))
+      d.select(col("doc_id"), md5(col("text")).as("h1"))
+        .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h2").isNull, lit("removed"))
+            .when(col("h1").isNull, lit("added"))
+            .when(col("h1") =!= col("h2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+    }),
+
     // F1/F2/F7/F9 + S-hash — the reference's string normalizers as codegen'd
     // Column expressions over the documents corpus.
     "q_scalar_normalize" -> ((s, dir) => {
@@ -246,6 +275,22 @@ object Relational {
         |FROM region
         |JOIN nation ON r_regionkey = n_regionkey
         |LEFT JOIN sparse ON n_nationkey = c_nationkey""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 1 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, text || ' brand new'
+        |  FROM documents WHERE doc_id % 10 = 2),
+        |a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |b AS (SELECT doc_id, md5(text) AS h2 FROM v2)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 IS NULL THEN 'added'
+        |       WHEN h1 <> h2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
     "q_scalar_normalize" ->
       """SELECT doc_id,
         | length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))::BIGINT AS norm_len,

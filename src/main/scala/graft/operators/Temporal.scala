@@ -44,6 +44,12 @@ object Temporal {
     * equal widths keep every interval inside ≤ 2 bins. */
   val RangeWindowUs: Long = 7200L * 1000000L
 
+  /** Funnel step window: each stage must follow the previous within 24 h
+    * (microseconds) — sized to the events table's time spread (median
+    * intra-user gap ≈ 12 h, p90 ≈ 41 h), so the funnel discriminates:
+    * plenty of real conversions, plenty of timed-out sequences. */
+  val FunnelGapUs: Long = 86400L * 1000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: for every click, the latest view by the same user at or
     // before the click (ties at equal ts include the view — the right side
@@ -76,6 +82,41 @@ object Temporal {
     // window of the same user. Each error window explodes into the ≤ 2
     // bins it overlaps; each click has exactly one bin, so a qualifying
     // (click, error) pair is produced exactly once.
+    // 3-step event-sequence funnel (view → click → purchase, each step
+    // within FunnelGapUs of the previous): the SAME no-join union+window
+    // shape as the as-of join, chained — one hash shuffle on user_id, one
+    // sort, then two running last(ignoreNulls) passes over the same
+    // partitioning (Catalyst reuses the Exchange+Sort for the second
+    // Window): pass 1 carries the latest view time, pass 2 the latest
+    // QUALIFIED click time (a click within the gap of that view), and a
+    // purchase converts iff it sits within the gap of a qualified click.
+    // The naive alternative is two inequality self-joins — per-key
+    // quadratic on hot users; this is linear in events after one shuffle.
+    "q_event_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), us(col("ts")).as("us"), col("event_id"),
+          when(col("event_type") === "view", 0)
+            .when(col("event_type") === "click", 1).otherwise(2).as("stage"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("stage").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("v_us",
+          last(when(col("stage") === 0, col("us")), ignoreNulls = true).over(w))
+        .withColumn("qc",
+          when(col("stage") === 1 && col("us") - col("v_us") <= FunnelGapUs, col("us")))
+        .withColumn("qc_us", last(col("qc"), ignoreNulls = true).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("stage") === 0, 1)).as("n_views"),
+          count(when(col("stage") === 1, 1)).as("n_clicks"),
+          count(when(col("stage") === 2, 1)).as("n_purchases"),
+          count(when(col("stage") === 2 && col("us") - col("qc_us") <= FunnelGapUs, 1))
+            .as("n_conversions"))
+        .withColumn("converted", col("n_conversions") > 0)
+    }),
+
     "q_range_join" -> ((s, dir) => {
       val W  = RangeWindowUs
       val ev = t(s, dir, "events")
@@ -102,6 +143,29 @@ object Temporal {
         |      FROM events WHERE event_type = 'view')
         |SELECT c.click_id, c.user_id, v.view_id, c.c_us - v.v_us AS lag_us
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.c_us >= v.v_us""".stripMargin,
+    "q_event_funnel" -> {
+      val over = "OVER (PARTITION BY user_id ORDER BY us, stage, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id,
+         |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS stage
+         |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         |s1 AS (
+         |  SELECT *, last_value(CASE WHEN stage = 0 THEN us END IGNORE NULLS) $over AS v_us
+         |  FROM e),
+         |s2 AS (
+         |  SELECT *, last_value(
+         |      CASE WHEN stage = 1 AND us - v_us <= $FunnelGapUs THEN us END IGNORE NULLS)
+         |    $over AS qc_us
+         |  FROM s1)
+         |SELECT user_id,
+         |  count(CASE WHEN stage = 0 THEN 1 END)::BIGINT AS n_views,
+         |  count(CASE WHEN stage = 1 THEN 1 END)::BIGINT AS n_clicks,
+         |  count(CASE WHEN stage = 2 THEN 1 END)::BIGINT AS n_purchases,
+         |  count(CASE WHEN stage = 2 AND us - qc_us <= $FunnelGapUs THEN 1 END)::BIGINT AS n_conversions,
+         |  count(CASE WHEN stage = 2 AND us - qc_us <= $FunnelGapUs THEN 1 END) > 0 AS converted
+         |FROM s2 GROUP BY 1""".stripMargin
+    },
     "q_range_join" ->
       s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
          |           FROM events WHERE event_type = 'click'),

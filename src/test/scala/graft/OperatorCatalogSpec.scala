@@ -126,6 +126,28 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     ()
   }
 
+  test("q_corpus_diff: every planted evolution class lands in its status") {
+    val out = SparkEntry.queries("q_corpus_diff")(spark, dir).cache()
+    assert(out.filter(col("doc_id") % 10 === 0 && col("doc_id") < 7000000L &&
+      col("status") =!= "removed").count() == 0)
+    assert(out.filter(col("doc_id") % 10 === 1 && col("status") =!= "changed").count() == 0)
+    assert(out.filter(col("doc_id") >= 7000000L && col("status") =!= "added").count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("q_event_funnel: conversions bounded by purchases, flag consistent, both outcomes occur") {
+    val out = SparkEntry.queries("q_event_funnel")(spark, dir).cache()
+    assert(out.filter(col("n_conversions") > col("n_purchases")).count() == 0)
+    assert(out.filter(col("converted") =!= (col("n_conversions") > 0)).count() == 0)
+    // the 24h window must discriminate: some purchases convert, some don't
+    val t = out.agg(sum("n_purchases"), sum("n_conversions")).head
+    assert(t.getLong(1) > 0 && t.getLong(1) < t.getLong(0),
+      s"window not discriminating: ${t.getLong(1)} of ${t.getLong(0)}")
+    out.unpersist()
+    ()
+  }
+
   test("dedup_embedding_cosine finds planted pairs via corpus-scaling LSH buckets") {
     val out = SparkEntry.queries("dedup_embedding_cosine")(spark, dir).cache()
     // every reported pair is a planted near-dup above threshold (precision
