@@ -190,6 +190,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q_event_funnel: no join node at all — union + one shuffle + windows") {
+    val p = plan("q_event_funnel")
+    assert(!p.contains("Join"), s"funnel planned a join:\n${p.take(2000)}")
+    // one Exchange for the user_id partitioning, one for the final groupBy
+    assert(count(p, "Exchange") <= 2, s"extra shuffles:\n${p.take(3000)}")
+  }
+
+  test("q_corpus_diff: hash-comparing full-outer join, never cartesian") {
+    val p = plan("q_corpus_diff")
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("golden diff legs plan as hash anti-joins (extract flagship)") {
     val parts = spark.sparkContext.defaultParallelism
     val out   = graft.plans.ExtractJob.extract(
