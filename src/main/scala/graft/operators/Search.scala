@@ -116,7 +116,11 @@ object Search {
     * source doc's embedding (vec_id == doc_id in the sf tables) against
     * the whole embedding corpus, exact cosine top-[[TopK]]. Self-match
     * included — both lists may rank the source doc, as a real hybrid
-    * retriever's lists do. */
+    * retriever's lists do. This is the EXACT baseline ranker; a 100 TB
+    * deployment swaps in the catalog's approximate path
+    * (`ann_multiprobe_topk` / `ann_ivf_trained_topk`) with the same
+    * (query_id, doc_id, rank) output shape — the fusion layer is
+    * ranker-agnostic by construction. */
   private def annList(s: SparkSession, dir: String): DataFrame = {
     val e = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), VK.toDouble(col("embedding")).as("v"))
