@@ -154,8 +154,21 @@ object GoldenDiff {
   def diff(extracted: Dataset[Document], goldens: Dataset[Document]): DataFrame = {
     val e = explodeSpans(extracted)
     val g = explodeSpans(goldens)
-    val missing = g.join(e, keys, "left_anti").withColumn("side", lit("missing"))
-    val extra   = e.join(g, keys, "left_anti").withColumn("side", lit("extra"))
+    // BOTH sides scale with the corpus, so neither may broadcast — but the
+    // goldens are a typed range().map() dataset whose size Catalyst
+    // estimates from the 8-byte-per-row range (~1.6 MB at 200k docs), so
+    // without a hint the planner BROADCASTS the exploded golden span
+    // table (~1 GB of real rows at 200k docs: the build side is collected
+    // to the driver and the check dies on spark.driver.maxResultSize —
+    // found by the 200k `--check` run; 100k sat just under the limit).
+    // The merge hint forces sort-merge anti-joins: both sides shuffle and
+    // SORT, which spills gracefully — shuffle_hash was tried and OOMs
+    // building 32 concurrent in-memory maps of span-text partitions
+    // (mega-doc spans make partition bytes >> row-count estimates).
+    val missing = g.join(e.hint("merge"), keys, "left_anti")
+      .withColumn("side", lit("missing"))
+    val extra   = e.join(g.hint("merge"), keys, "left_anti")
+      .withColumn("side", lit("extra"))
     missing.unionByName(extra)
   }
 

@@ -203,7 +203,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("golden diff legs plan as hash anti-joins (extract flagship)") {
+  test("golden diff legs plan as sort-merge anti-joins, never broadcast (extract flagship)") {
     val parts = spark.sparkContext.defaultParallelism
     val out   = graft.plans.ExtractJob.extract(
       graft.plans.ExtractJob.generateInputs(spark, 200L, 7L, parts), parts)
@@ -211,5 +211,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val p     = graft.plans.GoldenDiff.diff(out, gold).queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"), p.take(2000))
     assert(!p.contains("CartesianProduct"))
+    // BOTH sides scale with the corpus: a broadcast here means Catalyst's
+    // tiny size estimate for the range().map() golden side won (and at
+    // 200k docs the driver collects ~1 GB of build rows and dies on
+    // maxResultSize — the regression the merge hint pins away)
+    assert(!p.contains("BroadcastExchange"),
+      s"golden diff broadcast a corpus-scaled side:\n${p.take(2000)}")
   }
 }
