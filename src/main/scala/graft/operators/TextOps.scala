@@ -57,6 +57,16 @@ object TextOps {
   }
   private val Footer = "standard footer text all rights reserved contact legal team here"
 
+  /** The planted duplicated-chunk corpus shared by `text_dup_chunk_ratio`
+    * (measurement) and `text_substr_dedup` (removal): documents ∪ a
+    * 2-chunk prefix copy with the corpus-wide boilerplate footer. */
+  private def dupChunkCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(array_join(slice(tokens(col("text")), 1, 2 * ChunkW), " "),
+        lit(" " + Footer)).as("text")))
+  }
+
   /** Planted UTF-8 suffixes (by doc_id % 6) for the multilingual parity
     * queries — each one a real-corpus hazard for an ASCII-tested engine:
     *  0 CJK + IDEOGRAPHIC SPACE U+3000 (not regex \s in Java OR RE2: the
@@ -286,12 +296,96 @@ object TextOps {
             col("top_2gram_frac") <= 0.20)
     }),
 
+    // Exact duplicated-substring REMOVAL (the rewrite step dup_chunk_ratio
+    // only measures — Lee et al. 2021, "Deduplicating Training Data Makes
+    // Language Models Better", at chunk granularity): every non-overlapping
+    // 10-token chunk keeps exactly its GLOBAL FIRST occurrence (min
+    // (doc_id, pos) over all docs carrying the chunk hash) and every later
+    // occurrence is cut; each doc is rewritten as its surviving chunks +
+    // the sub-chunk tail. Scale shape: the occurrence frame and both
+    // aggregations carry (doc_id, pos, hash) — never text; the owner table
+    // is a hash-keyed groupBy with map-side partial min; document text
+    // moves exactly once, in the final doc_id-keyed rebuild join (inherent
+    // to any rewrite). Corpus = the dup_chunk corpus (prefix copies + the
+    // corpus-wide hot footer), so the planted duplicates are actually cut:
+    // copies lose their prefix chunks to the originals and the footer
+    // survives in exactly one doc corpus-wide (the hot-key case runs
+    // through the same partial-agg path, no single-task funnel).
+    "text_substr_dedup" -> ((s, dir) => {
+      val corpus = dupChunkCorpus(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("nch", floor(size(col("toks")) / ChunkW).cast("int"))
+      val occ = corpus.filter(col("nch") >= 1)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), col("nch") - 1), i =>
+            md5(array_join(slice(col("toks"), i * ChunkW + 1, lit(ChunkW)), " ")))))
+        .withColumnRenamed("col", "h")
+      // owner = lexicographic min (doc_id, pos) per hash, in two partial-agg
+      // levels so the hot footer chunk collapses map-side
+      val ownDoc = occ.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("own_doc"))
+        .withColumnRenamed("h", "oh")
+      val owners = occ.join(ownDoc,
+          col("h") === col("oh") && col("doc_id") === col("own_doc"))
+        .groupBy(col("h")).agg(min(col("pos")).as("own_pos"), min(col("own_doc")).as("own_doc"))
+      val kept = occ.join(owners, Seq("h"))
+        .filter(col("doc_id") === col("own_doc") && col("pos") === col("own_pos"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("keep_pos"),
+          count(lit(1)).as("kept_chunks"))
+      corpus.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("nch").cast("long").as("n_chunks"),
+          coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+          array_join(
+            concat(
+              flatten(transform(coalesce(col("keep_pos"), array().cast("array<int>")),
+                p => slice(col("toks"), p * ChunkW + 1, lit(ChunkW)))),
+              when(size(col("toks")) > col("nch") * ChunkW,
+                slice(col("toks"), col("nch") * ChunkW + 1,
+                  size(col("toks")) - col("nch") * ChunkW))
+                .otherwise(array().cast("array<string>"))),
+            " ").as("rewritten"))
+    }),
+
+    // N-gram LM familiarity score — the CCNet/Wenzek et al. 2020
+    // perplexity-filter shape with the corpus itself as the model: bigram
+    // and unigram occurrence counts are the "LM", and a doc's score is the
+    // mean conditional familiarity of its bigrams,
+    // fam(w1 w2) = (10^6 · c(w1 w2)) // c(w1) — integer floor arithmetic
+    // throughout, so the score is exact int64 cross-engine (no log(), the
+    // HLL/BM25 rule; floor-div is monotone in the conditional probability,
+    // which is all a threshold filter consumes). Tokens are hashed once
+    // (hex32) and bigrams combined arithmetically (the signature-redesign
+    // rule) — count tables and joins carry int64 keys only, vocab-sized,
+    // never text; per-doc work is two explodes + two hash-keyed count
+    // joins, parallelism ∝ docs. Low scores flag gibberish (bigrams the
+    // corpus LM has never seen); boilerplate scores high — the documented
+    // reason CCNet pairs this with the dedup/repetition filters.
+    "text_lm_familiarity" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), tokenHashes(col("toks")).as("th"))
+      val uni = base.select(col("doc_id"), explode(col("th")).as("h"))
+      val uc  = uni.groupBy(col("h")).agg(count(lit(1)).as("cu"))
+      val big = base.filter(size(col("th")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("th")) - 1), i =>
+            struct(element_at(col("th"), i).as("h1"),
+              ((element_at(col("th"), i) * ShingleC % ShingleM)
+                + element_at(col("th"), i + 1)).mod(ShingleM).as("bh")))).as("bg"))
+        .select(col("doc_id"), col("bg.h1").as("h1"), col("bg.bh").as("bh"))
+      val bc = big.groupBy(col("bh")).agg(count(lit(1)).as("cb"))
+      big.join(bc, Seq("bh"))
+        .join(uc, big("h1") === uc("h"))
+        .select(col("doc_id"), expr("(1000000 * cb) div cu").as("fam"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("fam")).as("fam_sum"))
+        .withColumn("fam_score", expr("fam_sum div n_bigrams"))
+    }),
+
     "text_dup_chunk_ratio" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val copies = d.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(array_join(slice(tokens(col("text")), 1, 2 * ChunkW), " "),
-          lit(" " + Footer)).as("text"))
-      val chunks = d.unionByName(copies)
+      val chunks = dupChunkCorpus(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("nch", floor(size(col("toks")) / ChunkW).cast("int"))
         .filter(col("nch") >= 1)
@@ -311,6 +405,15 @@ object TextOps {
   // --- DuckDB oracles -----------------------------------------------------
 
   private def dkStop(toks: String) = Dk.markerHits(toks, Stopwords)
+
+  /** [[dupChunkCorpus]]'s oracle twin (a `corpus` CTE). */
+  private def dkDupCorpus: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string((${Dk.tokens("text")})[1:${2 * ChunkW}], ' ') || ' $Footer' AS text
+       |  FROM documents)""".stripMargin
 
   /** [[qualityFrame]]'s oracle twin, ending in a `qual` CTE (shared by
     * `text_quality` and the adaptive gate; `src` = source CTE/table). */
@@ -449,13 +552,53 @@ object TextOps {
          |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, top_2gram, top_2gram_frac,
          |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20 AND top_2gram_frac <= 0.20) AS quality_pass
          |FROM m""".stripMargin,
+    "text_substr_dedup" ->
+      s"""WITH $dkDupCorpus,
+         |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |c AS (SELECT doc_id, toks, (len(toks) // $ChunkW)::INT AS nch FROM t),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest([i for i in generate_series(0, nch - 1)]) AS pos,
+         |    unnest([md5(array_to_string(toks[(i*$ChunkW+1):(i*$ChunkW+$ChunkW)], ' '))
+         |            for i in generate_series(0, nch - 1)]) AS h
+         |  FROM c WHERE nch >= 1),
+         |od AS (SELECT h, min(doc_id) AS own_doc FROM occ GROUP BY 1),
+         |own AS (
+         |  SELECT occ.h, min(pos) AS own_pos, min(own_doc) AS own_doc
+         |  FROM occ JOIN od ON occ.h = od.h AND occ.doc_id = od.own_doc
+         |  GROUP BY 1),
+         |kp AS (
+         |  SELECT doc_id, list_sort(list(pos)) AS keep_pos, count(*)::BIGINT AS kept_chunks
+         |  FROM occ JOIN own ON occ.h = own.h
+         |    AND occ.doc_id = own.own_doc AND occ.pos = own.own_pos
+         |  GROUP BY 1)
+         |SELECT c.doc_id, nch::BIGINT AS n_chunks,
+         |  coalesce(kept_chunks, 0)::BIGINT AS kept_chunks,
+         |  coalesce(array_to_string(
+         |    coalesce(flatten([toks[(p*$ChunkW+1):(p*$ChunkW+$ChunkW)]
+         |             for p in coalesce(keep_pos, []::BIGINT[])]), []::VARCHAR[])
+         |    || toks[(nch*$ChunkW+1):], ' '), '') AS rewritten
+         |FROM c LEFT JOIN kp ON c.doc_id = kp.doc_id""".stripMargin,
+    "text_lm_familiarity" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |hh AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM t),
+         |uni AS (SELECT doc_id, unnest(th) AS h FROM hh),
+         |uc AS (SELECT h, count(*)::BIGINT AS cu FROM uni GROUP BY 1),
+         |big AS (
+         |  SELECT doc_id,
+         |    unnest([th[i] for i in generate_series(1, len(th) - 1)]) AS h1,
+         |    unnest([((th[i] * $ShingleC % $ShingleM) + th[i+1]) % $ShingleM
+         |            for i in generate_series(1, len(th) - 1)]) AS bh
+         |  FROM hh WHERE len(th) >= 2),
+         |bc AS (SELECT bh, count(*)::BIGINT AS cb FROM big GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, (1000000 * cb) // cu AS fam
+         |  FROM big JOIN bc ON big.bh = bc.bh JOIN uc ON big.h1 = uc.h)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(fam)::BIGINT AS fam_sum,
+         |  (sum(fam) // count(*))::BIGINT AS fam_score
+         |FROM sc GROUP BY 1""".stripMargin,
     "text_dup_chunk_ratio" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id,
-         |    array_to_string((${Dk.tokens("text")})[1:${2 * ChunkW}], ' ') || ' $Footer' AS text
-         |  FROM documents),
+      s"""WITH $dkDupCorpus,
          |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
          |c AS (SELECT doc_id, toks, len(toks) // $ChunkW AS nch FROM t),
          |ch AS (

@@ -55,6 +55,63 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     ()
   }
 
+  test("text_substr_dedup matches a driver-side reference over the planted corpus") {
+    // Independent reimplementation of the global-first-occurrence chunk
+    // rule (scala collections, no Spark) over the same planted corpus:
+    // documents ∪ (2-chunk prefix copies + the corpus-wide footer). Exact
+    // per-doc equality on (n_chunks, kept_chunks, rewritten) — robust to
+    // short docs whose copies have shifted (hence unique, hence kept)
+    // chunk grids.
+    val W = 10
+    val footer = "standard footer text all rights reserved contact legal team here"
+      .split(" ").toSeq
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val corpus = base ++ base.map { case (id, t) => (id + 1000000L, t.take(2 * W) ++ footer) }
+    val chunkKey = (toks: Seq[String], p: Int) => toks.slice(p * W, p * W + W).mkString(" ")
+    val owner: Map[String, (Long, Int)] = corpus
+      .flatMap { case (id, toks) =>
+        (0 until toks.length / W).map(p => (chunkKey(toks, p), id, p)) }
+      .groupBy(_._1).map { case (k, os) =>
+        val ownDoc = os.map(_._2).min
+        k -> (ownDoc, os.filter(_._2 == ownDoc).map(_._3).min)
+      }
+    val expected = corpus.map { case (id, toks) =>
+      val nch  = toks.length / W
+      val keep = (0 until nch).filter(p => owner(chunkKey(toks, p)) == ((id, p)))
+      id -> ((nch.toLong, keep.size.toLong,
+        (keep.flatMap(p => toks.slice(p * W, p * W + W)) ++ toks.drop(nch * W)).mkString(" ")))
+    }.toMap
+    val out = SparkEntry.queries("text_substr_dedup")(spark, dir).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val id  = r.getAs[Long]("doc_id")
+      val got = (r.getAs[Long]("n_chunks"), r.getAs[Long]("kept_chunks"),
+        r.getAs[String]("rewritten"))
+      assert(got == expected(id), s"doc $id: got $got want ${expected(id)}")
+    }
+    // the planted hot key: the chunk-aligned footer appears in every copy
+    // of a >=2-chunk doc but survives in exactly one document corpus-wide
+    val alignedFooterKeepers = corpus.collect {
+      case (id, toks) if id >= 1000000L && toks.length % W == 0 &&
+        owner(chunkKey(toks, toks.length / W - 1)) == ((id, toks.length / W - 1)) => id
+    }
+    assert(alignedFooterKeepers.length == 1,
+      s"footer kept by ${alignedFooterKeepers.length} docs")
+  }
+
+  test("text_lm_familiarity: scores positive, one bigram per adjacent token pair") {
+    val out = SparkEntry.queries("text_lm_familiarity")(spark, dir).cache()
+    try {
+      assert(out.filter(col("fam_score") <= 0).count() == 0, "non-positive familiarity")
+      // n_bigrams == tokens - 1, re-derived independently from the corpus
+      val toks = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), (size(split(trim(col("text")), "\\s+")) - 1).cast("long").as("want"))
+      assert(out.join(toks, Seq("doc_id")).filter(col("n_bigrams") =!= col("want")).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("q_domain_mix: temperature resampling flattens the planted skew, no upsampling") {
     val rows = SparkEntry.queries("q_domain_mix")(spark, dir).collect()
       .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_raw"),

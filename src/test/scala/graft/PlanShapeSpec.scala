@@ -88,6 +88,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("substr-dedup shuffles carry (hash, id, pos); text moves only in the doc_id rebuild") {
+    val executed = SparkEntry.queries("text_substr_dedup")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        (e.output.map(_.name), e.outputPartitioning)
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { case (cols, part) =>
+      // the occurrence/owner/kept aggregations shuffle ids+hashes only;
+      // the one shuffle allowed to carry tokenized text is the final
+      // rebuild join, and it must be keyed by doc_id (the rewrite's
+      // inherent single text movement)
+      if (cols.exists(c => c == "text" || c == "toks")) {
+        val keys = part match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.flatMap(_.references.toSeq).map(_.name).distinct
+          case other => Seq(s"non-hash:$other")
+        }
+        assert(keys == Seq("doc_id"),
+          s"text-carrying shuffle keyed by $keys, not doc_id: $cols")
+      }
+    }
+  }
+
+  test("LM familiarity count tables and joins shuffle int64 keys only, never text") {
+    val executed = SparkEntry.queries("text_lm_familiarity")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { cols =>
+      assert(!cols.exists(c => c == "text" || c == "toks" || c == "th"),
+        s"LM familiarity shuffle carries text: $cols")
+    }
+  }
+
   test("dedup_embedding_cosine joins on the scaling LSH bucket, never on label") {
     // assert on the pair-BUILD plan (the shipped embeddingNearDups path):
     // the catalog query memoizes the built pairs per corpus dir, so its
