@@ -205,6 +205,42 @@ object Curation {
       curate(corpus, nb, Some(s"$dir#curate"))
     }),
 
+    // Keep-BEST-quality duplicate-cluster resolution — the RefinedWeb/
+    // FineWeb curation policy: a near-dup cluster keeps its highest-
+    // QUALITY member, not its smallest id (min-id, what `corpus_curate`
+    // uses, is the right default only when members are interchangeable;
+    // real crawls hold a clean original next to ad-injected/boilerplate-
+    // wrapped mirrors, and min-id happily keeps the mirror). Plant: odd
+    // originals get a punctuation-junk suffix (quality drops via
+    // punct_ratio) while their +1e6 near-dup copy stays CLEAN — so for odd
+    // clusters the best member has the LARGER id and keep-best provably
+    // diverges from min-id; even clusters are exact copies (equal
+    // quality), pinning the deterministic (quality DESC, doc_id ASC)
+    // tie-break. Composition of three catalog operators: text_quality's
+    // scoring, dedup_minhash_lsh's candidates, dedup_cc_labels' clusters.
+    // Scale shape: quality is a narrow codegen'd scan; LSH/CC shuffle
+    // ids+band keys (capped) as ever; the resolution window partitions by
+    // cluster_id — cluster sizes are LSH-verified near-dup groups, and
+    // the windowed rows carry (doc_id, cluster_id, quality), never text.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.select(col("doc_id"),
+          when(col("doc_id") % 2 === 1, concat(col("text"), lit(" !! ?? !! ?? !!")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs    = Dedup.minhashLsh(corpus, Some(s"$dir#keepbest")).select("doc_a", "doc_b")
+      val clusters = Dedup.connectedComponents(pairs)
+      val qual     = TextOps.qualityFrame(corpus).select(col("doc_id"), col("quality"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      qual.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("keeper_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("quality"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("kept"))
+    }),
+
     // Domain-mixture resampling (the Pile/Dolma-style mixing step): given
     // per-domain raw counts, compute temperature-scaled target weights
     // w_d ∝ n_d^0.5 (α = 0.5 flattens the mix toward rare domains), turn
@@ -369,27 +405,7 @@ object Curation {
        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
        |    FROM q) WHERE rn = 1),
        |${Dedup.dkSig("dd")},
-       |capped AS (
-       |  SELECT doc_id, band, k1, k2 FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
-       |    FROM banded) WHERE rn <= ${Dedup.MaxBandGroup}),
-       |cand AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM capped l JOIN capped r
-       |    ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.doc_id < r.doc_id),
-       |pairs AS (
-       |  SELECT doc_a, doc_b FROM cand
-       |  JOIN sig l ON l.doc_id = doc_a
-       |  JOIN sig r ON r.doc_id = doc_b
-       |  WHERE ${Dedup.dkJaccard} >= 0.8),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-       |closure AS (
-       |  SELECT src AS a, dst AS b FROM edges
-       |  UNION
-       |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+       |${Dedup.dkLshCcBlock},
        |labels AS (
        |  SELECT a AS doc_id, least(a, min(b))$idCast AS cluster_id
        |  FROM closure GROUP BY a),
@@ -450,6 +466,35 @@ object Curation {
          |  UNION ALL
          |  SELECT doc_id + 4000000, '!! ?? !!' FROM documents),
          |${dkCurateChain(dkPackBuckets("5 * (SELECT count(*) FROM documents)"))}""".stripMargin,
+    // Keep-best reruns the full cluster chain (signatures → capped bands →
+    // jaccard verify → recursive closure) plus the quality CTE, then
+    // resolves each cluster by (quality DESC, doc_id ASC) — the hash
+    // compare proves clustering AND the divergent-from-min-id keeper
+    // choice at once.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 1 THEN text || ' !! ?? !! ?? !!' ELSE text END AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+         |${Dedup.dkSig("corpus")},
+         |${Dedup.dkLshCcBlock},
+         |labels AS (
+         |  SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+         |  FROM closure GROUP BY a),
+         |${TextOps.dkQualityCte("corpus")},
+         |lab AS (
+         |  SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id, q.quality
+         |  FROM qual q LEFT JOIN labels l USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, cluster_id, quality,
+         |    first_value(doc_id) OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id
+         |  FROM lab)
+         |SELECT doc_id, cluster_id, quality, keeper_id, (doc_id = keeper_id) AS kept
+         |FROM r""".stripMargin,
 
     "q_domain_mix" ->
       s"""WITH d AS (

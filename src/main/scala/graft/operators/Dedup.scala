@@ -655,6 +655,36 @@ object Dedup {
     "round(len(list_intersect(l.sh, r.sh)) / " +
       "(len(list_distinct(l.sh)) + len(list_distinct(r.sh)) - len(list_intersect(l.sh, r.sh))), 4)"
 
+  /** The LSH-candidate → jaccard-verify → transitive-closure CTE block
+    * (`capped` through `closure`), over the `sig`/`banded` CTEs a
+    * preceding [[dkSig]] defines. Shared verbatim by the `dedup_cc_labels`
+    * oracle, the curate-chain oracle, and the keep-best resolution oracle
+    * — one spelling of the clustering semantics, three consumers. Callers
+    * must open `WITH RECURSIVE` and finish with their own label/keeper
+    * selection off `closure`. */
+  private[operators] val dkLshCcBlock: String =
+    s"""capped AS (
+       |  SELECT doc_id, band, k1, k2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
+       |    FROM banded) WHERE rn <= $MaxBandGroup),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM capped l JOIN capped r
+       |    ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.doc_id < r.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sig l ON l.doc_id = doc_a
+       |  JOIN sig r ON r.doc_id = doc_b
+       |  WHERE $dkJaccard >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |closure AS (
+       |  SELECT src AS a, dst AS b FROM edges
+       |  UNION
+       |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src)""".stripMargin
+
   private val dkCorpus3 =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -770,27 +800,7 @@ object Dedup {
     "dedup_cc_labels" ->
       s"""WITH RECURSIVE $dkCorpus3,
          |${dkSig("corpus")},
-         |capped AS (
-         |  SELECT doc_id, band, k1, k2 FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
-         |    FROM banded) WHERE rn <= $MaxBandGroup),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM capped l JOIN capped r
-         |    ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.doc_id < r.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN sig l ON l.doc_id = doc_a
-         |  JOIN sig r ON r.doc_id = doc_b
-         |  WHERE $dkJaccard >= 0.8),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |closure AS (
-         |  SELECT src AS a, dst AS b FROM edges
-         |  UNION
-         |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src)
+         |$dkLshCcBlock
          |SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
          |FROM closure GROUP BY a""".stripMargin,
     "dedup_ngram_jaccard" ->

@@ -38,7 +38,7 @@ object TextOps {
   /** Per-doc quality signals + composite score (the `text_quality`
     * contract), extracted so the adaptive gate can reuse the identical
     * score computation. Narrow — one codegen'd scan, no shuffle. */
-  private def qualityFrame(d: DataFrame): DataFrame = {
+  private[operators] def qualityFrame(d: DataFrame): DataFrame = {
     val toks  = tokens(col("text"))
     val nTok  = size(toks).cast("long")
     val sumLn = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
@@ -417,7 +417,7 @@ object TextOps {
 
   /** [[qualityFrame]]'s oracle twin, ending in a `qual` CTE (shared by
     * `text_quality` and the adaptive gate; `src` = source CTE/table). */
-  private def dkQualityCte(src: String = "documents"): String =
+  private[operators] def dkQualityCte(src: String = "documents"): String =
     s"""t AS (SELECT doc_id, text, ${Dk.tokens("text")} AS toks FROM $src),
        |m AS (
        |  SELECT doc_id,

@@ -112,6 +112,40 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("dedup_keep_best: odd clusters keep the clean copy, even clusters tie-break to min id") {
+    val out = SparkEntry.queries("dedup_keep_best")(spark, dir).cache()
+    try {
+      // pair clusters {i, i+1e6}: parity decides the keeper — odd originals
+      // carry the planted punct-junk suffix, so the CLEAN +1e6 copy must
+      // win (keep-best diverges from min-id); even pairs are byte-identical
+      // (equal quality), so the (quality DESC, doc_id ASC) tie-break keeps
+      // the original
+      val pairClusters = out.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"), max(col("keeper_id")).as("k"),
+          min(col("keeper_id")).as("k2"))
+        .filter(col("n") === 2).collect()
+      assert(pairClusters.nonEmpty)
+      pairClusters.foreach { r =>
+        val c = r.getLong(0)
+        assert(r.getLong(2) == r.getLong(3), s"cluster $c has two keeper ids")
+        val k = r.getLong(2)
+        if (c % 2 == 1) assert(k == c + 1000000L, s"odd cluster $c kept $k, not the clean copy")
+        else assert(k == c, s"even cluster $c kept $k, not the min id")
+      }
+      assert(pairClusters.exists(_.getLong(0) % 2 == 1), "no odd cluster formed")
+      // exactly one kept member per cluster, cluster-wide
+      assert(out.filter(col("kept")).groupBy("cluster_id").count()
+        .filter(col("count") =!= 1).count() == 0)
+      assert(out.filter(col("kept")).count() ==
+        out.select("cluster_id").distinct().count())
+      // singletons (docs too short to clear the 0.8 jaccard bar) keep themselves
+      val singles = out.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") === 1).select("cluster_id")
+      assert(out.join(singles, Seq("cluster_id"), "left_semi")
+        .filter(!col("kept")).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("q_domain_mix: temperature resampling flattens the planted skew, no upsampling") {
     val rows = SparkEntry.queries("q_domain_mix")(spark, dir).collect()
       .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_raw"),

@@ -134,6 +134,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("keep-best resolution windows by cluster_id over (id, quality) rows, text never shuffles") {
+    val executed = SparkEntry.queries("dedup_keep_best")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        (e.output.map(_.name), e.outputPartitioning)
+    }
+    assert(exchanges.nonEmpty)
+    // no shuffle anywhere in the resolution chain carries document text
+    exchanges.foreach { case (cols, _) =>
+      assert(!cols.contains("text"), s"keep-best shuffle carries text: $cols")
+    }
+    // the resolution window itself repartitions by cluster_id with only
+    // (doc_id, quality, cluster_id) aboard
+    val windowEx = exchanges.filter {
+      case (cols, p: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning) =>
+        p.expressions.flatMap(_.references.toSeq).map(_.name).contains("cluster_id") &&
+          cols.toSet.subsetOf(Set("doc_id", "quality", "cluster_id"))
+      case _ => false
+    }
+    assert(windowEx.nonEmpty, s"no cluster_id-keyed ids-only exchange in: $exchanges")
+  }
+
   test("dedup_embedding_cosine joins on the scaling LSH bucket, never on label") {
     // assert on the pair-BUILD plan (the shipped embeddingNearDups path):
     // the catalog query memoizes the built pairs per corpus dir, so its
