@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextKernels._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,16 @@ object Curation {
     * a real run uses ~the sequence length × rows per file). */
   private val ShardBudget = 2048L
   private val TrainPct    = 90L
+
+  /** Per-domain quota (the C4/RefinedWeb host-cap policy constant). */
+  private val DomainCap = 10L
+
+  /** Split membership as a pure function of the id column — the
+    * q_train_split rule. Being stateless is what makes the leakage audit
+    * a single pass over the pairs frame: no split table exists to join. */
+  private def splitOf(c: Column): Column =
+    when(hex32(concat(lit("split:"), c.cast("string"))) % 100 < TrainPct,
+      lit("train")).otherwise(lit("val"))
 
   /** Pack-bucket rule: ≈[[PackDocsPerBucket]] docs per windowed bucket,
     * derived from the corpus row count (exact integer ceil-divide, so the
@@ -239,6 +249,53 @@ object Curation {
         .withColumn("keeper_id", first(col("doc_id")).over(w))
         .select(col("doc_id"), col("cluster_id"), col("quality"), col("keeper_id"),
           (col("doc_id") === col("keeper_id")).as("kept"))
+    }),
+
+    // Train/val near-dup LEAKAGE AUDIT — the check a pipeline runs before
+    // training: a val document with a near-duplicate in train inflates
+    // eval scores exactly like benchmark contamination does (the
+    // q_decontaminate story, but BETWEEN the pipeline's own splits). The
+    // split is a pure hash of doc_id (q_train_split's rule), so split
+    // membership needs NO table and NO join: the audit is one filter +
+    // aggregate pass over the ids-only verified-pairs frame — splitOf()
+    // evaluates directly on the pair columns. Plant: +1e6 ' zzz' near-dup
+    // copies; the salted split hash scatters originals and copies
+    // independently, so ~2·90%·10% of pair-docs cross the boundary.
+    // Scale shape: pairs ∝ corpus (the capped LSH invariant), the
+    // symmetric union doubles an ids-only frame, and the aggregate
+    // shuffles (doc_id, count) — text never moves.
+    "q_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text")))
+      val pairs = Dedup.minhashLsh(corpus, Some(s"$dir#leak")).select("doc_a", "doc_b")
+      val sym = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      sym.filter(splitOf(col("doc_a")) === "val" && splitOf(col("doc_b")) === "train")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_train_dups"), min(col("doc_b")).as("min_train_dup"))
+    }),
+
+    // Per-domain quota (the C4/RefinedWeb host-cap policy): every source
+    // keeps at most DomainCap docs, chosen by (quality DESC, doc_id ASC)
+    // — a crawl's hottest host must not dominate the corpus however many
+    // pages it has. Scale shape: quality is the narrow codegen'd scan
+    // (source rides along — no second scan/self-join); the ranking
+    // shuffles only (doc_id, source, quality); and because the predicate
+    // is rank <= cap over row_number, Spark 4 inserts a PARTIAL
+    // WindowGroupLimit BEFORE the exchange — each map task pre-prunes to
+    // its local top-cap per source, so a hot domain with 10^9 pages ships
+    // ~numPartitions·cap rows to the reduce side, not 10^9 (asserted in
+    // PlanShapeSpec).
+    "q_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      TextOps.qualityFrame(d).select(col("doc_id"), col("source"), col("quality"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= DomainCap)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("rk").cast("long").as("rk"))
     }),
 
     // Domain-mixture resampling (the Pile/Dolma-style mixing step): given
@@ -495,6 +552,36 @@ object Curation {
          |  FROM lab)
          |SELECT doc_id, cluster_id, quality, keeper_id, (doc_id = keeper_id) AS kept
          |FROM r""".stripMargin,
+
+    // The leakage oracle reruns signatures → capped bands → jaccard
+    // verify (no closure — leakage is a PAIR property), symmetrizes, and
+    // applies the identical split-hash predicate inline.
+    "q_split_leakage" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text FROM documents),
+         |${Dedup.dkSig("corpus")},
+         |${Dedup.dkLshPairsBlock},
+         |sym AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs)
+         |SELECT doc_a AS doc_id, count(*)::BIGINT AS n_train_dups,
+         |  min(doc_b)::BIGINT AS min_train_dup
+         |FROM sym
+         |WHERE ${Dk.hex32("'split:' || doc_a::VARCHAR")} % 100 >= $TrainPct
+         |  AND ${Dk.hex32("'split:' || doc_b::VARCHAR")} % 100 < $TrainPct
+         |GROUP BY 1""".stripMargin,
+    "q_domain_cap" ->
+      s"""WITH ${TextOps.dkQualityCte("documents")},
+         |rk AS (
+         |  SELECT q.doc_id, d.source, q.quality,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY q.quality DESC, q.doc_id ASC) AS rk
+         |  FROM qual q JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, quality, rk::BIGINT AS rk
+         |FROM rk WHERE rk <= $DomainCap""".stripMargin,
 
     "q_domain_mix" ->
       s"""WITH d AS (

@@ -655,14 +655,12 @@ object Dedup {
     "round(len(list_intersect(l.sh, r.sh)) / " +
       "(len(list_distinct(l.sh)) + len(list_distinct(r.sh)) - len(list_intersect(l.sh, r.sh))), 4)"
 
-  /** The LSH-candidate → jaccard-verify → transitive-closure CTE block
-    * (`capped` through `closure`), over the `sig`/`banded` CTEs a
-    * preceding [[dkSig]] defines. Shared verbatim by the `dedup_cc_labels`
-    * oracle, the curate-chain oracle, and the keep-best resolution oracle
-    * — one spelling of the clustering semantics, three consumers. Callers
-    * must open `WITH RECURSIVE` and finish with their own label/keeper
-    * selection off `closure`. */
-  private[operators] val dkLshCcBlock: String =
+  /** The LSH-candidate → jaccard-verify CTE block (`capped` through
+    * `pairs`), over the `sig`/`banded` CTEs a preceding [[dkSig]] defines
+    * — the verified near-dup PAIRS, before any clustering. Consumed
+    * directly by pair-level oracles (the split-leakage audit) and as the
+    * front half of [[dkLshCcBlock]]. */
+  private[operators] val dkLshPairsBlock: String =
     s"""capped AS (
        |  SELECT doc_id, band, k1, k2 FROM (
        |    SELECT *, row_number() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
@@ -675,7 +673,17 @@ object Dedup {
        |  SELECT doc_a, doc_b FROM cand
        |  JOIN sig l ON l.doc_id = doc_a
        |  JOIN sig r ON r.doc_id = doc_b
-       |  WHERE $dkJaccard >= 0.8),
+       |  WHERE $dkJaccard >= 0.8)""".stripMargin
+
+  /** The LSH-candidate → jaccard-verify → transitive-closure CTE block
+    * (`capped` through `closure`), over the `sig`/`banded` CTEs a
+    * preceding [[dkSig]] defines. Shared verbatim by the `dedup_cc_labels`
+    * oracle, the curate-chain oracle, and the keep-best resolution oracle
+    * — one spelling of the clustering semantics, three consumers. Callers
+    * must open `WITH RECURSIVE` and finish with their own label/keeper
+    * selection off `closure`. */
+  private[operators] val dkLshCcBlock: String =
+    s"""$dkLshPairsBlock,
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL

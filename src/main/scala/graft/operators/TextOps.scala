@@ -37,7 +37,9 @@ object TextOps {
 
   /** Per-doc quality signals + composite score (the `text_quality`
     * contract), extracted so the adaptive gate can reuse the identical
-    * score computation. Narrow — one codegen'd scan, no shuffle. */
+    * score computation. Narrow — one codegen'd scan, no shuffle. Any
+    * non-text input column (e.g. `source` for the per-domain cap) rides
+    * along, so consumers never need a second scan + self-join. */
   private[operators] def qualityFrame(d: DataFrame): DataFrame = {
     val toks  = tokens(col("text"))
     val nTok  = size(toks).cast("long")
@@ -53,7 +55,8 @@ object TextOps {
           when(col("n_tokens").between(5, 10000), lit(1.0)).otherwise(lit(0.5))
             * (lit(1.0) - col("punct_ratio"))
             * when(col("avg_token_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.8)), 4))
-      .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality")
+      .select(d.columns.filterNot(_ == "text").map(col) ++
+        Seq("n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality").map(col): _*)
   }
   private val Footer = "standard footer text all rights reserved contact legal team here"
 

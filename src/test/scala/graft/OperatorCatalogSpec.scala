@@ -146,6 +146,68 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("q_split_leakage: inline-hash audit equals the join-based spelling, both orientations surface") {
+    import graft.functions.TextKernels.hex32
+    val out = SparkEntry.queries("q_split_leakage")(spark, dir).cache()
+    try {
+      // independent reconstruction: same verified pairs (memoized frame),
+      // but split labels materialized as a FRAME and joined — the
+      // straightforward spelling the shipped inline-predicate pass must
+      // reproduce exactly (symmetrization, orientation, aggregation)
+      val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text")))
+      val split = corpus.select(col("doc_id"),
+        when(hex32(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < 90,
+          lit("train")).otherwise(lit("val")).as("split"))
+      val pairs = graft.operators.Dedup.minhashLsh(corpus, Some(s"$dir#leak"))
+        .select("doc_a", "doc_b")
+      val sym = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val expected = sym
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+        .filter(col("sa") === "val" && col("sb") === "train")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_train_dups"), min(col("doc_b")).as("min_train_dup"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty, "no leaked val docs found — plant failed")
+      // the audit must flag leaked VAL docs on both sides of the planted
+      // pair shape: originals whose copy landed in train, and copies
+      // whose original landed in train
+      assert(got.exists(_._1 < 1000000L), "no original-side val doc flagged")
+      assert(got.exists(_._1 >= 1000000L), "no copy-side val doc flagged")
+      // a flagged doc's nearest train dup is a different doc
+      got.foreach { case (id, n, m) => assert(n >= 1 && m != id) }
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_domain_cap: per-source quota holds and the kept set is the true quality top-cap") {
+    val out = SparkEntry.queries("q_domain_cap")(spark, dir).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"$src exceeds the cap")
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to rows.length),
+        s"$src ranks not contiguous from 1")
+    }
+    // independent driver-side recomputation of the policy: top-cap per
+    // source by (quality DESC, doc_id ASC) from the text_quality score
+    val qual = SparkEntry.queries("text_quality")(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val srcs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val expected = qual.join(srcs, Seq("doc_id")).collect()
+      .groupBy(_.getAs[String]("source"))
+      .flatMap { case (s0, rs) =>
+        rs.toSeq.sortBy(r => (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+          .take(10).map(r => (r.getAs[Long]("doc_id"), s0))
+      }.toSet
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet
+      == expected)
+  }
+
   test("q_domain_mix: temperature resampling flattens the planted skew, no upsampling") {
     val rows = SparkEntry.queries("q_domain_mix")(spark, dir).collect()
       .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_raw"),

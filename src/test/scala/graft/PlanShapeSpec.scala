@@ -246,6 +246,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("WindowGroupLimit"), s"top-k not pre-pruned:\n${p.take(2000)}")
   }
 
+  test("q_domain_cap: partial WindowGroupLimit pre-prunes before the source exchange, no text aboard") {
+    val executed = SparkEntry.queries("q_domain_cap")(spark, dir)
+      .queryExecution.executedPlan
+    val p = executed.toString
+    // the rank<=cap filter must push a map-side group limit below the
+    // exchange: a hot domain ships ~numPartitions*cap rows, not all rows
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n${p.take(2000)}")
+    assert(p.contains("Partial"), s"no PARTIAL group-limit before the shuffle:\n${p.take(2000)}")
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"domain-cap shuffle carries text: ${e.output.map(_.name)}")
+    }
+  }
+
   test("q_domain_mix: corpus is scanned and counted, never shuffled by row") {
     val p = plan("q_domain_mix")
     // the 5-row weight table broadcasts back; the only exchanges aggregate
