@@ -30,7 +30,10 @@ object PlanAudit {
         // round-4 late: broadcast-probed inverted index, RRF fusion,
         // scan-only mixing, histogram-thresholded two-pass gate
         "text_bm25_topk", "search_hybrid_rrf", "q_domain_mix",
-        "text_quality_adaptive_gate")
+        "text_quality_adaptive_gate",
+        // round-4 final: ids-only cluster resolution / leakage pass,
+        // partial-WindowGroupLimit quota
+        "dedup_keep_best", "q_split_leakage", "q_domain_cap")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

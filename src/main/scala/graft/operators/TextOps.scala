@@ -122,7 +122,8 @@ object TextOps {
         length(col("text")).cast("long").as("chars"))),
 
     // Quality scoring: length/punctuation/stopword signals → one score.
-    "text_quality" -> ((s, dir) => qualityFrame(docs(s, dir))),
+    "text_quality" -> ((s, dir) =>
+      qualityFrame(docs(s, dir).select(col("doc_id"), col("text")))),
 
     // Sketch-driven ADAPTIVE quality gate — the two-pass shape a 100 TB
     // filter actually uses: pass 1 reduces the corpus to a ≤101-row
