@@ -46,7 +46,7 @@ object J {
       JArr(b.result())
     } else {
       val b = Vector.newBuilder[(String, J)]
-      n.fields().forEachRemaining(e => b += (e.getKey -> fromNode(e.getValue)))
+      n.properties().forEach(e => b += (e.getKey -> fromNode(e.getValue)))
       JObj(b.result())
     }
 

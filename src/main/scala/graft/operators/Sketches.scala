@@ -197,8 +197,8 @@ object Sketches {
         .agg(countDistinct(concat(col("user_id").cast("string"), lit("|"), col("props")))
           .as("exact_distinct"))
         .withColumn("day_key", lit(-1L))
-      estimateOf(dayRegs.unionByName(merged.select(dayRegs.columns.map(col): _*)))
-        .join(exactDay.unionByName(exactAll.select(exactDay.columns.map(col): _*)),
+      estimateOf(dayRegs.unionByName(merged.select(dayRegs.columns.toIndexedSeq.map(col): _*)))
+        .join(exactDay.unionByName(exactAll.select(exactDay.columns.toIndexedSeq.map(col): _*)),
           Seq("day_key"))
         .withColumn("rel_to_exact", round(col("raw_estimate") / col("exact_distinct"), 4))
     }),

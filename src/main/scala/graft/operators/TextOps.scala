@@ -55,7 +55,7 @@ object TextOps {
           when(col("n_tokens").between(5, 10000), lit(1.0)).otherwise(lit(0.5))
             * (lit(1.0) - col("punct_ratio"))
             * when(col("avg_token_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.8)), 4))
-      .select(d.columns.filterNot(_ == "text").map(col) ++
+      .select(d.columns.filterNot(_ == "text").toIndexedSeq.map(col) ++
         Seq("n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality").map(col): _*)
   }
   private val Footer = "standard footer text all rights reserved contact legal team here"

@@ -59,7 +59,7 @@ class DedupEmbeddingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // precision is exact: survivors are cosine-verified, and only the
     // planted perturbed twins sit above 0.99 in this corpus
     assert(out.filter(col("vec_b") =!= col("vec_a") + 100000L).count() == 0)
-    assert(out.agg(org.apache.spark.sql.functions.min("cos")).head.getDouble(0) >= 0.99)
+    assert(out.agg(org.apache.spark.sql.functions.min("cos")).head().getDouble(0) >= 0.99)
     // recall: a planted pair is missed only when the perturbation crosses
     // a k-means cell boundary — must stay high, like the LSH path
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
