@@ -37,6 +37,11 @@ object Curation {
   /** Per-domain quota (the C4/RefinedWeb host-cap policy constant). */
   private val DomainCap = 10L
 
+  /** DSIR hashed-feature space size and the integer weight scale (a
+    * weight of [[DsirScale]] ≡ probability ratio 1.0). */
+  private val DsirBuckets = 1024L
+  private val DsirScale   = 10000L
+
   /** Split membership as a pure function of the id column — the
     * q_train_split rule. Being stateless is what makes the leakage audit
     * a single pass over the pairs frame: no split table exists to join. */
@@ -296,6 +301,99 @@ object Curation {
         .filter(col("rk") <= DomainCap)
         .select(col("doc_id"), col("source"), col("quality"),
           col("rk").cast("long").as("rk"))
+    }),
+
+    // URL-keyed dedup (the C4 preprocessing step that runs BEFORE any
+    // content hashing: one crawl fetches the same page under
+    // scheme/www/case/tracking-param/fragment variants, and dropping them
+    // by URL is free compared to text dedup). The canonicalization rule —
+    // strip query+fragment, strip scheme, lowercase + de-www the host,
+    // strip the trailing slash — uses only regex syntax Java and RE2
+    // interpret identically (the PII-pattern discipline). The corpus has
+    // no URL column, so one is synthesized deterministically: doc_id % 200
+    // picks the logical page, doc_id % 4 picks which variant this fetch
+    // used — every ~200-id window re-fetches the same pages differently,
+    // and the canonical forms collide exactly where they should. Scale
+    // shape: canonicalization is a narrow codegen'd scan; the keeper table
+    // is groupBy(canonical).agg(min(id)) — map-side partial agg, the
+    // shuffle carries (short canonical string, id), never text; the join
+    // back is canonical-keyed (at 100 TB: hash the canonical to a long
+    // first — same plan, narrower key).
+    "q_url_dedup" -> ((s, dir) => {
+      val pid   = col("doc_id") % 200L
+      val hostN = (pid % 7L).cast("string")
+      val p     = pid.cast("string")
+      val v     = col("doc_id") % 4L
+      val url = when(v === 0, concat(lit("https://example"), hostN, lit(".com/page/"), p))
+        .when(v === 1, concat(lit("http://www.example"), hostN, lit(".com/page/"), p, lit("/")))
+        .when(v === 2, concat(lit("HTTPS://EXAMPLE"), hostN, lit(".COM/page/"), p,
+          lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("https://example"), hostN, lit(".com/page/"), p,
+          lit("#section-2")))
+      val d     = docs(s, dir).select(col("doc_id"), url.as("url"))
+      val noQf  = regexp_replace(col("url"), "[?#].*$", "")
+      val noSch = regexp_replace(noQf, "^[a-zA-Z]+://", "")
+      val host  = regexp_replace(lower(regexp_extract(noSch, "^[^/]+", 0)), "^www\\.", "")
+      val path  = regexp_replace(regexp_replace(noSch, "^[^/]+", ""), "/$", "")
+      val withCanon = d.withColumn("canonical_url", concat(host, path))
+      val keepers = withCanon.groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      withCanon.join(keepers, Seq("canonical_url"))
+        .select(col("doc_id"), col("url"), col("canonical_url"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("kept"))
+    }),
+
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw doc
+    // by how much its hashed-n-gram distribution resembles a TARGET corpus
+    // — the principled version of "select data that looks like Wikipedia".
+    // Features are the signature-redesign bigram hashes folded into
+    // DsirBuckets buckets; the weight of bucket b is the smoothed
+    // probability ratio P_target(b)/P_raw(b), carried as the exact integer
+    // floor((SCALE·(tc+1)·(R+B)) / ((rc+1)·(T+B))) — no log-likelihoods,
+    // no float summation, the HLL/BM25 int64 rule, so the oracle is
+    // hash-exact (floor of the true ratio at 1e-4 resolution; monotone in
+    // the ratio, which is all selection consumes). A doc's importance is
+    // the floor-mean of its feature weights; keep = importance ≥ SCALE
+    // (at-least-as-target-like as the raw average). The shared-vocab sf
+    // corpus would make any real subset vacuous as a target, so two
+    // synthetic domains are planted: doc_id %4==0 docs get a "formal"
+    // suffix (they ARE the target sample), %4==1 docs get a "spam" suffix
+    // — target-only buckets weigh ≈ R/T ≈ 4·SCALE, spam-only buckets ≈
+    // SCALE/rc, shared-vocab buckets ≈ SCALE, so the planted classes
+    // separate and the test can pin the direction. Scale shape: both
+    // count tables collapse to ≤ DsirBuckets rows via map-side partial
+    // agg, the weight table broadcasts back, and the per-doc aggregate
+    // shuffles (doc_id, partial sums) — the corpus is scanned twice,
+    // never shuffled; at 100 TB the target side is a small curated set
+    // and its count table is computed once and shipped.
+    "q_dsir_weight" -> ((s, dir) => {
+      val suffix = when(col("doc_id") % 4 === 0,
+          lit(" theorem proof lemma corollary axiom theorem proof"))
+        .when(col("doc_id") % 4 === 1, lit(" click buy cheap deal offer click buy"))
+        .otherwise(lit(""))
+      val corpus = docs(s, dir)
+        .select(col("doc_id"), concat(col("text"), suffix).as("text"))
+      val hh = corpus.select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
+        .filter(size(col("th")) >= 2)
+      val big = hh.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("th")) - 1), i =>
+          ((element_at(col("th"), i) * ShingleC % ShingleM) + element_at(col("th"), i + 1))
+            .mod(ShingleM).mod(DsirBuckets))).as("b"))
+      val rc   = big.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      val tc   = big.filter(col("doc_id") % 4 === 0).groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val tots = rc.agg(sum(col("rc")).as("rtot")).crossJoin(tc.agg(sum(col("tc")).as("ttot")))
+      val weights = rc.join(tc, Seq("b"), "left")
+        .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"), col("rc"))
+        .crossJoin(broadcast(tots))
+        .select(col("b"),
+          expr(s"($DsirScale * (tc + 1) * (rtot + $DsirBuckets)) " +
+            s"div ((rc + 1) * (ttot + $DsirBuckets))").as("w"))
+      big.join(broadcast(weights), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("w_sum"))
+        .withColumn("importance", expr("w_sum div n_feats"))
+        .withColumn("keep", col("importance") >= DsirScale)
     }),
 
     // Domain-mixture resampling (the Pile/Dolma-style mixing step): given
@@ -582,6 +680,60 @@ object Curation {
          |  FROM qual q JOIN documents d USING (doc_id))
          |SELECT doc_id, source, quality, rk::BIGINT AS rk
          |FROM rk WHERE rk <= $DomainCap""".stripMargin,
+
+    "q_url_dedup" -> {
+      val pid = "(doc_id % 200)"
+      val h   = s"($pid % 7)::VARCHAR"
+      val p   = s"$pid::VARCHAR"
+      // the same four regexp steps as the Spark side; patterns restricted
+      // to syntax Java regex and RE2 share
+      val noQf  = "regexp_replace(url, '[?#].*$', '')"
+      val noSch = s"regexp_replace($noQf, '^[a-zA-Z]+://', '')"
+      val host  = s"regexp_replace(lower(regexp_extract($noSch, '^[^/]+')), '^www\\.', '')"
+      val path  = s"regexp_replace(regexp_replace($noSch, '^[^/]+', ''), '/$$', '')"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 4
+         |      WHEN 0 THEN 'https://example' || $h || '.com/page/' || $p
+         |      WHEN 1 THEN 'http://www.example' || $h || '.com/page/' || $p || '/'
+         |      WHEN 2 THEN 'HTTPS://EXAMPLE' || $h || '.COM/page/' || $p
+         |                  || '?utm_source=feed&utm_campaign=x'
+         |      ELSE 'https://example' || $h || '.com/page/' || $p || '#section-2'
+         |    END AS url
+         |  FROM documents),
+         |c AS (SELECT doc_id, url, $host || $path AS canonical_url FROM d),
+         |k AS (SELECT canonical_url, min(doc_id) AS keeper_id FROM c GROUP BY 1)
+         |SELECT doc_id, url, canonical_url, keeper_id, (doc_id = keeper_id) AS kept
+         |FROM c JOIN k USING (canonical_url)""".stripMargin
+    },
+
+    "q_dsir_weight" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' theorem proof lemma corollary axiom theorem proof'
+         |         WHEN doc_id % 4 = 1 THEN ' click buy cheap deal offer click buy'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |hh AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM t),
+         |big AS (
+         |  SELECT doc_id,
+         |    unnest([((th[i] * $ShingleC % $ShingleM) + th[i+1]) % $ShingleM % $DsirBuckets
+         |            for i in generate_series(1, len(th) - 1)]) AS b
+         |  FROM hh WHERE len(th) >= 2),
+         |rc AS (SELECT b, count(*)::BIGINT AS rc FROM big GROUP BY 1),
+         |tc AS (SELECT b, count(*)::BIGINT AS tc FROM big WHERE doc_id % 4 = 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(rc) FROM rc) AS rtot, (SELECT sum(tc) FROM tc) AS ttot),
+         |w AS (
+         |  SELECT rc.b,
+         |    ($DsirScale * (coalesce(tc, 0) + 1) * (rtot + $DsirBuckets))
+         |      // ((rc + 1) * (ttot + $DsirBuckets)) AS w
+         |  FROM rc LEFT JOIN tc ON rc.b = tc.b, tot)
+         |SELECT doc_id, count(*)::BIGINT AS n_feats, sum(w)::BIGINT AS w_sum,
+         |  (sum(w) // count(*))::BIGINT AS importance,
+         |  ((sum(w) // count(*)) >= $DsirScale) AS keep
+         |FROM big JOIN w ON big.b = w.b
+         |GROUP BY 1""".stripMargin,
 
     "q_domain_mix" ->
       s"""WITH d AS (

@@ -35,6 +35,12 @@ object TextOps {
   /** Repetition-rule line width (tokens per synthesized line). */
   private val LineW = 8
 
+  /** Overlapping chunk-window geometry (tokens): window and stride. Sized
+    * so the sf docs (10–99 tokens) yield 1–8 chunks each; production uses
+    * ~the model context length with the same overlap fraction. */
+  private val WinW = 16
+  private val WinS = 12
+
   /** Per-doc quality signals + composite score (the `text_quality`
     * contract), extracted so the adaptive gate can reuse the identical
     * score computation. Narrow — one codegen'd scan, no shuffle. Any
@@ -388,6 +394,36 @@ object TextOps {
         .withColumn("fam_score", expr("fam_sum div n_bigrams"))
     }),
 
+    // Overlapping chunk windows — the context-window preparation step a
+    // training (or RAG-indexing) pipeline runs before packing: each doc
+    // splits into WinW-token windows at WinS-token stride (WinW−WinS
+    // tokens of overlap, so no chunk boundary ever severs local context
+    // from BOTH of its neighbors). Chunk count is exact integer math —
+    // 1 + ceil((n−W)/S) for n>W, else 1 — identical in both engines, and
+    // the final window is allowed to run short (n_tok < W) rather than
+    // re-reading earlier tokens, so chunk starts are a pure arithmetic
+    // progression and every token's chunk assignment is reconstructible
+    // from (doc_id, chunk_id) alone. Scale shape: one narrow codegen'd
+    // scan + per-doc explode — ZERO shuffles (asserted), parallelism ∝
+    // docs, output rows ∝ corpus tokens / WinS.
+    "text_chunk_windows" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") >= 1)
+        .withColumn("nchunks",
+          when(col("n") <= WinW, lit(1L))
+            .otherwise(lit(1L) + expr(s"(n - $WinW + ${WinS - 1}) div $WinS")))
+      base.select(col("doc_id"), col("toks"), col("n"),
+          posexplode(transform(sequence(lit(0L), col("nchunks") - 1), i => i * WinS)))
+        .select(col("doc_id"),
+          col("pos").cast("long").as("chunk_id"),
+          col("col").as("start_tok"),
+          least(lit(WinW.toLong), col("n") - col("col")).as("n_tok"),
+          array_join(slice(col("toks"), (col("col") + 1).cast("int"), lit(WinW)), " ")
+            .as("chunk"))
+    }),
+
     "text_dup_chunk_ratio" -> ((s, dir) => {
       val chunks = dupChunkCorpus(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -601,6 +637,23 @@ object TextOps {
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(fam)::BIGINT AS fam_sum,
          |  (sum(fam) // count(*))::BIGINT AS fam_score
          |FROM sc GROUP BY 1""".stripMargin,
+    "text_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, len(toks)::BIGINT AS n,
+         |    CASE WHEN len(toks) <= $WinW THEN 1
+         |         ELSE 1 + (len(toks) - $WinW + ${WinS - 1}) // $WinS END AS nchunks
+         |  FROM t WHERE len(toks) >= 1),
+         |e AS (
+         |  SELECT doc_id, n,
+         |    unnest([i for i in generate_series(0, nchunks - 1)]) AS chunk_id,
+         |    unnest([i * $WinS for i in generate_series(0, nchunks - 1)]) AS start_tok,
+         |    unnest([array_to_string(toks[(i*$WinS+1):(i*$WinS+$WinW)], ' ')
+         |            for i in generate_series(0, nchunks - 1)]) AS chunk
+         |  FROM c)
+         |SELECT doc_id, chunk_id::BIGINT AS chunk_id, start_tok::BIGINT AS start_tok,
+         |  least($WinW, n - start_tok)::BIGINT AS n_tok, chunk
+         |FROM e""".stripMargin,
     "text_dup_chunk_ratio" ->
       s"""WITH $dkDupCorpus,
          |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),

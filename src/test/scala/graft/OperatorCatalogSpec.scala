@@ -208,6 +208,69 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
       == expected)
   }
 
+  test("text_chunk_windows: stride progression covers every token, overlap = W-S") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    val out = SparkEntry.queries("text_chunk_windows")(spark, dir).cache()
+    try {
+      // chunk starts are 0, S, 2S, ...; every doc's last chunk reaches its
+      // final token (start + n_tok == n) and no chunk is empty
+      assert(out.filter(col("start_tok") =!= col("chunk_id") * 12).count() == 0)
+      assert(out.filter(col("n_tok") < 1).count() == 0)
+      val last = out.groupBy("doc_id")
+        .agg(max(col("start_tok") + col("n_tok")).as("covered"),
+          count(lit(1)).as("nchunks"))
+        .join(docs, Seq("doc_id"))
+      assert(last.filter(col("covered") =!= col("n")).count() == 0,
+        "some doc's windows do not reach its last token")
+      // every doc present; docs with <= W tokens produce exactly one chunk
+      assert(last.count() == docs.count())
+      assert(last.filter(col("n") <= 16 && col("nchunks") =!= 1).count() == 0)
+      // consecutive full windows overlap by exactly W-S = 4 tokens: the
+      // next chunk's start is 12 tokens after the previous one's
+      assert(last.filter(col("n") > 16 && col("nchunks") < 2).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_url_dedup: scheme/www/case/utm/fragment variants collapse to one canonical page") {
+    val out = SparkEntry.queries("q_url_dedup")(spark, dir).cache()
+    try {
+      // canonical form never carries furniture
+      assert(out.filter(col("canonical_url").rlike("^www\\.|://|[?#]|/$|[A-Z]")).count() == 0)
+      // every group of docs sharing (doc_id % 200) collapsed: one keeper,
+      // the min id, everyone else dropped
+      val grp = out.withColumn("pid", col("doc_id") % 200)
+        .groupBy("pid")
+        .agg(countDistinct(col("canonical_url")).as("ncanon"),
+          min(col("doc_id")).as("minid"), max(col("keeper_id")).as("kmax"),
+          min(col("keeper_id")).as("kmin"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("nkept"))
+      assert(grp.filter(col("ncanon") =!= 1).count() == 0, "a variant escaped canonicalization")
+      assert(grp.filter(col("kmax") =!= col("kmin") || col("kmax") =!= col("minid")).count() == 0)
+      assert(grp.filter(col("nkept") =!= 1).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_dsir_weight: planted target domain scores above the spam domain and the keep line") {
+    val out = SparkEntry.queries("q_dsir_weight")(spark, dir).cache()
+    try {
+      val mean = (m: Long) => out.filter(col("doc_id") % 4 === m)
+        .agg(avg(col("importance"))).head.getDouble(0)
+      val (target, spam, neutral) = (mean(0L), mean(1L), mean(2L))
+      assert(target > spam, s"target mean $target not above spam mean $spam")
+      assert(target > neutral, s"target mean $target not above neutral mean $neutral")
+      // direction of the keep gate: a strict majority of target docs pass,
+      // and target docs pass at a higher rate than spam docs
+      val rate = (m: Long) => {
+        val g = out.filter(col("doc_id") % 4 === m)
+        g.filter(col("keep")).count().toDouble / g.count()
+      }
+      assert(rate(0L) > 0.5, s"only ${rate(0L)} of target docs kept")
+      assert(rate(0L) > rate(1L), "spam docs kept at >= the target rate")
+    } finally { out.unpersist(); () }
+  }
+
   test("q_domain_mix: temperature resampling flattens the planted skew, no upsampling") {
     val rows = SparkEntry.queries("q_domain_mix")(spark, dir).collect()
       .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_raw"),

@@ -88,6 +88,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("chunk windows are a pure narrow explode: zero shuffles, codegen'd") {
+    val p = plan("text_chunk_windows")
+    assert(count(p, "Exchange") == 0,
+      s"per-doc chunking introduced a shuffle:\n${p.take(2000)}")
+    assert(p.contains("*("), s"no WholeStageCodegen span:\n${p.take(2000)}")
+  }
+
+  test("DSIR weights broadcast back; no shuffle in the scoring pass carries text") {
+    val executed = SparkEntry.queries("q_dsir_weight")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val p = root.toString
+    assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n${p.take(2000)}")
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("th"),
+        s"DSIR shuffle carries text/token arrays: $cols")
+    }
+  }
+
   test("substr-dedup shuffles carry (hash, id, pos); text moves only in the doc_id rebuild") {
     val executed = SparkEntry.queries("text_substr_dedup")(spark, dir)
       .queryExecution.executedPlan
