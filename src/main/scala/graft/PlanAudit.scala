@@ -33,7 +33,10 @@ object PlanAudit {
         "text_quality_adaptive_gate",
         // round-4 final: ids-only cluster resolution / leakage pass,
         // partial-WindowGroupLimit quota
-        "dedup_keep_best", "q_split_leakage", "q_domain_cap")
+        "dedup_keep_best", "q_split_leakage", "q_domain_cap",
+        // round-4 close: canonical-keyed URL keeper join, broadcast DSIR
+        // weight table, zero-shuffle chunk explode
+        "q_url_dedup", "q_dsir_weight", "text_chunk_windows")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
