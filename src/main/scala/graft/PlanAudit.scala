@@ -36,7 +36,8 @@ object PlanAudit {
         "dedup_keep_best", "q_split_leakage", "q_domain_cap",
         // round-4 close: canonical-keyed URL keeper join, broadcast DSIR
         // weight table, zero-shuffle chunk explode
-        "q_url_dedup", "q_dsir_weight", "text_chunk_windows")
+        "q_url_dedup", "q_dsir_weight", "text_chunk_windows",
+        "q_host_pagerank")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -42,6 +42,9 @@ object Curation {
   private val DsirBuckets = 1024L
   private val DsirScale   = 10000L
 
+  /** PageRank integer scale (rank 1.0 ≡ [[PrScale]]). */
+  private val PrScale = 1000000L
+
   /** Split membership as a pure function of the id column — the
     * q_train_split rule. Being stateless is what makes the leakage audit
     * a single pass over the pairs frame: no split table exists to join. */
@@ -396,6 +399,53 @@ object Curation {
         .withColumn("keep", col("importance") >= DsirScale)
     }),
 
+    // Host-graph PageRank — crawl-frontier prioritization (what Common
+    // Crawl's host-level web graph ranking does for crawl scheduling and
+    // what source-weighting curation uses as a quality prior). The corpus
+    // has no link column, so a host multigraph is synthesized
+    // deterministically: every doc emits one edge from its source host to
+    // a rotating target ((idx+1+doc_id%19) % 20 — offset ∈ 1..19, so
+    // never a self-loop), and every third doc links to the planted hub
+    // src0 instead (≈1/3 of all in-links ⇒ the hub must rank first, which
+    // the test pins). Two PageRank iterations (d = 0.85) unrolled in
+    // EXACT integer arithmetic — contribution = (85·r·w) div (100·out),
+    // teleport = (15·SCALE) div 100, all int64, summation-order-free — so
+    // the whole fixpoint prefix is hash-exact cross-engine (the k-means/
+    // HLL rule; floats would drift in summation order). Scale shape: the
+    // edge list is a groupBy(u,v) count (map-side partial agg — a crawl's
+    // 10^12 links collapse to the host-pair cardinality before
+    // shuffling); each iteration is one broadcastable rank-table join +
+    // one (host, contribution) aggregate — per-round shuffles carry
+    // (short host key, int64), exactly the CC-iteration discipline.
+    "q_host_pagerank" -> ((s, dir) => {
+      val idx = substring(col("source"), 4, 6).cast("int")
+      val rot = concat(lit("src"), ((idx + 1 + (col("doc_id") % 19).cast("int")) % 20).cast("string"))
+      val v   = when(col("doc_id") % 3 === 0 && col("source") =!= "src0", lit("src0"))
+        .otherwise(rot)
+      val e = docs(s, dir).select(col("source").as("u"), v.as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      val outw  = e.groupBy(col("u")).agg(sum(col("w")).as("outw"))
+      val hosts = e.select(col("u").as("host"))
+        .unionByName(e.select(col("v").as("host"))).distinct()
+      val teleport = 15L * PrScale / 100L
+      def step(r: DataFrame): DataFrame = {
+        val contrib = e.join(outw, Seq("u"))
+          .join(broadcast(r.withColumnRenamed("host", "u")), Seq("u"))
+          .select(col("v").as("host"), expr("(85 * r * w) div (100 * outw)").as("c"))
+          .groupBy(col("host")).agg(sum(col("c")).as("cs"))
+        hosts.join(contrib, Seq("host"), "left")
+          .select(col("host"), (lit(teleport) + coalesce(col("cs"), lit(0L))).as("r"))
+      }
+      val r1 = step(hosts.withColumn("r", lit(PrScale)))
+      val r2 = step(r1)
+      val w  = Window.orderBy(col("pr2").desc, col("host").asc)
+      hosts.join(outw.withColumnRenamed("u", "host"), Seq("host"), "left")
+        .select(col("host"), coalesce(col("outw"), lit(0L)).as("out_w"))
+        .join(r1.withColumnRenamed("r", "pr1"), Seq("host"))
+        .join(r2.withColumnRenamed("r", "pr2"), Seq("host"))
+        .withColumn("crawl_rank", dense_rank().over(w).cast("long"))
+    }),
+
     // Domain-mixture resampling (the Pile/Dolma-style mixing step): given
     // per-domain raw counts, compute temperature-scaled target weights
     // w_d ∝ n_d^0.5 (α = 0.5 flattens the mix toward rare domains), turn
@@ -734,6 +784,38 @@ object Curation {
          |  ((sum(w) // count(*)) >= $DsirScale) AS keep
          |FROM big JOIN w ON big.b = w.b
          |GROUP BY 1""".stripMargin,
+
+    "q_host_pagerank" -> {
+      val tele = 15L * PrScale / 100L
+      s"""WITH e AS (
+         |  SELECT source AS u,
+         |    CASE WHEN doc_id % 3 = 0 AND source <> 'src0' THEN 'src0'
+         |         ELSE 'src' ||
+         |           ((CAST(substr(source, 4) AS INT) + 1 + (doc_id % 19)::INT) % 20)::VARCHAR
+         |    END AS v,
+         |    count(*)::BIGINT AS w
+         |  FROM documents GROUP BY 1, 2),
+         |ow AS (SELECT u, sum(w)::BIGINT AS outw FROM e GROUP BY 1),
+         |h AS (SELECT u AS host FROM e UNION SELECT v FROM e),
+         |r0 AS (SELECT host, $PrScale::BIGINT AS r FROM h),
+         |c1 AS (
+         |  SELECT v AS host, sum((85 * r * w) // (100 * outw))::BIGINT AS cs
+         |  FROM e JOIN ow USING (u) JOIN r0 ON r0.host = e.u GROUP BY 1),
+         |r1 AS (SELECT h.host, ($tele + coalesce(cs, 0))::BIGINT AS r
+         |  FROM h LEFT JOIN c1 USING (host)),
+         |c2 AS (
+         |  SELECT v AS host, sum((85 * r * w) // (100 * outw))::BIGINT AS cs
+         |  FROM e JOIN ow USING (u) JOIN r1 ON r1.host = e.u GROUP BY 1),
+         |r2 AS (SELECT h.host, ($tele + coalesce(cs, 0))::BIGINT AS r
+         |  FROM h LEFT JOIN c2 USING (host))
+         |SELECT h.host, coalesce(outw, 0)::BIGINT AS out_w,
+         |  r1.r AS pr1, r2.r AS pr2,
+         |  dense_rank() OVER (ORDER BY r2.r DESC, h.host ASC)::BIGINT AS crawl_rank
+         |FROM h
+         |LEFT JOIN ow ON ow.u = h.host
+         |JOIN r1 ON r1.host = h.host
+         |JOIN r2 ON r2.host = h.host""".stripMargin
+    },
 
     "q_domain_mix" ->
       s"""WITH d AS (

@@ -271,6 +271,28 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("q_host_pagerank: the planted hub ranks first and rank mass is conserved-ish") {
+    val out = SparkEntry.queries("q_host_pagerank")(spark, dir).cache()
+    try {
+      assert(out.count() == 20)
+      val hub = out.filter(col("host") === "src0").head()
+      assert(hub.getAs[Long]("crawl_rank") == 1L, s"hub ranked ${hub.getAs[Long]("crawl_rank")}")
+      // the hub absorbs ~1/3 of all links; its rank must clearly separate
+      // from the rotating-target background
+      val rest = out.filter(col("host") =!= "src0")
+        .agg(avg(col("pr2"))).head.getDouble(0)
+      assert(hub.getAs[Long]("pr2") > 2 * rest,
+        s"hub pr2 ${hub.getAs[Long]("pr2")} not separated from mean $rest")
+      // every iteration keeps total mass within the floor-loss bound:
+      // sum(r) <= n·SCALE and >= n·SCALE − edges (one unit lost per floor)
+      val tot = out.agg(sum(col("pr2"))).head.getLong(0)
+      assert(tot <= 20L * 1000000L && tot > 19L * 1000000L, s"mass $tot out of bound")
+      // ranks are a dense permutation with deterministic tie-break
+      assert(out.select("crawl_rank").distinct().count() ==
+        out.select("pr2").distinct().count())
+    } finally { out.unpersist(); () }
+  }
+
   test("q_domain_mix: temperature resampling flattens the planted skew, no upsampling") {
     val rows = SparkEntry.queries("q_domain_mix")(spark, dir).collect()
       .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_raw"),

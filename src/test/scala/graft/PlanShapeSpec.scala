@@ -112,6 +112,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("pagerank iterations broadcast the rank table; shuffles carry (host, int64) only") {
+    val executed = SparkEntry.queries("q_host_pagerank")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"rank table not broadcast:\n${root.toString.take(2000)}")
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("text"), s"pagerank shuffle carries text: $cols")
+    }
+  }
+
   test("substr-dedup shuffles carry (hash, id, pos); text moves only in the doc_id rebuild") {
     val executed = SparkEntry.queries("text_substr_dedup")(spark, dir)
       .queryExecution.executedPlan
