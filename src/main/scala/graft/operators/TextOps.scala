@@ -424,6 +424,38 @@ object TextOps {
             .as("chunk"))
     }),
 
+    // Distributed BPE merge induction — the tokenizer-TRAINING loop
+    // (Sennrich et al. 2016) at token granularity, two rounds unrolled:
+    // count adjacent pairs corpus-wide, adopt the most frequent pair as a
+    // merge rule (count DESC, pair ASC — deterministic argmax, the
+    // trained-k-means discipline), rewrite every stream greedily
+    // left-to-right, repeat on the rewritten corpus. The greedy rewrite's
+    // sequential dependence (a merge consumes the next position) is made
+    // set-parallel by the RUN-PARITY rule: matches only conflict when
+    // consecutive, so within each maximal run of consecutive match
+    // positions greedy keeps exactly the even offsets — a window over
+    // (doc_id, run), no per-doc sequential fold, identical in both
+    // engines (this also makes the self-adjacent pair "x x x x" correct:
+    // greedy merges positions 1 and 3). Scale shape per round: pair
+    // counting collapses map-side before the (pair, count) shuffle; the
+    // argmax is a 1-row TakeOrdered broadcast; match extraction is a
+    // narrow filtered pass; the selection window keys by doc_id over
+    // (doc_id, pos) ints; the rebuild is a per-doc array op. Tokens
+    // shuffle only as the ≤vocab² pair table — streams never leave their
+    // partitions except the doc_id-keyed selection join.
+    "text_bpe_merges" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      val (r1, best1) = bpeRound(base)
+      val (r2, best2) = bpeRound(r1)
+      val rule = (b: DataFrame) =>
+        b.select(concat(col("a"), lit("_"), col("b")).as("rule"))
+      base.select(col("doc_id"), size(col("toks")).cast("long").as("n_before"))
+        .join(r2.select(col("doc_id"), size(col("toks")).cast("long").as("n_after"),
+          array_join(col("toks"), " ").as("bpe_text")), Seq("doc_id"))
+        .crossJoin(broadcast(rule(best1).withColumnRenamed("rule", "merge1")))
+        .crossJoin(broadcast(rule(best2).withColumnRenamed("rule", "merge2")))
+    }),
+
     "text_dup_chunk_ratio" -> ((s, dir) => {
       val chunks = dupChunkCorpus(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -442,9 +474,70 @@ object TextOps {
           round(count(col("n_docs")) / count(lit(1)), 4).as("dup_ratio"))
     }))
 
+  /** One BPE training round over a (doc_id, toks) frame: returns the
+    * rewritten frame and the 1-row (a, b) merge rule it adopted. See the
+    * `text_bpe_merges` notes for the run-parity greedy argument. */
+  private def bpeRound(df: DataFrame): (DataFrame, DataFrame) = {
+    val pairs = df.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b")))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col.a"), col("col.b"))
+    val best = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+    val m   = pairs.join(broadcast(best.select(col("a"), col("b"))), Seq("a", "b"))
+    val wrn = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val sel = m.withColumn("rg", col("p") - row_number().over(wrn))
+      .withColumn("rs", min(col("p")).over(Window.partitionBy(col("doc_id"), col("rg"))))
+      .filter(((col("p") - col("rs")) % 2) === 0)
+      .groupBy(col("doc_id")).agg(collect_list(col("p")).as("sel"))
+    val rewritten = df.join(sel, Seq("doc_id"), "left")
+      .withColumn("sel", coalesce(col("sel"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        transform(
+          filter(sequence(lit(1), size(col("toks"))),
+            i => !array_contains(col("sel"), i - 1)),
+          i => when(array_contains(col("sel"), i),
+            concat(element_at(col("toks"), i), lit("_"),
+              element_at(col("toks"), i + 1)))
+            .otherwise(element_at(col("toks"), i))).as("toks"))
+    (rewritten, best)
+  }
+
   // --- DuckDB oracles -----------------------------------------------------
 
   private def dkStop(toks: String) = Dk.markerHits(toks, Stopwords)
+
+  /** [[bpeRound]]'s oracle twin: the CTE block for round `n` reading
+    * token arrays from CTE `inT`, ending in the rewritten `t$n` and the
+    * adopted rule `best$n`. */
+  private def dkBpeRound(inT: String, n: Int): String =
+    s"""pr$n AS (
+       |  SELECT doc_id,
+       |    unnest([i for i in generate_series(1, len(toks) - 1)]) AS p,
+       |    unnest([toks[i] for i in generate_series(1, len(toks) - 1)]) AS a,
+       |    unnest([toks[i+1] for i in generate_series(1, len(toks) - 1)]) AS b
+       |  FROM $inT WHERE len(toks) >= 2),
+       |best$n AS (
+       |  SELECT a, b FROM (SELECT a, b, count(*) AS cnt FROM pr$n GROUP BY 1, 2)
+       |  ORDER BY cnt DESC, a, b LIMIT 1),
+       |m$n AS (SELECT doc_id, p FROM pr$n JOIN best$n USING (a, b)),
+       |s$n AS (
+       |  SELECT doc_id, p FROM (
+       |    SELECT doc_id, p, min(p) OVER (PARTITION BY doc_id, rg) AS rs FROM (
+       |      SELECT doc_id, p,
+       |        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rg
+       |      FROM m$n))
+       |  WHERE (p - rs) % 2 = 0),
+       |sel$n AS (SELECT doc_id, list(p) AS sel FROM s$n GROUP BY 1),
+       |t$n AS (
+       |  SELECT $inT.doc_id,
+       |    [CASE WHEN list_contains(coalesce(sel, []::BIGINT[]), i)
+       |          THEN toks[i] || '_' || toks[i+1] ELSE toks[i] END
+       |     for i in generate_series(1, len(toks))
+       |     if NOT list_contains(coalesce(sel, []::BIGINT[]), i - 1)] AS toks
+       |  FROM $inT LEFT JOIN sel$n USING (doc_id))""".stripMargin
 
   /** [[dupChunkCorpus]]'s oracle twin (a `corpus` CTE). */
   private def dkDupCorpus: String =
@@ -654,6 +747,16 @@ object TextOps {
          |SELECT doc_id, chunk_id::BIGINT AS chunk_id, start_tok::BIGINT AS start_tok,
          |  least($WinW, n - start_tok)::BIGINT AS n_tok, chunk
          |FROM e""".stripMargin,
+    "text_bpe_merges" ->
+      s"""WITH t0 AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |${dkBpeRound("t0", 1)},
+         |${dkBpeRound("t1", 2)}
+         |SELECT t0.doc_id, len(t0.toks)::BIGINT AS n_before,
+         |  len(t2.toks)::BIGINT AS n_after,
+         |  array_to_string(t2.toks, ' ') AS bpe_text,
+         |  (SELECT a || '_' || b FROM best1) AS merge1,
+         |  (SELECT a || '_' || b FROM best2) AS merge2
+         |FROM t0 JOIN t2 USING (doc_id)""".stripMargin,
     "text_dup_chunk_ratio" ->
       s"""WITH $dkDupCorpus,
          |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),

@@ -293,6 +293,53 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("text_bpe_merges equals a sequential greedy BPE reference, doc by doc") {
+    // independent reference: plain Scala — count pairs, adopt the argmax
+    // (count DESC, pair ASC), rewrite each doc with a SEQUENTIAL
+    // left-to-right greedy fold (the semantics the run-parity window
+    // claims to reproduce), twice
+    def round(corpus: Map[Long, Vector[String]]): (Map[Long, Vector[String]], (String, String)) = {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.values.foreach { t =>
+        t.iterator.zip(t.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+      val rewritten = corpus.map { case (id, t) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < t.length) {
+          if (i + 1 < t.length && t(i) == best._1 && t(i + 1) == best._2) {
+            out += s"${t(i)}_${t(i + 1)}"; i += 2
+          } else { out += t(i); i += 1 }
+        }
+        id -> out.result()
+      }
+      (rewritten, best)
+    }
+    val corpus0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toVector).toMap
+    val (c1, b1) = round(corpus0)
+    val (c2, b2) = round(c1)
+    val out = SparkEntry.queries("text_bpe_merges")(spark, dir).collect()
+    assert(out.length == corpus0.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("merge1") == s"${b1._1}_${b1._2}")
+      assert(r.getAs[String]("merge2") == s"${b2._1}_${b2._2}")
+      assert(r.getAs[Long]("n_before") == corpus0(id).length.toLong)
+      assert(r.getAs[Long]("n_after") == c2(id).length.toLong)
+      assert(r.getAs[String]("bpe_text") == c2(id).mkString(" "),
+        s"doc $id: greedy reference diverges")
+    }
+    // and the run-parity edge specifically: a self-adjacent run "x x x x x"
+    // greedily merges offsets 0 and 2, leaving [x_x, x_x, x]
+    val (solo, _) = round(Map(1L -> Vector("x", "x", "x", "x", "x")))
+    assert(solo(1L) == Vector("x_x", "x_x", "x"))
+  }
+
   test("q_domain_mix: temperature resampling flattens the planted skew, no upsampling") {
     val rows = SparkEntry.queries("q_domain_mix")(spark, dir).collect()
       .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_raw"),
