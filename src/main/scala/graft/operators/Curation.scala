@@ -45,6 +45,10 @@ object Curation {
   /** PageRank integer scale (rank 1.0 ≡ [[PrScale]]). */
   private val PrScale = 1000000L
 
+  /** Memorization-audit chunk width (tokens), the Lee-et-al granularity
+    * (mirrors TextOps' chunk rule). */
+  private val MemChunkW = 10
+
   /** Split membership as a pure function of the id column — the
     * q_train_split rule. Being stateless is what makes the leakage audit
     * a single pass over the pairs frame: no split table exists to join. */
@@ -397,6 +401,45 @@ object Curation {
         .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("w_sum"))
         .withColumn("importance", expr("w_sum div n_feats"))
         .withColumn("keep", col("importance") >= DsirScale)
+    }),
+
+    // Memorization audit — the chunk-level EXACT-overlap depth measure
+    // (the Lee et al. 2021 / Carlini et al. memorization methodology):
+    // for every VAL document, the fraction of its non-overlapping
+    // 10-token chunks that occur verbatim anywhere in TRAIN. Complements
+    // q_split_leakage (doc-level NEAR-dup pairs across the boundary) with
+    // the containment-depth view — a val doc can be 40% memorized without
+    // being anyone's near-duplicate, and this is the number eval-integrity
+    // reviews quote. Plant: +1e6 copies re-split independently by the
+    // salted hash, so ~90% of val docs (originals or copies whose twin
+    // landed in train) read fully memorized while genuinely unpaired val
+    // docs read 0. Scale shape: both sides reduce to (chunk hash, id)
+    // rows; the train side collapses to DISTINCT hashes via map-side
+    // partial agg before the semi-join (never doc×chunk rows twice), the
+    // val-side aggregate shuffles (doc_id, counts) — text never moves.
+    "q_memorization_audit" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val chunks = corpus
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("nch", floor(size(col("toks")) / MemChunkW).cast("int"))
+        .filter(col("nch") >= 1)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("nch") - 1), i =>
+            md5(array_join(slice(col("toks"), i * MemChunkW + 1, lit(MemChunkW)), " "))))
+            .as("h"))
+      val trainH = chunks.filter(splitOf(col("doc_id")) === "train")
+        .select(col("h")).distinct()
+      val valC = chunks.filter(splitOf(col("doc_id")) === "val")
+      valC.join(trainH, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("memorized_chunks"))
+        .join(valC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("memorized_chunks"), lit(0L)).as("memorized_chunks"),
+          round(coalesce(col("memorized_chunks"), lit(0L)) / col("n_chunks"), 4)
+            .as("memorized_frac"))
     }),
 
     // Host-graph PageRank — crawl-frontier prioritization (what Common
@@ -784,6 +827,33 @@ object Curation {
          |  ((sum(w) // count(*)) >= $DsirScale) AS keep
          |FROM big JOIN w ON big.b = w.b
          |GROUP BY 1""".stripMargin,
+
+    "q_memorization_audit" -> {
+      val split = s"CASE WHEN ${Dk.hex32("'split:' || doc_id::VARCHAR")} % 100 < $TrainPct " +
+        "THEN 'train' ELSE 'val' END"
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+         |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |c AS (SELECT doc_id, toks, (len(toks) // $MemChunkW)::INT AS nch FROM t),
+         |ch AS (
+         |  SELECT doc_id,
+         |    unnest([md5(array_to_string(toks[(i*$MemChunkW+1):(i*$MemChunkW+$MemChunkW)], ' '))
+         |            for i in generate_series(0, nch - 1)]) AS h,
+         |    $split AS split
+         |  FROM c WHERE nch >= 1),
+         |tr AS (SELECT DISTINCT h FROM ch WHERE split = 'train'),
+         |vc AS (SELECT doc_id, h FROM ch WHERE split = 'val'),
+         |m AS (
+         |  SELECT doc_id, count(*)::BIGINT AS memorized_chunks
+         |  FROM vc SEMI JOIN tr ON vc.h = tr.h GROUP BY 1),
+         |n AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM vc GROUP BY 1)
+         |SELECT n.doc_id, n_chunks,
+         |  coalesce(memorized_chunks, 0)::BIGINT AS memorized_chunks,
+         |  round(coalesce(memorized_chunks, 0) / n_chunks, 4) AS memorized_frac
+         |FROM n LEFT JOIN m ON n.doc_id = m.doc_id""".stripMargin
+    },
 
     "q_host_pagerank" -> {
       val tele = 15L * PrScale / 100L

@@ -340,6 +340,29 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(solo(1L) == Vector("x_x", "x_x", "x"))
   }
 
+  test("q_memorization_audit: a val doc whose twin landed in train reads fully memorized") {
+    val out = SparkEntry.queries("q_memorization_audit")(spark, dir).cache()
+    try {
+      // output = val docs only (~10% of the doubled corpus)
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.nonEmpty && ids.size < 400)
+      // twin split is recoverable from the output itself: the twin of id
+      // is id±1e6, and it sits in train iff it is NOT among the val rows
+      val twinInTrain = ids.filter { id =>
+        val twin = if (id >= 1000000L) id - 1000000L else id + 1000000L
+        !ids.contains(twin)
+      }
+      assert(twinInTrain.nonEmpty)
+      val notFull = out.filter(col("doc_id").isin(twinInTrain.toSeq: _*))
+        .filter(col("memorized_frac") < 1.0).count()
+      assert(notFull == 0, s"$notFull twin-in-train val docs not fully memorized")
+      // fractions are well-formed and the audit found genuine zeros too
+      // (an unpaired val doc with no chunk collisions)
+      assert(out.filter(col("memorized_frac") > 1.0 || col("memorized_frac") < 0.0).count() == 0)
+      assert(out.filter(col("memorized_chunks") > col("n_chunks")).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("q_domain_mix: temperature resampling flattens the planted skew, no upsampling") {
     val rows = SparkEntry.queries("q_domain_mix")(spark, dir).collect()
       .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_raw"),
