@@ -37,7 +37,8 @@ object PlanAudit {
         // round-4 close: canonical-keyed URL keeper join, broadcast DSIR
         // weight table, zero-shuffle chunk explode
         "q_url_dedup", "q_dsir_weight", "text_chunk_windows",
-        "q_host_pagerank", "text_bpe_merges", "q_memorization_audit")
+        "q_host_pagerank", "text_bpe_merges", "q_memorization_audit",
+        "q_skew_salted_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -24,6 +24,10 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Salt fan-out for the skew-join demonstration (production sizes this
+    * to ~the executor count over the hot key's share). */
+  val SkewSalts = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3/A4 — grouped aggregation with exact decimal sums (TPC-H Q1 shape).
     // Map-side partial aggregation is automatic; the single shuffle is on the
@@ -208,6 +212,40 @@ object Relational {
         sum(col("value").cast("decimal(14,2)")).over(w).cast("double").as("rolling_value"))
     }),
 
+    // SALTED skew join — the canonical hot-key technique made a
+    // first-class, oracle-proven operator: a fact table where one key
+    // carries half the rows (planted: every even event remaps to user 0)
+    // joins its dim with the key widened to (key, salt) — fact rows salt
+    // by event_id % S, the dim replicates each row S times — so the hot
+    // key's rows spread across S reduce tasks instead of funnelling one.
+    // The oracle is the PLAIN join + aggregate: the hash compare IS the
+    // proof that salting preserves join semantics exactly (each fact row
+    // still meets its one dim row, at its own salt copy). The spec
+    // additionally pins mechanics: under unsalted hash partitioning every
+    // hot-key row maps to ONE partition; salted, they cover ≥ S/2
+    // partitions. Scale shape: dim replication costs S× a BROADCASTABLE
+    // side (here it stays broadcast — the salt matters when the dim is
+    // too big to broadcast and the join must shuffle; the plan shape is
+    // identical either way); monetary sums ride as floor-of-cents int64
+    // so no float summation order exists. AQE's skew-join handles the
+    // sort-merge case adaptively; explicit salting is the portable form
+    // that also covers aggregations and survives plan changes.
+    "q_skew_salted_join" -> ((s, dir) => {
+      val skewed = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id")).as("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("salt", (col("event_id") % SkewSalts).cast("int"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(sequence(lit(0), lit(SkewSalts - 1))).as("salt"))
+      skewed.join(dim,
+          skewed("user_id") === dim("c_custkey") && skewed("salt") === dim("salt"))
+        .groupBy(col("user_id"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    }),
+
     // Sessionization — gap > 30 min starts a new session (lag + running
     // flag sum; the batch shape of a streaming session window).
     "q_sessionize" -> ((s, dir) => {
@@ -331,8 +369,21 @@ object Relational {
         | (sum(value::DECIMAL(14,2)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::DOUBLE AS rolling_value
         |FROM events""".stripMargin,
+    // the PLAIN join: that this SQL hash-matches the salted Spark plan is
+    // the semantics-preservation proof
+    "q_skew_salted_join" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+        |    floor(value * 100)::BIGINT AS cents
+        |  FROM events)
+        |SELECT user_id, c_mktsegment,
+        |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents
+        |FROM f JOIN customer ON f.user_id = customer.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_sessionize" ->
-      """WITH x AS (
+"""WITH x AS (
         |  SELECT user_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000

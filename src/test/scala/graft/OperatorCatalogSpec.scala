@@ -363,6 +363,32 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("q_skew_salted_join: the hot key spreads across partitions; dim fan-out is exact") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id")).as("user_id"))
+    val p = 32
+    // unsalted: every hot-key row hashes to ONE reduce partition
+    val unsalted = events.filter(col("user_id") === 0L)
+      .select(pmod(hash(col("user_id")), lit(p)).as("part"))
+      .distinct().count()
+    assert(unsalted == 1L)
+    // salted: the same rows cover at least half the salt fan-out
+    val salted = events.filter(col("user_id") === 0L)
+      .select(pmod(hash(col("user_id"), col("event_id") % graft.operators.Relational.SkewSalts), lit(p)).as("part"))
+      .distinct().count()
+    assert(salted >= graft.operators.Relational.SkewSalts / 2,
+      s"hot key covered only $salted partitions")
+    // the result itself: hot key holds half the events, every key's
+    // aggregate present exactly once per (key, segment)
+    val out = SparkEntry.queries("q_skew_salted_join")(spark, dir)
+    val hot = out.filter(col("user_id") === 0L)
+      .agg(sum(col("n_events"))).head.getLong(0)
+    assert(hot >= events.count() / 2)
+    assert(out.groupBy("user_id", "c_mktsegment").count()
+      .filter(col("count") =!= 1).count() == 0)
+  }
+
   test("q_domain_mix: temperature resampling flattens the planted skew, no upsampling") {
     val rows = SparkEntry.queries("q_domain_mix")(spark, dir).collect()
       .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_raw"),
