@@ -1,0 +1,336 @@
+package graft.operators
+
+import graft.functions.TextKernels._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-crawl-side operators — the steps that run BEFORE the corpus ever
+  * reaches the dedup/quality/curation stages already in the catalog: crawl
+  * permission (robots longest-prefix match), link-graph anchor-text
+  * aggregation (the classic relevance signal next to `q_host_pagerank`),
+  * mirror-site detection (host-pair content containment), host-level
+  * boilerplate line removal (the CCNet §4.1 cross-document line dedup,
+  * scoped per host, fractional threshold), and blocked delta-encoded
+  * inverted-index construction (the build side of `text_bm25_topk`'s
+  * query-time probe).
+  *
+  * Scale design notes:
+  *  - robots rules are a per-host policy table, tiny by nature → BROADCAST;
+  *    per-URL evaluation is a narrow scan + windowed argmax over the ≤
+  *    rules-per-host matched candidates (never a shuffle of the URL set);
+  *  - anchor aggregation shuffles (target, term) count pairs with map-side
+  *    partial aggregation — hot targets (every crawl has a src0) spread
+  *    across their term space, and the top-k is a per-target window, not a
+  *    global sort;
+  *  - mirror detection joins host content-SETS on content hash: pair rows
+  *    are generated only for hashes that actually co-occur, the join key is
+  *    a hash (never text), and per-hash fanout is bounded by the number of
+  *    hosts carrying that hash (a replicated boilerplate page is the hot
+  *    case — the same cap/salting toolkit as the dedup family applies);
+  *  - host-boilerplate counts shuffle (source, line-hash) pairs; document
+  *    text moves exactly once, in the final doc_id-keyed rebuild join (the
+  *    `text_substr_dedup` discipline);
+  *  - the inverted index is sharded by doc range FIRST (`ShardSpan` docs
+  *    per shard) so posting-list assembly windows over (term, shard) —
+  *    bounded rows per partition key — never a single task per hot term;
+  *    within a shard, postings are split into [[BlockSize]]-entry blocks
+  *    whose deltas restart at each block head (every block independently
+  *    decodable — the skip-pointer property real index formats need).
+  *    Terms ride the shuffle as strings here for oracle transparency; a
+  *    production build dictionary-encodes term → int64 first (same plan,
+  *    narrower key).
+  */
+object WebOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Inverted-index geometry: docs per index shard / postings per block.
+    * Sized so the sf corpora (500 docs, ids 0..499) exercise 4 shards and
+    * up to 4 blocks per (term, shard); production scales ShardSpan to the
+    * shard-file size and keeps the same invariants. */
+  private val ShardSpan = 128L
+  private val BlockSize = 32
+
+  /** Host-boilerplate threshold: a line is boilerplate on its host when it
+    * appears in ≥ 60% of the host's docs (strictly majority-plus — a 50%
+    * rule would let a line shared by 1 of 2 docs strip both). */
+  private val BoilerPct = 60L
+
+  /** Synthesized-line width in tokens (the sf corpus has no newlines —
+    * same convention as TextOps' repetition rules). */
+  private val LineW = 8
+
+  /** Robots policy table (host index 0..6, path prefix, allow) — the
+    * deterministic stand-in for per-host robots.txt fetches. Even hosts
+    * carve an allow-exception inside the denied /private tree, which is
+    * exactly the case longest-prefix-match exists for. One Scala value
+    * builds BOTH the Spark literal frame and the oracle VALUES list. */
+  private[operators] val RobotsRules: Seq[(Int, String, Boolean)] =
+    (0 until 7).flatMap { h =>
+      Seq((h, "/", true), (h, "/private", false), (h, "/cart", false)) ++
+        (if (h % 2 == 0) Seq((h, "/private/open", true)) else Nil)
+    }
+
+  /** The 8-token host boilerplate header planted on every doc (host-specific
+    * via `source`), so the fractional rule has a true positive per host. */
+  private def hostHeader = concat(
+    lit("site nav menu links copyright "), col("source"), lit(" home about "))
+
+  /** The `q_host_pagerank` link rotation (same edge model — one doc links
+    * its source host to a rotated target, every 3rd doc links to the hub
+    * src0), reused here as the anchor-text edge set. */
+  private def linkTarget = {
+    val idx = substring(col("source"), 4, 6).cast("int")
+    val rot = concat(lit("src"),
+      ((idx + 1 + (col("doc_id") % 19).cast("int")) % 20).cast("string"))
+    when(col("doc_id") % 3 === 0 && col("source") =!= "src0", lit("src0"))
+      .otherwise(rot)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Robots longest-prefix-match crawl filter: per URL, the most specific
+    // matching rule decides; ties break allow-first (the documented
+    // least-restrictive robots convention), then prefix for determinism.
+    // URL paths are synthesized per doc (5 variants incl. the /private/open
+    // exception path); the rules table is broadcast.
+    "q_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val rules = RobotsRules.toDF("h", "prefix", "allow")
+      val pid   = (col("doc_id") % 200L).cast("string")
+      val v     = col("doc_id") % 5L
+      val path = when(v === 0, concat(lit("/page/"), pid))
+        .when(v === 1, concat(lit("/private/doc"), pid))
+        .when(v === 2, concat(lit("/private/open/doc"), pid))
+        .when(v === 3, concat(lit("/cart/item"), pid))
+        .otherwise(lit("/"))
+      val urls = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % 7L).cast("int").as("h"), path.as("path"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(length(col("prefix")).desc, col("allow").desc, col("prefix"))
+      urls.join(broadcast(rules), Seq("h"))
+        .filter(col("path").startsWith(col("prefix")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("doc_id"), concat(lit("host"), col("h").cast("string")).as("host"),
+          col("path"), col("prefix").as("matched_rule"), col("allow").as("allowed"))
+    }),
+
+    // Anchor-text aggregation: each doc contributes its first 3 tokens as
+    // the anchor phrase of one outgoing link (the linkTarget edge model);
+    // per target host, the top-3 anchor terms by count (count desc, term
+    // asc) — the inbound-anchor relevance signal search/quality rankers
+    // consume alongside PageRank.
+    "q_anchor_text" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(linkTarget.as("target"), explode(slice(tokens(col("text")), 1, 3)).as("term"))
+      val cnt = terms.groupBy(col("target"), col("term")).agg(count(lit(1)).as("cnt"))
+      val w   = Window.partitionBy(col("target")).orderBy(col("cnt").desc, col("term"))
+      cnt.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
+    // Mirror-host detection: hosts = sources, plus a planted full mirror of
+    // src3 and a half-"spun" copy of src6 (every other src6 doc edited —
+    // src6 ids are ≡ 6 (mod 20), so the spin keys on mod 40 to actually
+    // split them). A host pair is a mirror when the shared content-hash
+    // set covers ≥ 80% of the smaller host's set (containment, so a strict
+    // subset mirror is still flagged); pairs sharing < 2 docs are noise and
+    // dropped. Integer-scaled comparison — no float surface.
+    "q_mirror_hosts" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source").as("host"), md5(col("text")).as("ch"))
+      val mirror = docs(s, dir).filter(col("source") === "src3")
+        .select(lit("src3-mirror").as("host"), md5(col("text")).as("ch"))
+      val spun = docs(s, dir).filter(col("source") === "src6")
+        .select(lit("src6-spun").as("host"),
+          md5(when(col("doc_id") % 40 === 6, concat(col("text"), lit(" spun edit")))
+            .otherwise(col("text"))).as("ch"))
+      val corpus = d.unionByName(mirror).unionByName(spun)
+      val sizes  = corpus.groupBy(col("host")).agg(countDistinct(col("ch")).as("n"))
+      val pairs = corpus.select(col("host").as("host_a"), col("ch"))
+        .join(corpus.select(col("host").as("host_b"), col("ch")), Seq("ch"))
+        .filter(col("host_a") < col("host_b"))
+        .groupBy(col("host_a"), col("host_b"))
+        .agg(countDistinct(col("ch")).as("shared"))
+      pairs
+        .join(sizes.withColumnRenamed("host", "host_a").withColumnRenamed("n", "na"), Seq("host_a"))
+        .join(sizes.withColumnRenamed("host", "host_b").withColumnRenamed("n", "nb"), Seq("host_b"))
+        .filter(col("shared") >= 2)
+        .select(col("host_a"), col("host_b"), col("shared"), col("na"), col("nb"),
+          (col("shared") * 100 >= least(col("na"), col("nb")) * 80).as("is_mirror"))
+    }),
+
+    // Host-level boilerplate line removal (CCNet-style cross-document line
+    // dedup, host-scoped): lines are LineW(8)-token windows; a line present
+    // in ≥ BoilerPct% of its host's docs is stripped from ALL of them
+    // (boilerplate has no "first owner" — contrast text_substr_dedup's
+    // keep-first rule). A host-specific 8-token header is planted on every
+    // doc so each host has a true positive. Line counts shuffle as (source,
+    // md5(line)); text moves once in the doc_id-keyed rebuild.
+    "text_host_boilerplate" -> ((s, dir) => {
+      val withToks = docs(s, dir).select(col("doc_id"), col("source"),
+        tokens(concat(hostHeader, col("text"))).as("toks"))
+      val nln = floor((size(col("toks")) + LineW - 1) / LineW).cast("int")
+      val withLines = withToks.select(col("doc_id"), col("source"),
+        transform(sequence(lit(0), nln - 1), i =>
+          array_join(slice(col("toks"), i * LineW + 1, lit(LineW)), " ")).as("lines"))
+      val occ = withLines
+        .select(col("doc_id"), col("source"), posexplode(col("lines")))
+        .select(col("doc_id"), col("source"), col("pos"), md5(col("col")).as("lh"))
+      val nd = occ.groupBy(col("source"), col("lh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val nh = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("nh"))
+      val boiler = nd.join(nh, Seq("source"))
+        .filter(col("nd") * 100 >= col("nh") * BoilerPct)
+        .select(col("source"), col("lh"))
+      val keep = occ.join(boiler, Seq("source", "lh"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("keep_pos"),
+          count(lit(1)).as("kept_lines"))
+      withLines.join(keep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          size(col("lines")).cast("long").as("n_lines"),
+          coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+          array_join(transform(coalesce(col("keep_pos"), array().cast("array<int>")),
+            p => element_at(col("lines"), p + 1)), " ").as("cleaned"))
+    }),
+
+    // Blocked delta-encoded inverted-index build: per (term, shard), the
+    // doc-sorted posting list split into BlockSize-entry blocks, each block
+    // head absolute and the rest gap-encoded; df/cf are global per term.
+    "search_postings" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("shard", expr(s"doc_id div $ShardSpan"))
+      val stats = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      val wOrd = Window.partitionBy(col("term"), col("shard")).orderBy(col("doc_id"))
+      val e = tf.withColumn("rn", row_number().over(wOrd))
+        .withColumn("prev", lag(col("doc_id"), 1).over(wOrd))
+        .withColumn("block_id", expr(s"(rn - 1) div $BlockSize").cast("long"))
+        .withColumn("gap",
+          when((col("rn") - 1) % BlockSize === 0, col("doc_id"))
+            .otherwise(col("doc_id") - col("prev")))
+      e.groupBy(col("term"), col("shard"), col("block_id"))
+        .agg(count(lit(1)).as("block_n"),
+          array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("gap")))),
+            x => x.getField("gap").cast("string")), ",").as("gaps"))
+        .join(stats, Seq("term"))
+        .select(col("term"), col("shard"), col("block_id"), col("df"), col("cf"),
+          col("block_n"), col("gaps"))
+    }))
+
+  // --- DuckDB oracles -------------------------------------------------------
+
+  private def dkRobotsValues: String =
+    RobotsRules.map { case (h, p, a) => s"($h, '$p', $a)" }.mkString(", ")
+
+  private val dkLinkTarget =
+    s"""CASE WHEN doc_id % 3 = 0 AND source <> 'src0' THEN 'src0'
+       |  ELSE 'src' ||
+       |    ((CAST(substr(source, 4) AS INT) + 1 + (doc_id % 19)::INT) % 20)::VARCHAR
+       |END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_robots_filter" ->
+      s"""WITH r(h, prefix, allow) AS (VALUES $dkRobotsValues),
+         |u AS (
+         |  SELECT doc_id, (doc_id % 7)::INT AS h,
+         |    CASE doc_id % 5
+         |      WHEN 0 THEN '/page/' || (doc_id % 200)::VARCHAR
+         |      WHEN 1 THEN '/private/doc' || (doc_id % 200)::VARCHAR
+         |      WHEN 2 THEN '/private/open/doc' || (doc_id % 200)::VARCHAR
+         |      WHEN 3 THEN '/cart/item' || (doc_id % 200)::VARCHAR
+         |      ELSE '/' END AS path
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, h, path, prefix, allow,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY length(prefix) DESC, allow DESC, prefix) AS rk
+         |  FROM u JOIN r USING (h)
+         |  WHERE starts_with(path, prefix))
+         |SELECT doc_id, 'host' || h::VARCHAR AS host, path,
+         |  prefix AS matched_rule, allow AS allowed
+         |FROM m WHERE rk = 1""".stripMargin,
+
+    "q_anchor_text" ->
+      s"""WITH e AS (
+         |  SELECT $dkLinkTarget AS target,
+         |    unnest((${Dk.tokens("text")})[1:3]) AS term
+         |  FROM documents),
+         |c AS (SELECT target, term, count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2)
+         |SELECT target, term, cnt, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY target ORDER BY cnt DESC, term) AS rank
+         |  FROM c) WHERE rank <= 3""".stripMargin,
+
+    "q_mirror_hosts" ->
+      s"""WITH c AS (
+         |  SELECT source AS host, md5(text) AS ch FROM documents
+         |  UNION ALL
+         |  SELECT 'src3-mirror', md5(text) FROM documents WHERE source = 'src3'
+         |  UNION ALL
+         |  SELECT 'src6-spun',
+         |    md5(CASE WHEN doc_id % 40 = 6 THEN text || ' spun edit' ELSE text END)
+         |  FROM documents WHERE source = 'src6'),
+         |sz AS (SELECT host, count(DISTINCT ch)::BIGINT AS n FROM c GROUP BY 1),
+         |p AS (
+         |  SELECT a.host AS host_a, b.host AS host_b, count(DISTINCT a.ch)::BIGINT AS shared
+         |  FROM c a JOIN c b ON a.ch = b.ch AND a.host < b.host
+         |  GROUP BY 1, 2)
+         |SELECT host_a, host_b, shared, sa.n AS na, sb.n AS nb,
+         |  shared * 100 >= least(sa.n, sb.n) * 80 AS is_mirror
+         |FROM p JOIN sz sa ON p.host_a = sa.host JOIN sz sb ON p.host_b = sb.host
+         |WHERE shared >= 2""".stripMargin,
+
+    "text_host_boilerplate" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    ${Dk.tokens("'site nav menu links copyright ' || source || ' home about ' || text")} AS toks
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, source,
+         |    [array_to_string(toks[(i*$LineW+1):(i*$LineW+$LineW)], ' ')
+         |     for i in generate_series(0, (len(toks) + ${LineW - 1}) // $LineW - 1)] AS lines
+         |  FROM h),
+         |occ AS (
+         |  SELECT doc_id, source,
+         |    unnest([i for i in generate_series(0, len(lines) - 1)]) AS pos,
+         |    unnest([md5(x) for x in lines]) AS lh
+         |  FROM l),
+         |nd AS (SELECT source, lh, count(DISTINCT doc_id)::BIGINT AS nd FROM occ GROUP BY 1, 2),
+         |nh AS (SELECT source, count(*)::BIGINT AS nh FROM documents GROUP BY 1),
+         |b AS (SELECT source, lh FROM nd JOIN nh USING (source)
+         |  WHERE nd * 100 >= nh * $BoilerPct),
+         |kp AS (
+         |  SELECT doc_id, list_sort(list(pos)) AS keep_pos, count(*)::BIGINT AS kept_lines
+         |  FROM occ o
+         |  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.source = o.source AND b.lh = o.lh)
+         |  GROUP BY 1)
+         |SELECT l.doc_id, l.source, len(lines)::BIGINT AS n_lines,
+         |  coalesce(kept_lines, 0)::BIGINT AS kept_lines,
+         |  coalesce(array_to_string(
+         |    [lines[p+1] for p in coalesce(keep_pos, []::BIGINT[])], ' '), '') AS cleaned
+         |FROM l LEFT JOIN kp ON l.doc_id = kp.doc_id""".stripMargin,
+
+    "search_postings" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |st AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+         |e AS (
+         |  SELECT doc_id, term, doc_id // $ShardSpan AS shard,
+         |    row_number() OVER w AS rn, lag(doc_id) OVER w AS prev
+         |  FROM tf WINDOW w AS (PARTITION BY term, doc_id // $ShardSpan ORDER BY doc_id)),
+         |g AS (
+         |  SELECT term, shard, (rn - 1) // $BlockSize AS block_id, doc_id,
+         |    CASE WHEN (rn - 1) % $BlockSize = 0 THEN doc_id ELSE doc_id - prev END AS gap
+         |  FROM e)
+         |SELECT term, shard::BIGINT AS shard, block_id::BIGINT AS block_id, df, cf,
+         |  count(*)::BIGINT AS block_n,
+         |  array_to_string(list(gap::VARCHAR ORDER BY doc_id), ',') AS gaps
+         |FROM g JOIN st USING (term)
+         |GROUP BY 1, 2, 3, 4, 5""".stripMargin)
+}
