@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.functions.TextKernels.{tokens, Dk}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier planning and index-economics operators — the scheduling
+  * and accounting layer that sits between the crawl-permission/link-graph
+  * ops in [[WebOps]] and the search-index build (`search_postings`):
+  * politeness-constrained fetch scheduling, link-graph host similarity
+  * (bibliographic coupling), seed-set frontier expansion (BFS layers),
+  * compressed posting-list size accounting (Elias-gamma / varint vs
+  * fixed-width), and tokenizer-vocabulary coverage curves.
+  *
+  * Scale design notes:
+  *  - the scheduler windows per host — the politeness constraint IS a
+  *    per-host total order, so `Window.partitionBy(host)` is the minimal
+  *    shuffle (one pass, keyed by the ~|hosts| queue key, never a global
+  *    sort of the URL set); per-host queue depth bounds task memory and a
+  *    mega-host is exactly the skew the existing salting toolkit caps;
+  *  - co-citation joins hosts on shared outlink TARGETS: pair rows exist
+  *    only for targets that co-occur, the join key is a host string
+  *    (≪ text), and per-target fanout is the target's in-degree — the
+  *    hub-cap discipline of `q_mirror_hosts` applies unchanged;
+  *  - BFS ships (src, dst) host pairs only; each layer is one equi-join of
+  *    the current frontier (tiny — hosts, not docs) against the edge set,
+  *    with a broadcast-able frontier and an anti-join on the visited set.
+  *    Two layers are unrolled here (the sf graph's diameter); production
+  *    loops until the frontier empties, same join per round;
+  *  - gamma/varint accounting reduces the posting stream to per-term
+  *    integer sums as it's generated — no encoded bytes materialize, the
+  *    shuffle carries (term, 3 longs); `length(bin(v))-1` is ⌊log2 v⌋ in
+  *    pure integer space on both engines (no float log surface);
+  *  - vocabulary coverage sorts the VOCAB (≪ corpus) once; the corpus-side
+  *    work is the same map-side-combined (term → cf) aggregation every
+  *    text op here uses. The powers-of-two report keeps output O(log V).
+  */
+object FrontierOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Per-host politeness delay (ms): hosts declare different crawl-delays
+    * (robots Crawl-delay analog) — 500ms base, +250ms per (idx mod 4). */
+  private def delayMs(hostIdx: org.apache.spark.sql.Column) =
+    lit(500L) + (hostIdx % 4).cast("long") * 250L
+
+  /** Distinct host→host edge set from the shared [[WebOps.linkTarget]]
+    * rotation (self-loops dropped — a host linking itself schedules
+    * nothing new). */
+  private def hostEdges(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("source").as("src"), WebOps.linkTarget.as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+
+  private val dkHostEdges =
+    s"""SELECT DISTINCT source AS src, ${WebOps.dkLinkTarget} AS dst
+       |  FROM documents WHERE source <> ${WebOps.dkLinkTarget}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Politeness-constrained crawl scheduler: each doc is a pending fetch
+    // on its source host; per host, urls are ordered by priority (higher
+    // first, doc_id tiebreak) and assigned fetch_ms = queue_pos * host
+    // crawl-delay. The output is the merged global timeline each fetcher
+    // fleet consumes: (host, queue_pos, fetch_ms, minute bucket).
+    "q_crawl_schedule" -> ((s, dir) => {
+      val hostIdx = substring(col("source"), 4, 6).cast("int")
+      val prio    = (col("doc_id") * 37L % 97L).as("priority")
+      docs(s, dir).select(col("doc_id"), col("source").as("host"),
+          hostIdx.as("h"), prio)
+        .withColumn("queue_pos", row_number().over(
+          Window.partitionBy(col("host")).orderBy(col("priority").desc, col("doc_id"))).cast("long"))
+        .withColumn("fetch_ms", (col("queue_pos") - 1) * delayMs(col("h")))
+        .select(col("doc_id"), col("host"), col("priority"), col("queue_pos"),
+          col("fetch_ms"), expr("fetch_ms div 60000").as("minute"))
+    }),
+
+    // Link co-citation (bibliographic coupling): host pairs ranked by the
+    // overlap of their distinct outlink-target sets — integer-ppm Jaccard,
+    // pairs sharing <2 targets dropped as noise. The link-graph twin of
+    // the content-based q_mirror_hosts.
+    "q_link_cocitation" -> ((s, dir) => {
+      val e     = hostEdges(s, dir)
+      val sizes = e.groupBy(col("src")).agg(countDistinct(col("dst")).as("n"))
+      val pairs = e.select(col("src").as("host_a"), col("dst"))
+        .join(e.select(col("src").as("host_b"), col("dst")), Seq("dst"))
+        .filter(col("host_a") < col("host_b"))
+        .groupBy(col("host_a"), col("host_b"))
+        .agg(countDistinct(col("dst")).as("shared"))
+        .filter(col("shared") >= 2)
+      pairs
+        .join(sizes.withColumnRenamed("src", "host_a").withColumnRenamed("n", "na"), Seq("host_a"))
+        .join(sizes.withColumnRenamed("src", "host_b").withColumnRenamed("n", "nb"), Seq("host_b"))
+        .select(col("host_a"), col("host_b"), col("shared"), col("na"), col("nb"),
+          expr("(shared * 1000000) div (na + nb - shared)").as("jaccard_ppm"))
+    }),
+
+    // Seed-set frontier expansion: BFS layers from seed host src0 over the
+    // host link graph — min-depth per discovered host, 2 layers unrolled
+    // (the sf graph's diameter from the hub). Production iterates the same
+    // frontier⋈edges + visited anti-join until empty.
+    "q_frontier_bfs" -> ((s, dir) => {
+      import s.implicits._
+      val e  = hostEdges(s, dir) // host-count-sized; recompute beats a cache pin
+      val d0 = Seq("src0").toDF("host")
+      val d1 = e.join(broadcast(d0), e("src") === d0("host"))
+        .select(col("dst").as("host")).distinct()
+        .join(broadcast(d0), Seq("host"), "left_anti")
+      val v1 = d0.unionByName(d1)
+      val d2 = e.join(broadcast(d1), e("src") === d1("host"))
+        .select(col("dst").as("host")).distinct()
+        .join(broadcast(v1), Seq("host"), "left_anti")
+      d0.select(col("host"), lit(0L).as("depth"))
+        .unionByName(d1.select(col("host"), lit(1L).as("depth")))
+        .unionByName(d2.select(col("host"), lit(2L).as("depth")))
+    }),
+
+    // Posting-list compression accounting: per term, the exact encoded
+    // size of the doc-gap stream under Elias-gamma and LEB128-varint vs
+    // fixed 64-bit — the index-capacity planning numbers. Values are
+    // first_doc_id+1 then gaps (all ≥ 1, gamma-encodable); ⌊log2 v⌋ =
+    // length(bin(v))-1 in both engines, no float log.
+    "search_gamma_bits" -> ((s, dir) => {
+      val post = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val vals = post
+        .withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .withColumn("v", when(col("prev").isNull, col("doc_id") + 1)
+          .otherwise(col("doc_id") - col("prev")))
+        .withColumn("lg", (length(bin(col("v"))) - 1).cast("long"))
+      vals.groupBy(col("term")).agg(
+          count(lit(1)).as("n_postings"),
+          sum(col("lg") * 2 + 1).as("gamma_bits"),
+          sum(expr("lg div 7") + 1).as("varint_bytes"))
+        .select(col("term"), col("n_postings"), col("gamma_bits"),
+          col("varint_bytes"), (col("n_postings") * 64L).as("fixed64_bits"))
+    }),
+
+    // Tokenizer-vocabulary coverage curve: terms ranked by corpus
+    // frequency (cf desc, term asc); at each power-of-two rank, the
+    // cumulative share of all token occurrences a vocab of that size
+    // covers (integer ppm) — the "how big must the vocab be" planning
+    // curve next to text_bpe_merges.
+    "q_vocab_coverage" -> ((s, dir) => {
+      val cf = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      val total = cf.agg(sum(col("cf")).as("total")) // 1-row frame, broadcast
+      val w     = Window.orderBy(col("cf").desc, col("term"))
+      cf.withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_cf", sum(col("cf")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter((col("rank").bitwiseAND(col("rank") - 1)) === 0)
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("term"), col("cf"), col("cum_cf"),
+          expr("(cum_cf * 1000000) div total").as("coverage_ppm"))
+    }))
+
+  // --- DuckDB oracles -------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q_crawl_schedule" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source AS host,
+         |    CAST(substr(source, 4) AS INT) AS h,
+         |    (doc_id * 37 % 97)::BIGINT AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY host ORDER BY priority DESC, doc_id)::BIGINT AS queue_pos
+         |  FROM q)
+         |SELECT doc_id, host, priority, queue_pos,
+         |  ((queue_pos - 1) * (500 + (h % 4) * 250))::BIGINT AS fetch_ms,
+         |  (((queue_pos - 1) * (500 + (h % 4) * 250)) // 60000)::BIGINT AS minute
+         |FROM r""".stripMargin,
+
+    "q_link_cocitation" ->
+      s"""WITH e AS ($dkHostEdges),
+         |sz AS (SELECT src, count(DISTINCT dst)::BIGINT AS n FROM e GROUP BY 1),
+         |p AS (
+         |  SELECT a.src AS host_a, b.src AS host_b, count(DISTINCT a.dst)::BIGINT AS shared
+         |  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.dst) >= 2)
+         |SELECT host_a, host_b, shared, sa.n AS na, sb.n AS nb,
+         |  (shared * 1000000 // (sa.n + sb.n - shared))::BIGINT AS jaccard_ppm
+         |FROM p JOIN sz sa ON p.host_a = sa.src JOIN sz sb ON p.host_b = sb.src""".stripMargin,
+
+    "q_frontier_bfs" ->
+      s"""WITH e AS ($dkHostEdges),
+         |d1 AS (
+         |  SELECT DISTINCT dst AS host FROM e WHERE src = 'src0' AND dst <> 'src0'),
+         |d2 AS (
+         |  SELECT DISTINCT e.dst AS host FROM e JOIN d1 ON e.src = d1.host
+         |  WHERE e.dst <> 'src0' AND e.dst NOT IN (SELECT host FROM d1))
+         |SELECT 'src0' AS host, 0::BIGINT AS depth
+         |UNION ALL SELECT host, 1::BIGINT FROM d1
+         |UNION ALL SELECT host, 2::BIGINT FROM d2""".stripMargin,
+
+    "search_gamma_bits" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |post AS (
+         |  SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+         |v AS (
+         |  SELECT term, doc_id,
+         |    CASE WHEN lag(doc_id) OVER w IS NULL THEN doc_id + 1
+         |      ELSE doc_id - lag(doc_id) OVER w END AS v
+         |  FROM post WINDOW w AS (PARTITION BY term ORDER BY doc_id)),
+         |lg AS (SELECT term, (length(bin(v)) - 1)::BIGINT AS lg FROM v)
+         |SELECT term, count(*)::BIGINT AS n_postings,
+         |  sum(lg * 2 + 1)::BIGINT AS gamma_bits,
+         |  sum(lg // 7 + 1)::BIGINT AS varint_bytes,
+         |  (count(*) * 64)::BIGINT AS fixed64_bits
+         |FROM lg GROUP BY 1""".stripMargin,
+
+    "q_vocab_coverage" ->
+      s"""WITH t AS (SELECT ${Dk.tokens("text")} AS toks FROM documents),
+         |cf AS (
+         |  SELECT term, count(*)::BIGINT AS cf
+         |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+         |r AS (
+         |  SELECT term, cf,
+         |    row_number() OVER (ORDER BY cf DESC, term)::BIGINT AS rank,
+         |    sum(cf) OVER (ORDER BY cf DESC, term
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cf
+         |  FROM cf)
+         |SELECT rank, term, cf, cum_cf,
+         |  (cum_cf * 1000000 // (SELECT sum(cf) FROM cf))::BIGINT AS coverage_ppm
+         |FROM r WHERE (rank & (rank - 1)) = 0""".stripMargin)
+}

@@ -81,7 +81,7 @@ object WebOps {
   /** The `q_host_pagerank` link rotation (same edge model — one doc links
     * its source host to a rotated target, every 3rd doc links to the hub
     * src0), reused here as the anchor-text edge set. */
-  private def linkTarget = {
+  private[operators] def linkTarget = {
     val idx = substring(col("source"), 4, 6).cast("int")
     val rot = concat(lit("src"),
       ((idx + 1 + (col("doc_id") % 19).cast("int")) % 20).cast("string"))
@@ -226,7 +226,7 @@ object WebOps {
   private def dkRobotsValues: String =
     RobotsRules.map { case (h, p, a) => s"($h, '$p', $a)" }.mkString(", ")
 
-  private val dkLinkTarget =
+  private[operators] val dkLinkTarget =
     s"""CASE WHEN doc_id % 3 = 0 AND source <> 'src0' THEN 'src0'
        |  ELSE 'src' ||
        |    ((CAST(substr(source, 4) AS INT) + 1 + (doc_id % 19)::INT) % 20)::VARCHAR

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics checks for the frontier-planning / index-economics family
+  * (FrontierOps) over sf0.001. The exact cross-engine value check is the
+  * driver's DuckDB oracle compare; here we pin the invariants a correct
+  * implementation must satisfy independent of the second engine.
+  */
+class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("crawl schedule: politeness gaps exact, queues dense, priority order") {
+    val out = SparkEntry.queries("q_crawl_schedule")(spark, dir).cache()
+    val n   = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.count() == n) // one slot per pending fetch
+    // fetch_ms is exactly (queue_pos-1) * the host's declared delay, so
+    // consecutive queue positions on one host are >= 500ms apart
+    val viol = out.filter(
+      col("fetch_ms") =!= (col("queue_pos") - 1) *
+        (lit(500L) + substring(col("host"), 4, 6).cast("long") % 4 * 250L))
+    assert(viol.count() == 0)
+    // queue positions are dense 1..k per host
+    val dense = out.groupBy(col("host"))
+      .agg(count(lit(1)).as("k"), max(col("queue_pos")).as("mx"),
+        min(col("queue_pos")).as("mn"))
+      .filter(col("mx") =!= col("k") || col("mn") =!= 1)
+    assert(dense.count() == 0)
+    // within a host, earlier slots never carry lower priority
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("queue_pos"))
+    val mono = out.withColumn("nxt", lead(col("priority"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("priority") < col("nxt"))
+    assert(mono.count() == 0)
+    out.unpersist(); ()
+  }
+
+  test("co-citation: ppm bounded, shared <= min set size, symmetric-free") {
+    val out = SparkEntry.queries("q_link_cocitation")(spark, dir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("jaccard_ppm") < 0 || col("jaccard_ppm") > 1000000).count() == 0)
+    assert(out.filter(col("shared") > least(col("na"), col("nb"))).count() == 0)
+    // pairs are emitted once, ordered host_a < host_b
+    assert(out.filter(col("host_a") >= col("host_b")).count() == 0)
+    out.unpersist(); ()
+  }
+
+  test("frontier BFS: seed at depth 0, layers disjoint, edges respected") {
+    val out = SparkEntry.queries("q_frontier_bfs")(spark, dir).cache()
+    assert(out.filter(col("host") === "src0").head().getAs[Long]("depth") == 0L)
+    // min-depth per host: no host in two layers
+    assert(out.groupBy(col("host")).count().filter(col("count") > 1).count() == 0)
+    // every 3rd doc links to the hub and the hub rotates outward, so the
+    // 20-host sf graph is reached within the 2 unrolled layers
+    assert(out.count() >= 3)
+    assert(out.filter(col("depth") < 0 || col("depth") > 2).count() == 0)
+    out.unpersist(); ()
+  }
+
+  test("gamma bits: encodings internally consistent per term") {
+    val out = SparkEntry.queries("search_gamma_bits")(spark, dir).cache()
+    assert(out.count() > 0)
+    // gamma of v>=1 costs >=1 bit, varint >=1 byte; both beat nothing
+    assert(out.filter(col("gamma_bits") < col("n_postings")).count() == 0)
+    assert(out.filter(col("varint_bytes") < col("n_postings")).count() == 0)
+    // a varint byte carries 7 payload bits vs gamma's ~2x log2 v, so
+    // 8*varint_bytes can't be smaller than gamma_bits/2 in integer space
+    assert(out.filter(col("varint_bytes") * 16 < col("gamma_bits")).count() == 0)
+    // fixed-width is 64 bits per posting by construction
+    assert(out.filter(col("fixed64_bits") =!= col("n_postings") * 64).count() == 0)
+    out.unpersist(); ()
+  }
+
+  test("vocab coverage: ranks are powers of two, coverage monotone to ~1M ppm") {
+    val out = SparkEntry.queries("q_vocab_coverage")(spark, dir)
+      .orderBy(col("rank")).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => { val k = r.getAs[Long]("rank"); (k & (k - 1)) == 0 }))
+    val ppm = rows.map(_.getAs[Long]("coverage_ppm"))
+    assert(ppm.zip(ppm.tail).forall { case (a, b) => a <= b })
+    assert(ppm.forall(p => p > 0 && p <= 1000000))
+    val cum = rows.map(_.getAs[Long]("cum_cf"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a < b })
+    out.unpersist(); ()
+  }
+}
