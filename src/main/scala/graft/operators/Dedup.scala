@@ -467,6 +467,28 @@ object Dedup {
     // frame with dedup_lsh_band_stats via the signature memo.
     "dedup_minhash_lsh" -> ((s, dir) => minhashLsh(dupCorpus(s, dir), Some(s"$dir#dup2"))),
 
+    // Evaluation harness for the LSH pipeline: dupCorpus plants exactly
+    // one known near-dup per doc (+1e6, " zzz"), so planted-pair recall is
+    // measurable without an O(n²) brute-force truth pass, and the extras
+    // count (verified pairs beyond the planted set — organic near-dups)
+    // is the precision-side signal a production rollout watches before it
+    // deletes data. All 1-row side frames; shares the dup2 banded memo.
+    "dedup_eval_pr" -> ((s, dir) => {
+      val pred = minhashLsh(dupCorpus(s, dir), Some(s"$dir#dup2"))
+        .select(col("doc_a"), col("doc_b"))
+      val planted = docs(s, dir).select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000000L).as("doc_b"))
+      val tp  = pred.join(planted, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      val np  = planted.agg(count(lit(1)).as("n_planted"))
+      val npr = pred.agg(count(lit(1)).as("n_predicted"))
+      np.crossJoin(npr).crossJoin(tp).select(
+        col("n_planted"), col("n_predicted"), col("tp"),
+        (col("n_planted") - col("tp")).as("fn"),
+        (col("n_predicted") - col("tp")).as("extra"),
+        expr("(tp * 1000000) div n_planted").as("recall_ppm"))
+    }),
+
     // Band-group observability for the LSH cap: size histogram of the
     // (band, k1, k2) groups plus the rows a MaxBandGroup cap would drop.
     // The 100×-scale evidence that banding stays linear: group sizes must
@@ -774,6 +796,19 @@ object Dedup {
          |JOIN sig l ON l.doc_id = doc_a
          |JOIN sig r ON r.doc_id = doc_b
          |WHERE $dkJaccard >= 0.8""".stripMargin,
+    "dedup_eval_pr" ->
+      s"""WITH $dkCorpus,
+         |${dkSig("corpus")},
+         |$dkLshPairsBlock,
+         |planted AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM documents),
+         |m AS (SELECT count(*)::BIGINT AS tp FROM pairs JOIN planted USING (doc_a, doc_b)),
+         |np AS (SELECT count(*)::BIGINT AS n_planted FROM planted),
+         |npr AS (SELECT count(*)::BIGINT AS n_predicted FROM pairs)
+         |SELECT n_planted, n_predicted, tp,
+         |  (n_planted - tp)::BIGINT AS fn,
+         |  (n_predicted - tp)::BIGINT AS extra,
+         |  (tp * 1000000 // n_planted)::BIGINT AS recall_ppm
+         |FROM np, npr, m""".stripMargin,
     "dedup_lsh_band_stats" ->
       s"""WITH $dkCorpus,
          |${dkSig("corpus")},

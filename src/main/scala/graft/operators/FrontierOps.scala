@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * ops in [[WebOps]] and the search-index build (`search_postings`):
   * politeness-constrained fetch scheduling, link-graph host similarity
   * (bibliographic coupling), seed-set frontier expansion (BFS layers),
-  * compressed posting-list size accounting (Elias-gamma / varint vs
-  * fixed-width), and tokenizer-vocabulary coverage curves.
+  * change-rate-driven recrawl scheduling, global crawl-budget
+  * apportionment (largest remainder), compressed posting-list size
+  * accounting (Elias-gamma / varint vs fixed-width), and
+  * tokenizer-vocabulary coverage curves.
   *
   * Scale design notes:
   *  - the scheduler windows per host — the politeness constraint IS a
@@ -137,6 +139,57 @@ object FrontierOps {
           col("varint_bytes"), (col("n_postings") * 64L).as("fixed64_bits"))
     }),
 
+    // Change-rate-driven recrawl scheduling: events replay as fetch
+    // observations of ~97 URLs (user_id mod 97); a change is an observed
+    // content-signature flip vs the previous observation (event_type as
+    // the deterministic signature stand-in). change_ppm in [0, 1M] maps to
+    // a next-fetch interval of 1 day (never changes) down to ~86 s (flips
+    // every observation) — pure integer, epoch-µs timestamps both engines.
+    // One window pass per URL + one aggregation; nothing corpus-wide.
+    "q_recrawl_schedule" -> ((s, dir) => {
+      val obs = s.read.parquet(s"$dir/events.parquet")
+        .select((col("user_id") % 97L).as("url_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"))
+      val w = Window.partitionBy(col("url_id")).orderBy(col("us"), col("event_id"))
+      obs.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev").isNotNull && col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .groupBy(col("url_id")).agg(
+          count(lit(1)).as("nobs"),
+          sum(col("chg")).as("nchanged"),
+          max(col("us")).as("last_us"))
+        .withColumn("change_ppm",
+          when(col("nobs") > 1, expr("(nchanged * 1000000) div (nobs - 1)"))
+            .otherwise(lit(0L)))
+        .select(col("url_id"), col("nobs"), col("nchanged"), col("change_ppm"),
+          col("last_us"),
+          (col("last_us") + expr("86400000000000 div (change_ppm + 1000)"))
+            .as("next_fetch_us"))
+    }),
+
+    // Global crawl-budget apportionment (Hamilton / largest-remainder):
+    // a budget of 1000 fetches split across hosts proportional to content
+    // mass (Σ n_chars) — floor quotas, then the leftover seats to the
+    // largest fractional remainders (host-asc tiebreak). Exactly sums to
+    // the budget by construction. Host-count-sized frames throughout; the
+    // only corpus-wide work is the map-side-combined mass aggregation.
+    "q_crawl_budget" -> ((s, dir) => {
+      val mass = docs(s, dir).groupBy(col("source").as("host"))
+        .agg(sum(col("n_chars")).as("mass"))
+      val total = mass.agg(sum(col("mass")).as("total"))
+      val q = mass.crossJoin(broadcast(total))
+        .withColumn("floor_k", expr("(1000 * mass) div total"))
+        .withColumn("rem", expr("(1000 * mass) % total"))
+      val extras = q.agg((lit(1000L) - sum(col("floor_k"))).as("n_extra"))
+      q.crossJoin(broadcast(extras))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("host"))).cast("long"))
+        .select(col("host"), col("mass"), col("floor_k"), col("rem"), col("rk"),
+          (col("floor_k") + when(col("rk") <= col("n_extra"), 1L).otherwise(0L))
+            .as("alloc"))
+    }),
+
     // Tokenizer-vocabulary coverage curve: terms ranked by corpus
     // frequency (cf desc, term asc); at each power-of-two rank, the
     // cumulative share of all token occurrences a vocab of that size
@@ -212,6 +265,45 @@ object FrontierOps {
          |  sum(lg // 7 + 1)::BIGINT AS varint_bytes,
          |  (count(*) * 64)::BIGINT AS fixed64_bits
          |FROM lg GROUP BY 1""".stripMargin,
+
+    "q_recrawl_schedule" ->
+      s"""WITH o AS (
+         |  SELECT user_id % 97 AS url_id, event_id, epoch_us(ts) AS us, event_type
+         |  FROM events),
+         |c AS (
+         |  SELECT url_id, us, event_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY url_id ORDER BY us, event_id) AS prev
+         |  FROM o),
+         |g AS (
+         |  SELECT url_id, count(*)::BIGINT AS nobs,
+         |    sum(CASE WHEN prev IS NOT NULL AND prev <> event_type
+         |      THEN 1 ELSE 0 END)::BIGINT AS nchanged,
+         |    max(us)::BIGINT AS last_us
+         |  FROM c GROUP BY 1),
+         |p AS (
+         |  SELECT *, (CASE WHEN nobs > 1 THEN (nchanged * 1000000) // (nobs - 1)
+         |    ELSE 0 END)::BIGINT AS change_ppm
+         |  FROM g)
+         |SELECT url_id, nobs, nchanged, change_ppm, last_us,
+         |  (last_us + 86400000000000 // (change_ppm + 1000))::BIGINT AS next_fetch_us
+         |FROM p""".stripMargin,
+
+    "q_crawl_budget" ->
+      s"""WITH m AS (
+         |  SELECT source AS host, sum(n_chars)::BIGINT AS mass
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT sum(mass)::BIGINT AS total FROM m),
+         |q AS (
+         |  SELECT host, mass, ((1000 * mass) // total)::BIGINT AS floor_k,
+         |    ((1000 * mass) % total)::BIGINT AS rem
+         |  FROM m, t),
+         |x AS (SELECT (1000 - sum(floor_k))::BIGINT AS n_extra FROM q),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, host)::BIGINT AS rk
+         |  FROM q)
+         |SELECT host, mass, floor_k, rem, rk,
+         |  (floor_k + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END)::BIGINT AS alloc
+         |FROM r, x""".stripMargin,
 
     "q_vocab_coverage" ->
       s"""WITH t AS (SELECT ${Dk.tokens("text")} AS toks FROM documents),

@@ -73,6 +73,43 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist(); ()
   }
 
+  test("recrawl schedule: intervals span daily..~86s, bounded by change rate") {
+    val out = SparkEntry.queries("q_recrawl_schedule")(spark, dir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("change_ppm") < 0 || col("change_ppm") > 1000000).count() == 0)
+    assert(out.filter(col("nchanged") > col("nobs") - 1).count() == 0)
+    // interval = next - last in [86400e6/1001, 86400e6/1] microseconds
+    val iv = out.select((col("next_fetch_us") - col("last_us")).as("iv"))
+    assert(iv.filter(col("iv") > 86400000000L || col("iv") < 86313686L).count() == 0)
+    // a never-changing url waits the full day
+    assert(out.filter(col("change_ppm") === 0 &&
+      col("next_fetch_us") - col("last_us") =!= 86400000000L).count() == 0)
+    out.unpersist(); ()
+  }
+
+  test("crawl budget: allocations sum exactly to the budget, quota error < 1 seat") {
+    val out = SparkEntry.queries("q_crawl_budget")(spark, dir).cache()
+    assert(out.agg(sum(col("alloc"))).head().getLong(0) == 1000L)
+    // largest-remainder never strays more than 1 from the floor quota
+    assert(out.filter(col("alloc") < col("floor_k") ||
+      col("alloc") > col("floor_k") + 1).count() == 0)
+    // seats beyond floor go to the largest remainders first
+    val gotExtra = out.filter(col("alloc") === col("floor_k") + 1)
+      .agg(max(col("rk"))).head().getLong(0)
+    val noExtra = out.filter(col("alloc") === col("floor_k"))
+      .agg(min(col("rk"))).head().getLong(0)
+    assert(gotExtra < noExtra)
+    out.unpersist(); ()
+  }
+
+  test("dedup_eval_pr: planted recall is total, counts consistent") {
+    val r = SparkEntry.queries("dedup_eval_pr")(spark, dir).head()
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    assert(r.getAs[Long]("fn") == 0L)
+    assert(r.getAs[Long]("n_predicted") ==
+      r.getAs[Long]("tp") + r.getAs[Long]("extra"))
+  }
+
   test("vocab coverage: ranks are powers of two, coverage monotone to ~1M ppm") {
     val out = SparkEntry.queries("q_vocab_coverage")(spark, dir)
       .orderBy(col("rank")).cache()
