@@ -462,6 +462,27 @@ object Dedup {
     "dedup_minhash_sig" -> ((s, dir) =>
       signatures(docs(s, dir).select(col("doc_id"), col("text")))),
 
+    // Host-level content-overlap estimation by SKETCH MERGE: a host's
+    // minhash is the component-wise min of its docs' signatures (union
+    // semantics — exactly why minhash sketches compose), so host-pair
+    // similarity costs |hosts|² sketch comparisons instead of a doc-level
+    // cross join. The dedup-planning view: which host pairs are worth a
+    // doc-level mirror pass. est_jaccard_ppm granularity is 1/k.
+    "dedup_host_minhash" -> ((s, dir) => {
+      val mins = (0 until MinhashK).map(j => min(col(s"mh$j")).as(s"mh$j"))
+      val hs = signatures(docs(s, dir).select(col("doc_id"), col("text")))
+        .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source").as("host"))
+        .agg(mins.head, mins.tail: _*)
+      val matches = (0 until MinhashK)
+        .map(j => when(col(s"l.mh$j") === col(s"r.mh$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      hs.as("l").join(hs.as("r"), col("l.host") < col("r.host"))
+        .select(col("l.host").as("host_a"), col("r.host").as("host_b"),
+          matches.as("matches"))
+        .withColumn("est_jaccard_ppm", expr(s"(matches * 1000000) div $MinhashK"))
+    }),
+
     // Full MinHash → LSH band join → exact-Jaccard verify pipeline in the
     // at-scale shape (see [[minhashLsh]]); shares the materialized banded
     // frame with dedup_lsh_band_stats via the signature memo.
@@ -780,6 +801,17 @@ object Dedup {
     "dedup_minhash_sig" ->
       s"""WITH ${dkSig("documents")}
          |SELECT doc_id, ${(0 until MinhashK).map(j => s"mh$j").mkString(", ")} FROM sig""".stripMargin,
+    "dedup_host_minhash" ->
+      s"""WITH ${dkSig("documents")},
+         |hs AS (
+         |  SELECT d.source AS host,
+         |    ${(0 until MinhashK).map(j => s"min(mh$j) AS mh$j").mkString(", ")}
+         |  FROM sig JOIN documents d USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT l.host AS host_a, r.host AS host_b,
+         |  (${(0 until MinhashK).map(j => s"CASE WHEN l.mh$j = r.mh$j THEN 1 ELSE 0 END").mkString(" + ")})::BIGINT AS matches,
+         |  ((${(0 until MinhashK).map(j => s"CASE WHEN l.mh$j = r.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) * 1000000 // $MinhashK)::BIGINT AS est_jaccard_ppm
+         |FROM hs l JOIN hs r ON l.host < r.host""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $dkCorpus,
          |${dkSig("corpus")},

@@ -131,6 +131,23 @@ object TextOps {
     "text_quality" -> ((s, dir) =>
       qualityFrame(docs(s, dir).select(col("doc_id"), col("text")))),
 
+    // MODEL-based quality filter in the fasttext/CCNet shape: tokens hash
+    // into 64 feature buckets, each bucket carries an integer weight, the
+    // doc's logit is the weight sum and keep = logit >= 0. Weights here
+    // are derived from the bucket id (deterministic stand-in); a trained
+    // model ships its weight table as a broadcast literal — identical
+    // plan, same discipline as the trained-IVF centroids. Narrow one-pass
+    // scan, integer-exact on both engines.
+    "text_quality_classifier" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .withColumn("b", hex32(col("term")) % 64)
+        .withColumn("w", expr("(b * 2654435761) % 1000 - 500"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("logit"))
+        .select(col("doc_id"), col("n_tokens"), col("logit"),
+          (col("logit") >= 0).as("keep"))),
+
     // Sketch-driven ADAPTIVE quality gate — the two-pass shape a 100 TB
     // filter actually uses: pass 1 reduces the corpus to a ≤101-row
     // score histogram (bin = floor(quality·100); map-side partial agg),
@@ -567,6 +584,14 @@ object TextOps {
        |  FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_quality_classifier" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${Dk.tokens("text")}) AS term FROM documents),
+         |b AS (SELECT doc_id, ${Dk.hex32("term")} % 64 AS b FROM t),
+         |w AS (SELECT doc_id, (b * 2654435761) % 1000 - 500 AS w FROM b)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS logit,
+         |  sum(w) >= 0 AS keep
+         |FROM w GROUP BY 1""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          | len(${Dk.tokens("text")})::BIGINT AS ws_tokens,

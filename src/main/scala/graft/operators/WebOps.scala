@@ -195,6 +195,31 @@ object WebOps {
             p => element_at(col("lines"), p + 1)), " ").as("cleaned"))
     }),
 
+    // WARC-style record parse: each doc round-trips through a synthesized
+    // crawl-archive record (version line, target-URI header,
+    // Content-Length header, blank line, body) and is parsed back by line
+    // splitting + positional substr — the ingestion-format parity check
+    // for the fetch→extract boundary. intact pins version, body equality
+    // and the declared length in one flag; a corrupt record degrades to
+    // intact=false identically on both engines. Narrow per-row scan.
+    "q_warc_parse" -> ((s, dir) => {
+      val rec = concat(lit("WARC/1.0\n"),
+        lit("WARC-Target-URI: http://"), col("source"), lit("/doc/"),
+        col("doc_id").cast("string"), lit("\n"),
+        lit("Content-Length: "), length(col("text")).cast("string"), lit("\n\n"),
+        col("text"))
+      val parsedLen = expr("CAST(substr(element_at(lines, 3), 17) AS BIGINT)")
+      docs(s, dir).select(col("doc_id"), col("text"), split(rec, "\n").as("lines"))
+        .select(col("doc_id"),
+          expr("substr(element_at(lines, 2), 18)").as("uri"),
+          parsedLen.as("content_length"),
+          length(element_at(col("lines"), 5)).cast("long").as("body_chars"),
+          (element_at(col("lines"), 1) === "WARC/1.0" &&
+            element_at(col("lines"), 5) === col("text") &&
+            parsedLen === length(element_at(col("lines"), 5)).cast("long"))
+            .as("intact"))
+    }),
+
     // Blocked delta-encoded inverted-index build: per (term, shard), the
     // doc-sorted posting list split into BlockSize-entry blocks, each block
     // head absolute and the rest gap-encoded; df/cf are global per term.
@@ -313,6 +338,22 @@ object WebOps {
          |  coalesce(array_to_string(
          |    [lines[p+1] for p in coalesce(keep_pos, []::BIGINT[])], ' '), '') AS cleaned
          |FROM l LEFT JOIN kp ON l.doc_id = kp.doc_id""".stripMargin,
+
+    "q_warc_parse" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text,
+         |    'WARC/1.0' || chr(10) ||
+         |    'WARC-Target-URI: http://' || source || '/doc/' || doc_id::VARCHAR || chr(10) ||
+         |    'Content-Length: ' || length(text)::VARCHAR || chr(10) || chr(10) || text AS rec
+         |  FROM documents),
+         |p AS (SELECT doc_id, text, string_split(rec, chr(10)) AS lines FROM r)
+         |SELECT doc_id,
+         |  substr(lines[2], 18) AS uri,
+         |  CAST(substr(lines[3], 17) AS BIGINT) AS content_length,
+         |  length(lines[5])::BIGINT AS body_chars,
+         |  (lines[1] = 'WARC/1.0' AND lines[5] = text
+         |   AND CAST(substr(lines[3], 17) AS BIGINT) = length(lines[5])) AS intact
+         |FROM p""".stripMargin,
 
     "search_postings" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

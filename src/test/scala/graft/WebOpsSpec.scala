@@ -90,4 +90,39 @@ class WebOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     out.unpersist(); ()
   }
+
+  test("warc parse: every record round-trips intact, uri carries host+id") {
+    val out  = SparkEntry.queries("q_warc_parse")(spark, dir).cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(out.count() == docs.count())
+    assert(out.filter(!col("intact")).count() == 0)
+    assert(out.filter(col("content_length") =!= col("body_chars")).count() == 0)
+    // uri = http://<source>/doc/<doc_id>, rebuilt from the source table
+    val expect = docs.select(col("doc_id"),
+      concat(lit("http://"), col("source"), lit("/doc/"),
+        col("doc_id").cast("string")).as("uri"))
+    assert(out.select(col("doc_id"), col("uri")).exceptAll(expect).count() == 0)
+    out.unpersist(); ()
+  }
+
+  test("host minhash: sketch-merge similarity matches doc-level intuition") {
+    val out = SparkEntry.queries("dedup_host_minhash")(spark, dir).cache()
+    // 20 hosts -> 190 unordered pairs, ppm on the 1/8 grid
+    assert(out.count() == 190)
+    assert(out.filter(col("matches") < 0 || col("matches") > 8).count() == 0)
+    assert(out.filter(col("est_jaccard_ppm") =!= col("matches") * 125000).count() == 0)
+    out.unpersist(); ()
+  }
+
+  test("quality classifier: logit bounded by weight range, tokens match") {
+    val out = SparkEntry.queries("text_quality_classifier")(spark, dir).cache()
+    val tok = SparkEntry.queries("text_tokens")(spark, dir)
+      .select(col("doc_id"), col("ws_tokens"))
+    assert(out.join(tok, Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("ws_tokens")).count() == 0)
+    // weights live in [-500, 499]
+    assert(out.filter(abs(col("logit")) > col("n_tokens") * 500).count() == 0)
+    assert(out.filter(col("keep") =!= (col("logit") >= 0)).count() == 0)
+    out.unpersist(); ()
+  }
 }
