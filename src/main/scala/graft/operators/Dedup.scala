@@ -656,13 +656,13 @@ object Dedup {
 
   // --- DuckDB oracles -----------------------------------------------------
 
-  private val dkCorpus =
+  private[graft] val dkCorpus =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text FROM documents)""".stripMargin
 
-  private[operators] def dkSig(src: String): String = {
+  private[graft] def dkSig(src: String): String = {
     val mhs = (0 until MinhashK).map(j => s"${Dk.minhash("hs", j)} AS mh$j").mkString(", ")
     s"""toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM $src),
        |thsrc AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM toksrc),

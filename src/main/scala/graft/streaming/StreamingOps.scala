@@ -227,4 +227,69 @@ object StreamingOps {
             Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
       }
   }
+
+  /** Per-(band, key) verdict row from the streaming near-dedup operator:
+    * `seen` = a strictly earlier doc (lower doc_id — arrival order in the
+    * replay) already carried this LSH band key. */
+  final case class BandVerdict(doc_id: Long, band: Int, seen: Boolean)
+
+  /** Streaming LSH near-dedup candidate detection — the readStream form
+    * of `dedup_minhash_lsh`'s banding front end. The WHOLE pipeline runs
+    * in-stream: tokenize → per-token digest → shingle-combine → k=8
+    * minhash → 4 banded keys are stateless projections (legal on a
+    * streaming frame), then `flatMapGroupsWithState` keyed by
+    * (band, k1, k2) holds one long per live band key (the min doc_id that
+    * carried it) and answers, per incoming doc, whether any earlier doc
+    * shared the key. A doc's verdict is the OR over its 4 bands
+    * (aggregated downstream — one emitted row per band keeps the state
+    * operator append-pure).
+    *
+    * Scale notes: state is keyed by band key — hash-distributed, bounded
+    * by `EventTimeTimeout` at watermark + `horizon` past each key's last
+    * sighting (the recrawl-dedup horizon; a full-history candidate index
+    * is the batch job's business). One long per key; candidate VERIFY
+    * (exact Jaccard, as in the batch op) runs downstream on the flagged
+    * minority. */
+  def nearDedupStream(
+      docs: DataFrame, // (event_time, doc_id, text)
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 3600L * 1000): Dataset[BandVerdict] = {
+    import graft.functions.TextKernels._
+    import docs.sparkSession.implicits._
+    val mhs = (0 until 8).map(j => minhash(col("hs"), j).as(s"mh$j"))
+    val banded = docs
+      .withWatermark("event_time", watermarkDelay)
+      .withColumn("th", transform(tokens(col("text")), t => hex32(t)))
+      .withColumn("hs", shingleHashes(col("th")))
+      .select(col("event_time") +: col("doc_id").cast("long").as("doc_id") +: mhs: _*)
+      .select(col("event_time"), col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))): _*)).as("b"))
+      .select(col("event_time"), col("doc_id"),
+        col("b.band").as("band"), col("b.k1").as("k1"), col("b.k2").as("k2"))
+      .as[(Timestamp, Long, Int, Long, Long)]
+    banded
+      .groupByKey { case (_, _, band, k1, k2) => (band, k1, k2) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long, Long), it: Iterator[(Timestamp, Long, Int, Long, Long)],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // iterator order is not deterministic; the doc_id sort is what
+            // makes within-batch "earlier" well-defined (= arrival order,
+            // since the replay feeds ascending ids)
+            val rows = it.toVector.sortBy(_._2)
+            var minSeen = state.getOption.getOrElse(Long.MaxValue)
+            val out = rows.map { case (_, id, band, _, _) =>
+              val seen = minSeen < id
+              if (id < minSeen) minSeen = id
+              BandVerdict(id, band, seen)
+            }
+            state.update(minSeen)
+            state.setTimeoutTimestamp(
+              rows.map(_._1.getTime).max + horizonMs)
+            out.iterator
+          }
+        })
+  }
 }

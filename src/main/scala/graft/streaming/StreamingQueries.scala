@@ -218,6 +218,39 @@ object StreamingQueries {
         batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
       } finally q.stop()
       ss.table(name).select(col("content_hash"))
+    }),
+
+    // Streaming NEAR-dedup: documents stream in doc_id order, their
+    // near-dup copies (+1e6, " zzz") arrive in a later micro-batch, and
+    // the full LSH pipeline — tokenize, digest, shingle-combine, minhash,
+    // banding — runs IN-STREAM, with per-band-key state answering "did an
+    // earlier doc carry this key". With ascending-id arrival, "earlier in
+    // the stream" ≡ "lower doc_id", so the batch twin is the banding
+    // self-join over the same corpus — the driver's hash gate proves the
+    // stateful streaming operator reproduces it exactly.
+    "stream_dedup_near" -> ((s, dir) => {
+      val ss = replaySession(s)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val t0 = new Timestamp(86400L * 1000)
+      val base = ss.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val copies = base.map { case (id, tx) => (id + 1000000L, tx + " zzz") }
+      val batches = Seq(
+        base.take(base.length / 2).map { case (id, tx) => (t0, id, tx) },
+        base.drop(base.length / 2).map { case (id, tx) => (t0, id, tx) },
+        copies.map { case (id, tx) => (t0, id, tx) })
+      val in   = MemoryStream[(Timestamp, Long, String)]
+      val name = s"sdnr_${qId.incrementAndGet()}"
+      val q = StreamingOps.nearDedupStream(in.toDF().toDF("event_time", "doc_id", "text"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      } finally q.stop()
+      ss.table(name)
+        .groupBy(col("doc_id"))
+        .agg(expr("bool_or(seen)").as("near_dup"))
     }))
 
   // --- DuckDB oracles (the batch twins) -----------------------------------
@@ -243,6 +276,19 @@ object StreamingQueries {
         |FROM x GROUP BY 1""".stripMargin,
     "stream_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    // batch twin of the streaming LSH near-dedup: with ascending-id
+    // arrival the stream's "seen earlier" is exactly "a lower doc_id
+    // shares a band key" — the same dkSig banding the batch LSH oracles
+    // use, over the same planted dup corpus
+    "stream_dedup_near" ->
+      s"""WITH ${graft.operators.Dedup.dkCorpus},
+         |${graft.operators.Dedup.dkSig("corpus")},
+         |dups AS (
+         |  SELECT DISTINCT r.doc_id FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2
+         |    AND l.doc_id < r.doc_id)
+         |SELECT doc_id, doc_id IN (SELECT doc_id FROM dups) AS near_dup
+         |FROM (SELECT DISTINCT doc_id FROM corpus)""".stripMargin,
     // batch twin of the stream-static enrichment: every event user is in
     // the (distinct-users) dim, so the inner join keeps all events
     "stream_static_join" ->

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.{SpanEvent, UserEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Event-time semantics of the streaming operators, driven through
@@ -208,6 +209,50 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       q.processAllAvailable()
       val rows = spark.table("asof2").as[AsofMatch].collect().toSeq
       assert(rows.map(r => (r.click_id, r.view_id)) == Seq((200L, Some(103L))), rows.toString)
+    } finally q.stop()
+  }
+
+  test("nearDedupStream flags a copy across a batch boundary, not the original") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0   = new Timestamp(86400L * 1000)
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val in   = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.nearDedupStream(in.toDF().toDF("event_time", "doc_id", "text"))
+      .writeStream.format("memory").queryName("ndup1").outputMode("append").start()
+    try {
+      // batch 1: two unrelated docs
+      in.addData((t0, 1L, text), (t0, 2L, "completely different words with no shared shingles at all here"))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 (one appended token) + a fresh doc
+      in.addData((t0, 3L, text + " zzz"), (t0, 4L, "yet another novel document body nothing like the others present"))
+      q.processAllAvailable()
+      val verdict = spark.table("ndup1")
+        .groupBy(col("doc_id")).agg(expr("bool_or(seen)").as("dup"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(verdict(1L) === false)
+      assert(verdict(2L) === false)
+      assert(verdict(3L) === true, "copy arriving a batch later must hit the stored band keys")
+      assert(verdict(4L) === false)
+    } finally q.stop()
+  }
+
+  test("nearDedupStream resolves within-batch order by doc_id, lower id wins") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0   = new Timestamp(86400L * 1000)
+    val text = "one shared document body repeated verbatim across two ids in one batch"
+    val in   = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.nearDedupStream(in.toDF().toDF("event_time", "doc_id", "text"))
+      .writeStream.format("memory").queryName("ndup2").outputMode("append").start()
+    try {
+      in.addData((t0, 8L, text), (t0, 5L, text)) // same batch, out of order
+      q.processAllAvailable()
+      val verdict = spark.table("ndup2")
+        .groupBy(col("doc_id")).agg(expr("bool_or(seen)").as("dup"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(verdict(5L) === false, "the lower id is the keeper")
+      assert(verdict(8L) === true)
     } finally q.stop()
   }
 }
