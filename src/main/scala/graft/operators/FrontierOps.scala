@@ -208,6 +208,60 @@ object FrontierOps {
         .crossJoin(broadcast(total))
         .select(col("rank"), col("term"), col("cf"), col("cum_cf"),
           expr("(cum_cf * 1000000) div total").as("coverage_ppm"))
+    }),
+
+    // HITS hubs & authorities (Kleinberg 1999) over the host link graph —
+    // the second classic link-quality prior next to `q_host_pagerank`:
+    // a page that LINKS TO many good pages (hub) is a different crawl
+    // signal than a page many good pages LINK TO (authority); crawl
+    // seeding wants hubs, quality weighting wants authorities. Two
+    // mutual-reinforcement iterations unrolled in EXACT integer
+    // arithmetic: scores live as ppm of the L1 total (auth = Σ hub of
+    // in-neighbors, then ·1e6 div Σ — the k-means/PageRank
+    // integer-fixpoint rule; the textbook L2 normalization is a monotone
+    // per-vector rescale, so L1-in-int64 preserves the ranking while
+    // making every prefix hash-exact cross-engine). Scale shape: the
+    // edge set is host-pair-sized (distinct host→host), each half-step
+    // is one broadcastable score-table join + one (host, int64)
+    // aggregate — the exact per-round discipline of the CC and PageRank
+    // iterations; nothing corpus-sized moves after the one groupBy that
+    // builds the edges.
+    "q_host_hits" -> ((s, dir) => {
+      val e = hostEdges(s, dir)
+      val hosts = e.select(col("src").as("host"))
+        .unionByName(e.select(col("dst").as("host"))).distinct().cache()
+      def normPpm(r: DataFrame, c: String): DataFrame = {
+        val t = r.agg(sum(col(c)).as("t"))
+        r.crossJoin(broadcast(t))
+          .select(col("host"), expr(s"($c * 1000000) div t").as(c))
+      }
+      def authStep(hub: DataFrame): DataFrame = normPpm(
+        hosts.join(
+          e.join(broadcast(hub.withColumnRenamed("host", "src")), Seq("src"))
+            .groupBy(col("dst").as("host")).agg(sum(col("h")).as("a")),
+          Seq("host"), "left")
+          .select(col("host"), coalesce(col("a"), lit(0L)).as("a")), "a")
+      def hubStep(auth: DataFrame): DataFrame = normPpm(
+        hosts.join(
+          e.join(broadcast(auth.withColumnRenamed("host", "dst")), Seq("dst"))
+            .groupBy(col("src").as("host")).agg(sum(col("a")).as("h")),
+          Seq("host"), "left")
+          .select(col("host"), coalesce(col("h"), lit(0L)).as("h")), "h")
+      val a1 = authStep(hosts.withColumn("h", lit(1000000L)))
+      val h1 = hubStep(a1)
+      val a2 = authStep(h1)
+      val h2 = hubStep(a2)
+      val outd = e.groupBy(col("src").as("host")).agg(count(lit(1)).as("out_deg"))
+      val ind  = e.groupBy(col("dst").as("host")).agg(count(lit(1)).as("in_deg"))
+      hosts
+        .join(outd, Seq("host"), "left").join(ind, Seq("host"), "left")
+        .join(a2.withColumnRenamed("a", "auth_ppm"), Seq("host"))
+        .join(h2.withColumnRenamed("h", "hub_ppm"), Seq("host"))
+        .select(col("host"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          col("auth_ppm"), col("hub_ppm"))
+        .withColumn("auth_rank", dense_rank().over(
+          Window.orderBy(col("auth_ppm").desc, col("host").asc)).cast("long"))
     }))
 
   // --- DuckDB oracles -------------------------------------------------------
@@ -318,5 +372,39 @@ object FrontierOps {
          |  FROM cf)
          |SELECT rank, term, cf, cum_cf,
          |  (cum_cf * 1000000 // (SELECT sum(cf) FROM cf))::BIGINT AS coverage_ppm
-         |FROM r WHERE (rank & (rank - 1)) = 0""".stripMargin)
+         |FROM r WHERE (rank & (rank - 1)) = 0""".stripMargin,
+
+    "q_host_hits" ->
+      s"""WITH e AS ($dkHostEdges),
+         |hosts AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+         |a1r AS (
+         |  SELECT h.host, (count(e.src) * 1000000)::BIGINT AS a
+         |  FROM hosts h LEFT JOIN e ON e.dst = h.host GROUP BY 1),
+         |a1 AS (SELECT host, (a * 1000000 // (SELECT sum(a) FROM a1r))::BIGINT AS a FROM a1r),
+         |h1r AS (
+         |  SELECT h.host, coalesce(sum(a1.a), 0)::BIGINT AS hb
+         |  FROM hosts h LEFT JOIN e ON e.src = h.host
+         |  LEFT JOIN a1 ON a1.host = e.dst GROUP BY 1),
+         |h1 AS (SELECT host, (hb * 1000000 // (SELECT sum(hb) FROM h1r))::BIGINT AS hb FROM h1r),
+         |a2r AS (
+         |  SELECT h.host, coalesce(sum(h1.hb), 0)::BIGINT AS a
+         |  FROM hosts h LEFT JOIN e ON e.dst = h.host
+         |  LEFT JOIN h1 ON h1.host = e.src GROUP BY 1),
+         |a2 AS (SELECT host, (a * 1000000 // (SELECT sum(a) FROM a2r))::BIGINT AS a FROM a2r),
+         |h2r AS (
+         |  SELECT h.host, coalesce(sum(a2.a), 0)::BIGINT AS hb
+         |  FROM hosts h LEFT JOIN e ON e.src = h.host
+         |  LEFT JOIN a2 ON a2.host = e.dst GROUP BY 1),
+         |h2 AS (SELECT host, (hb * 1000000 // (SELECT sum(hb) FROM h2r))::BIGINT AS hb FROM h2r),
+         |od AS (SELECT src AS host, count(*)::BIGINT AS out_deg FROM e GROUP BY 1),
+         |id_ AS (SELECT dst AS host, count(*)::BIGINT AS in_deg FROM e GROUP BY 1)
+         |SELECT h.host, coalesce(od.out_deg, 0)::BIGINT AS out_deg,
+         |  coalesce(id_.in_deg, 0)::BIGINT AS in_deg,
+         |  a2.a AS auth_ppm, h2.hb AS hub_ppm,
+         |  dense_rank() OVER (ORDER BY a2.a DESC, h.host)::BIGINT AS auth_rank
+         |FROM hosts h
+         |LEFT JOIN od ON od.host = h.host
+         |LEFT JOIN id_ ON id_.host = h.host
+         |JOIN a2 ON a2.host = h.host
+         |JOIN h2 ON h2.host = h.host""".stripMargin)
 }

@@ -163,7 +163,42 @@ object Search {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk"    -> ((s, dir) => bm25TopK(s, dir)),
-    "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)))
+    "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
+
+    // Impact-ordered index tiering (Ntoulas & Cho 2007 / WAND-era "fancy
+    // lists"): each term's posting list is split into tier 0 — the top
+    // ⌈25%⌉ postings by term frequency (the impact proxy; doc_id
+    // tiebreak) — and tier 1, the long tail. Query evaluation reads
+    // tier 0 first and touches tier 1 only when the top-k heap isn't
+    // safe — the early-termination contract that makes a 100 TB index
+    // answer interactive queries. The output is the capacity-planning
+    // table: per (term, tier), posting count and tf mass in exact ppm of
+    // the term's total — "what fraction of each list's mass does the
+    // cheap tier hold". Scale shape: one groupBy(term, doc) posting
+    // build (map-side combine), ONE term-partitioned window pass
+    // computing rank/df/mass together (same partitioning → one
+    // Exchange), then a (term, tier) re-aggregation of integer counters;
+    // a hot term's window is its df — the documented skew cap
+    // (MaxBandGroup discipline) applies if a stop-word list is ever
+    // tiered, and real deployments drop stop-words before tiering.
+    "search_tiered_index" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val p  = Window.partitionBy(col("term"))
+      val rk = tf
+        .withColumn("rn", row_number().over(
+          p.orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+        .withColumn("df", count(lit(1)).over(p))
+        .withColumn("total_tf", sum(col("tf")).over(p))
+      rk.withColumn("tier",
+          when(col("rn") <= expr("(df + 3) div 4"), lit(0L)).otherwise(lit(1L)))
+        .groupBy(col("term"), col("tier"))
+        .agg(count(lit(1)).as("n_postings"), sum(col("tf")).as("tf_mass"),
+          max(col("df")).as("df"), max(col("total_tf")).as("ttf"))
+        .select(col("term"), col("tier"), col("n_postings"), col("tf_mass"),
+          col("df"), expr("(tf_mass * 1000000) div ttf").as("mass_ppm"))
+    }))
 
   private val dkBm25 =
     s"""WITH corpus AS (
@@ -223,5 +258,25 @@ object Search {
          |SELECT query_id, rank, doc_id, rrf_scaled, n_lists FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
-         |  FROM f) WHERE rank <= $TopK""".stripMargin)
+         |  FROM f) WHERE rank <= $TopK""".stripMargin,
+
+    "search_tiered_index" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |tf AS (
+         |  SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT term, doc_id, tf,
+         |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)::BIGINT AS rn,
+         |    count(*) OVER (PARTITION BY term)::BIGINT AS df,
+         |    sum(tf) OVER (PARTITION BY term)::BIGINT AS total_tf
+         |  FROM tf),
+         |tiers AS (
+         |  SELECT term, (CASE WHEN rn <= (df + 3) // 4 THEN 0 ELSE 1 END)::BIGINT AS tier,
+         |    tf, df, total_tf
+         |  FROM rk)
+         |SELECT term, tier, count(*)::BIGINT AS n_postings, sum(tf)::BIGINT AS tf_mass,
+         |  max(df)::BIGINT AS df,
+         |  (sum(tf) * 1000000 // max(total_tf))::BIGINT AS mass_ppm
+         |FROM tiers GROUP BY 1, 2""".stripMargin)
 }

@@ -37,6 +37,8 @@ object Similarity {
   private val MaxCells  = 32
   private val KmeansK     = 8
   private val KmeansIters = 2
+  private val BitextK         = 4        // neighborhood size for margin scoring
+  private val BitextMarginPpm = 1300000L // accept: top-1 ≥ 1.3× its neighborhood
 
   /** TRAINED coarse quantizer: Lloyd's k-means iterations in the integer
     * quantized space (VectorKernels.quantize), so every step — distance,
@@ -346,6 +348,74 @@ object Similarity {
         .groupBy(col("query_id"))
         .agg(count(col("m")).as("hits"),
           round(count(col("m")) / lit(K.toDouble), 4).as("recall"))
+    }),
+
+    // Margin-based bitext mining (parallel-corpus discovery, the
+    // CCMatrix/WikiMatrix shape: Artetxe & Schwenk 2019 ratio margin):
+    // two embedding collections — "source" = even vec_ids, "target" =
+    // odd vec_ids ∪ 10 planted translations (perturbed copies of source
+    // vectors 0..18, tgt_id = src_id + 500001) — are aligned by taking,
+    // per source vector, its best target neighbor and scoring it by the
+    // RATIO of its similarity to the mean of the rest of the local
+    // neighborhood (top-[[BitextK]] candidates). A translation pair is
+    // far above its neighborhood (margin >> 1); a random nearest
+    // neighbor is not (margin ≈ 1) — absolute cosine thresholds cannot
+    // make that distinction, which is why margin scoring is the
+    // published method. Scale shape: candidates come from a sign-LSH
+    // bucket equi-join (source probes own + hamming-1 buckets, the
+    // multiprobe move above) — never source×target; the margin is a
+    // per-source window over its own candidates. Cross-engine
+    // exactness: similarities become integer micro-points
+    // (floor(1e6·(1+cos)) — shifted so the scale is sign-free), the
+    // margin is pure int64 ((n-1)·s1·1e6 div Σrest), and single-
+    // candidate sources (no neighborhood evidence) fall back to an
+    // absolute shifted-cosine test at 1.9e6 (cos ≥ 0.9).
+    "q_bitext_mine" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/embeddings.parquet")
+      val srcV = raw.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("src_id"), toDouble(col("embedding")).as("v"))
+      val tgtV = raw.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("tgt_id"), toDouble(col("embedding")).as("v"))
+        .unionByName(raw.filter(col("vec_id") % 2 === 0 && col("vec_id") < 20)
+          .select((col("vec_id") + 500001L).as("tgt_id"),
+            transform(col("embedding"),
+              (x, i) => x.cast("double") + lit(0.005) * ((i % 5) - 2).cast("double")).as("v")))
+      val planes = planesFor(corpusN(s, dir))
+      // both sides read twice (bucket-key join, then vector fetch for
+      // survivors); cached like embeddingNearDups' keys — at scale the
+      // bucket is a stored index column, computed never
+      val sb = srcV.withColumn("bkt", lshBucket(col("v"), planes, Dims))
+        .withColumn("nrm", norm(col("v"))).cache()
+      val tb = tgtV.withColumn("bkt", lshBucket(col("v"), planes, Dims))
+        .withColumn("nrm", norm(col("v"))).cache()
+      val flips = (0 until planes).map(j => col("bkt").bitwiseXOR(lit(1L << j)))
+      // probe explode ships (id, bucket) longs only; vectors join back by
+      // unique id for banding survivors — the embeddingNearDups discipline
+      val probes = sb.select(col("src_id"),
+        explode(array(col("bkt") +: flips: _*)).as("pb"))
+      val cand = probes.join(tb.select(col("tgt_id"), col("bkt").as("tbkt")),
+          col("pb") === col("tbkt"))
+        .select(col("src_id"), col("tgt_id"))
+      val scored = cand
+        .join(sb.select(col("src_id"), col("v").as("sv"), col("nrm").as("sn")), Seq("src_id"))
+        .join(tb.select(col("tgt_id"), col("v").as("tv"), col("nrm").as("tn")), Seq("tgt_id"))
+        .select(col("src_id"), col("tgt_id"),
+          floor(lit(1e6) * (lit(1.0) + dot(col("sv"), col("tv")) / (col("sn") * col("tn"))))
+            .cast("long").as("s"))
+      val w  = Window.partitionBy(col("src_id")).orderBy(col("s").desc, col("tgt_id").asc)
+      val rk = scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= BitextK)
+      rk.groupBy(col("src_id")).agg(
+          count(lit(1)).as("n_topk"), sum(col("s")).as("sum_s"),
+          max(when(col("rn") === 1, col("tgt_id"))).as("tgt_id"),
+          max(when(col("rn") === 1, col("s"))).as("s1"))
+        .select(col("src_id"), col("tgt_id"), col("s1").as("cos_shift_scaled"), col("n_topk"),
+          when(col("n_topk") > 1,
+            expr("((n_topk - 1) * s1 * 1000000) div (sum_s - s1)"))
+            .otherwise(lit(1000000L)).as("margin_ppm"))
+        .withColumn("accepted",
+          (col("n_topk") > 1 && col("margin_ppm") >= BitextMarginPpm) ||
+            (col("n_topk") === 1 && col("cos_shift_scaled") >= 1900000L))
     }))
 
   // --- DuckDB oracles -----------------------------------------------------
@@ -559,5 +629,51 @@ object Similarity {
          |  round(count(a.neighbor_id) / $K.0, 4) AS recall
          |FROM bf b LEFT JOIN ap a
          |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+
+    // Bitext mining twin: same collections, same corpus-scaling planes,
+    // same own+hamming-1 probe set, same integer margin arithmetic.
+    "q_bitext_mine" ->
+      s"""WITH src AS (
+         |  SELECT vec_id AS src_id, [x::DOUBLE for x in embedding] AS v
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |tgt AS (
+         |  SELECT vec_id AS tgt_id, [x::DOUBLE for x in embedding] AS v
+         |  FROM embeddings WHERE vec_id % 2 = 1
+         |  UNION ALL
+         |  SELECT vec_id + 500001 AS tgt_id,
+         |    [embedding[i]::DOUBLE + 0.005 * (((i - 1) % 5) - 2)
+         |     for i in generate_series(1, $Dims)] AS v
+         |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 20),
+         |prm AS (SELECT ${Dk.planesCase("n")} AS np
+         |  FROM (SELECT count(*)::BIGINT AS n FROM embeddings)),
+         |sb AS (SELECT src_id, v, $dkBktDyn AS bkt FROM src, prm),
+         |tb AS (SELECT tgt_id, v, $dkBktDyn AS bkt FROM tgt, prm),
+         |probes AS (
+         |  SELECT src_id, v, unnest(list_prepend(bkt,
+         |    [xor(bkt, (1::BIGINT << j)) for j in generate_series(0, np - 1)])) AS pb
+         |  FROM sb, prm),
+         |sc AS (
+         |  SELECT q.src_id, t.tgt_id,
+         |    floor(1000000 * (1.0 + ${Dk.cosine("q.v", "t.v", Dims)}))::BIGINT AS s
+         |  FROM probes q JOIN tb t ON q.pb = t.bkt),
+         |rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY s DESC, tgt_id)::BIGINT AS rn
+         |  FROM sc),
+         |top AS (
+         |  SELECT src_id, count(*)::BIGINT AS n_topk, sum(s)::BIGINT AS sum_s,
+         |    max(CASE WHEN rn = 1 THEN tgt_id END)::BIGINT AS tgt_id,
+         |    max(CASE WHEN rn = 1 THEN s END)::BIGINT AS s1
+         |  FROM rk WHERE rn <= $BitextK GROUP BY 1),
+         |m AS (
+         |  SELECT src_id, tgt_id, s1 AS cos_shift_scaled, n_topk,
+         |    (CASE WHEN n_topk > 1
+         |      THEN ((n_topk - 1) * s1 * 1000000) // (sum_s - s1)
+         |      ELSE 1000000 END)::BIGINT AS margin_ppm
+         |  FROM top)
+         |SELECT src_id, tgt_id, cos_shift_scaled, n_topk, margin_ppm,
+         |  ((n_topk > 1 AND margin_ppm >= $BitextMarginPpm)
+         |    OR (n_topk = 1 AND cos_shift_scaled >= 1900000)) AS accepted
+         |FROM m""".stripMargin)
 }

@@ -489,6 +489,38 @@ object TextOps {
         .agg(count(lit(1)).as("n_chunks"),
           count(col("n_docs")).as("dup_chunks"),
           round(count(col("n_docs")) / count(lit(1)), 4).as("dup_ratio"))
+    }),
+
+    // Quality-vs-quantity tradeoff curve — the planning query behind
+    // every "filter harder or train on more?" decision (Gopher/RefinedWeb
+    // both publish this curve): for each quality-score bin (the adaptive
+    // gate's floor(quality·100) histogram key), how many docs and how
+    // much text survive a "keep everything ≥ this bin" policy, as exact
+    // ppm of the corpus. Runs over the same planted continuous
+    // degradation as the adaptive gate (the raw sf corpus is uniformly
+    // clean — one bin, a vacuous curve). Scale shape: ONE map-side-
+    // combined histogram aggregation (≤101 rows — bins, never docs),
+    // cumulated from the clean end by a window over the bin table; no
+    // global sort, no percentile over raw rows — the two-pass gate's
+    // pass-1 artifact IS this curve, so at 100 TB it's free.
+    "q_quality_tradeoff" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), expr("repeat('!', cast(doc_id % 50 as int))")).as("text"),
+        col("n_chars"))
+      val q = qualityFrame(planted)
+        .withColumn("qbin", floor(col("quality") * 100).cast("long"))
+      val b = q.groupBy(col("qbin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      val tot = q.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("tc"))
+      val wc = Window.orderBy(col("qbin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.withColumn("cum_docs", sum(col("n_docs")).over(wc))
+        .withColumn("cum_chars", sum(col("chars")).over(wc))
+        .crossJoin(broadcast(tot))
+        .select(col("qbin"), col("n_docs"), col("chars"), col("cum_docs"),
+          col("cum_chars"),
+          expr("(cum_docs * 1000000) div n").as("docs_kept_ppm"),
+          expr("(cum_chars * 1000000) div tc").as("chars_kept_ppm"))
     }))
 
   /** One BPE training round over a (doc_id, toks) frame: returns the
@@ -794,5 +826,28 @@ object TextOps {
          |SELECT ch.doc_id, count(*)::BIGINT AS n_chunks, count(hot.h)::BIGINT AS dup_chunks,
          |  round(count(hot.h) / count(*), 4) AS dup_ratio
          |FROM ch LEFT JOIN hot ON ch.h = hot.h
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+
+    "q_quality_tradeoff" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text || repeat('!', (doc_id % 50)::INT) AS text, n_chars
+         |  FROM documents),
+         |${dkQualityCte("planted")},
+         |j AS (
+         |  SELECT q.doc_id, floor(q.quality * 100)::BIGINT AS qbin, p.n_chars
+         |  FROM qual q JOIN planted p USING (doc_id)),
+         |b AS (
+         |  SELECT qbin, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+         |  FROM j GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS tc FROM j),
+         |c AS (
+         |  SELECT qbin, n_docs, chars,
+         |    sum(n_docs) OVER w::BIGINT AS cum_docs,
+         |    sum(chars) OVER w::BIGINT AS cum_chars
+         |  FROM b WINDOW w AS (ORDER BY qbin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT qbin, n_docs, chars, cum_docs, cum_chars,
+         |  (cum_docs * 1000000 // tot.n)::BIGINT AS docs_kept_ppm,
+         |  (cum_chars * 1000000 // tot.tc)::BIGINT AS chars_kept_ppm
+         |FROM c, tot""".stripMargin)
 }

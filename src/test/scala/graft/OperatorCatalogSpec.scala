@@ -572,4 +572,71 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.filter(col("width") < 16 || col("width") >= 1040).count() == 0)
     assert(out.filter(!col("fmt").isin("image", "audio", "video")).count() == 0)
   }
+
+  test("q_bitext_mine: planted translations mined with dominant margins") {
+    val out = SparkEntry.queries("q_bitext_mine")(spark, dir).cache()
+    // planted translation pairs are (src_id, src_id + 500001) for even
+    // src_id < 20; the miner must surface most as accepted top-1 (a 2-bit
+    // bucket straddle can hide one from the hamming-1 probe set)
+    val planted = out.filter(col("tgt_id") === col("src_id") + 500001L)
+    assert(planted.count() >= 8, s"only ${planted.count()} planted pairs mined top-1")
+    val acc = planted.filter(col("accepted")).count()
+    assert(acc >= 8, s"only $acc planted pairs accepted")
+    // margin separation: every planted margin (with a neighborhood to
+    // compare against) beats every natural-pair margin
+    val minPlanted = planted.filter(col("n_topk") > 1)
+      .agg(min(col("margin_ppm"))).head.getLong(0)
+    val maxNatural = out.filter(col("tgt_id") =!= col("src_id") + 500001L
+        && col("n_topk") > 1)
+      .agg(max(col("margin_ppm"))).head.getLong(0)
+    assert(minPlanted > maxNatural,
+      s"planted min margin $minPlanted !> natural max margin $maxNatural")
+    out.unpersist()
+    ()
+  }
+
+  test("q_host_hits: ppm normalization exact, scores and ranks consistent") {
+    val out = SparkEntry.queries("q_host_hits")(spark, dir).cache()
+    val n   = out.count()
+    // L1 normalization in integer ppm: totals land in (1e6 - nhosts, 1e6]
+    val ta = out.agg(sum(col("auth_ppm"))).head.getLong(0)
+    val th = out.agg(sum(col("hub_ppm"))).head.getLong(0)
+    assert(ta > 1000000L - n && ta <= 1000000L, s"auth total $ta")
+    assert(th > 1000000L - n && th <= 1000000L, s"hub total $th")
+    // a host nobody links to has zero authority; no negative scores
+    assert(out.filter(col("in_deg") === 0 && col("auth_ppm") > 0).count() == 0)
+    assert(out.filter(col("auth_ppm") < 0 || col("hub_ppm") < 0).count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("q_quality_tradeoff: curve is a monotone exact partition of the corpus") {
+    val out  = SparkEntry.queries("q_quality_tradeoff")(spark, dir).cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // keeping every bin retains exactly the whole corpus
+    assert(out.agg(max(col("chars_kept_ppm"))).head.getLong(0) == 1000000L)
+    assert(out.agg(max(col("docs_kept_ppm"))).head.getLong(0) == 1000000L)
+    assert(out.agg(sum(col("n_docs"))).head.getLong(0) == docs.count())
+    // cum_docs decreases as the threshold bin rises (monotone curve)
+    val viol = out.alias("a").join(out.alias("b"),
+        col("a.qbin") < col("b.qbin") && col("a.cum_docs") < col("b.cum_docs"))
+    assert(viol.count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("search_tiered_index: tiers partition each posting list, tier 0 = ceil(df/4)") {
+    val out = SparkEntry.queries("search_tiered_index")(spark, dir).cache()
+    val byTerm = out.groupBy(col("term"))
+      .agg(sum(col("n_postings")).as("np"), max(col("df")).as("df"),
+        sum(when(col("tier") === 0, col("n_postings"))).as("t0"),
+        sum(col("mass_ppm")).as("mp"))
+    // postings partition exactly; tier 0 holds ceil(df/4) of them
+    assert(byTerm.filter(col("np") =!= col("df")).count() == 0)
+    assert(byTerm.filter(col("t0") =!= expr("(df + 3) div 4")).count() == 0)
+    // ppm masses sum to ~1e6 per term (floor loss < 2 tiers)
+    assert(byTerm.filter(col("mp") > 1000000L || col("mp") <= 1000000L - 2).count() == 0)
+    out.unpersist()
+    ()
+  }
 }
