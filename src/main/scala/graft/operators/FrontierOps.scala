@@ -262,6 +262,27 @@ object FrontierOps {
           col("auth_ppm"), col("hub_ppm"))
         .withColumn("auth_rank", dense_rank().over(
           Window.orderBy(col("auth_ppm").desc, col("host").asc)).cast("long"))
+    }),
+
+    // Link reciprocity — the classic link-farm signal (organic host
+    // graphs are strongly asymmetric; paired "you link me, I link you"
+    // exchanges push a host's reciprocated-edge share toward 1): per
+    // host, what fraction of its distinct out-links are reciprocated by
+    // a reverse edge, in exact ppm, flagged at ≥ 50%. The rank/crawl
+    // priors above consume this as a discount. Scale shape: one
+    // self-join of the host-pair edge set on the REVERSED key — edges
+    // are host-pair-sized (≪ docs) and the join key is (host, host);
+    // per-host rollup is a map-side-combined count pair.
+    "q_reciprocal_links" -> ((s, dir) => {
+      val e = hostEdges(s, dir)
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("m", lit(1))
+      e.join(rev, Seq("src", "dst"), "left")
+        .groupBy(col("src").as("host"))
+        .agg(count(lit(1)).as("out_deg"), count(col("m")).as("n_recip"))
+        .select(col("host"), col("out_deg"), col("n_recip"),
+          expr("(n_recip * 1000000) div out_deg").as("recip_ppm"))
+        .withColumn("link_farm_flag", col("recip_ppm") >= 500000L)
     }))
 
   // --- DuckDB oracles -------------------------------------------------------
@@ -406,5 +427,15 @@ object FrontierOps {
          |LEFT JOIN od ON od.host = h.host
          |LEFT JOIN id_ ON id_.host = h.host
          |JOIN a2 ON a2.host = h.host
-         |JOIN h2 ON h2.host = h.host""".stripMargin)
+         |JOIN h2 ON h2.host = h.host""".stripMargin,
+
+    "q_reciprocal_links" ->
+      s"""WITH e AS ($dkHostEdges),
+         |r AS (
+         |  SELECT e.src, e.dst, CASE WHEN x.src IS NOT NULL THEN 1 END AS m
+         |  FROM e LEFT JOIN e x ON x.src = e.dst AND x.dst = e.src)
+         |SELECT src AS host, count(*)::BIGINT AS out_deg, count(m)::BIGINT AS n_recip,
+         |  (count(m) * 1000000 // count(*))::BIGINT AS recip_ppm,
+         |  (count(m) * 1000000 // count(*)) >= 500000 AS link_farm_flag
+         |FROM r GROUP BY 1""".stripMargin)
 }

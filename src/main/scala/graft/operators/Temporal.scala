@@ -133,6 +133,38 @@ object Temporal {
         .filter(col("c_us") >= col("e_us") && col("c_us") < col("e_us") + W)
         .select(col("click_id"), col("error_id"), col("user_id"),
           (col("c_us") - col("e_us")).as("gap_us"))
+    }),
+
+    // SCD2 version-interval build (the time-travel table a recrawl store
+    // keeps per URL): events replay as fetch observations of ~97 URLs
+    // (user_id mod 97, the q_recrawl_schedule corpus), event_type as the
+    // content-version stand-in. Consecutive same-version observations
+    // collapse into one run; each run becomes a row with
+    // [valid_from, valid_to) — valid_to = the NEXT run's first
+    // observation (null for the current version). This is the table
+    // "what did this URL look like at time T?" queries probe with the
+    // catalog's as-of join. Scale shape: the sessionize discipline — one
+    // url-keyed window pass over the observation stream (change flag +
+    // running run_id), then a (url, run) aggregation and one more
+    // url-keyed window for the lead(); runs ≪ observations, timestamps
+    // compare in epoch-µs integers on both engines.
+    "q_url_version_intervals" -> ((s, dir) => {
+      val obs = t(s, dir, "events").select(
+        (col("user_id") % 97L).as("url_id"), col("event_id"),
+        us(col("ts")).as("us"), col("event_type").as("version"))
+      val w = Window.partitionBy(col("url_id")).orderBy(col("us"), col("event_id"))
+      val prev = lag(col("version"), 1).over(w)
+      val runs = obs
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("version"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val iv = runs.groupBy(col("url_id"), col("run_id"), col("version"))
+        .agg(min(col("us")).as("valid_from_us"), max(col("us")).as("last_seen_us"),
+          count(lit(1)).as("n_obs"))
+      val w2 = Window.partitionBy(col("url_id")).orderBy(col("run_id"))
+      iv.withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2))
+        .withColumn("is_current", col("valid_to_us").isNull)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +205,27 @@ object Temporal {
          |      FROM events WHERE event_type = 'error')
          |SELECT c.click_id, e.error_id, c.user_id, c.c_us - e.e_us AS gap_us
          |FROM c JOIN e ON c.user_id = e.user_id
-         | AND c.c_us >= e.e_us AND c.c_us < e.e_us + $RangeWindowUs""".stripMargin)
+         | AND c.c_us >= e.e_us AND c.c_us < e.e_us + $RangeWindowUs""".stripMargin,
+
+    "q_url_version_intervals" ->
+      """WITH o AS (
+        |  SELECT user_id % 97 AS url_id, event_id, epoch_us(ts) AS us,
+        |    event_type AS version
+        |  FROM events),
+        |c AS (
+        |  SELECT *, (CASE WHEN lag(version) OVER w IS NULL
+        |    OR lag(version) OVER w <> version THEN 1 ELSE 0 END)::BIGINT AS chg
+        |  FROM o WINDOW w AS (PARTITION BY url_id ORDER BY us, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY url_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_id
+        |  FROM c),
+        |iv AS (
+        |  SELECT url_id, run_id, version, min(us)::BIGINT AS valid_from_us,
+        |    max(us)::BIGINT AS last_seen_us, count(*)::BIGINT AS n_obs
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT url_id, run_id, version, valid_from_us, last_seen_us, n_obs,
+        |  (lead(valid_from_us) OVER w2)::BIGINT AS valid_to_us,
+        |  lead(valid_from_us) OVER w2 IS NULL AS is_current
+        |FROM iv WINDOW w2 AS (PARTITION BY url_id ORDER BY run_id)""".stripMargin)
 }

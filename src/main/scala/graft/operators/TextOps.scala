@@ -41,6 +41,9 @@ object TextOps {
   private val WinW = 16
   private val WinS = 12
 
+  /** Minimum bigram count for collocation scoring (PMI low-count guard). */
+  private val MinColloc = 5L
+
   /** Per-doc quality signals + composite score (the `text_quality`
     * contract), extracted so the adaptive gate can reuse the identical
     * score computation. Narrow — one codegen'd scan, no shuffle. Any
@@ -521,6 +524,65 @@ object TextOps {
           col("cum_chars"),
           expr("(cum_docs * 1000000) div n").as("docs_kept_ppm"),
           expr("(cum_chars * 1000000) div tc").as("chars_kept_ppm"))
+    }),
+
+    // Per-doc lexical diversity — the quality signals repetition ratios
+    // don't capture: type-token ratio (distinct words / words), hapax
+    // share (words seen once / vocabulary — low in template/boilerplate
+    // text), and top-token share (a single token dominating is the spam
+    // keyword-stuffing signature). All exact integer ppm. Scale shape:
+    // a (doc, term) partial-agg then a doc rollup — two map-side-combined
+    // aggregations of int counters, the tf-build discipline; nothing
+    // wider than a token ever shuffles.
+    "text_lexical_diversity" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cf"))
+      tf.groupBy(col("doc_id")).agg(
+          sum(col("cf")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          max(col("cf")).as("top_cf"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          col("top_cf"),
+          expr("(n_types * 1000000) div n_tokens").as("ttr_ppm"),
+          expr("(n_hapax * 1000000) div n_types").as("hapax_ppm"),
+          expr("(top_cf * 1000000) div n_tokens").as("top_share_ppm"))
+    }),
+
+    // PMI-lift bigram collocation mining (Church & Hanks 1990) — the
+    // vocabulary-curation query behind multi-word tokenizer entries and
+    // stop-phrase lists: adjacent token pairs scored by observed/expected
+    // frequency lift = P(ab) / (P(a)·P(b)), pairs below MinColloc
+    // occurrences dropped (PMI's low-count instability). The lift is
+    // computed in two explicit integer floor steps (mirrored verbatim in
+    // the oracle), keeping int64 headroom at this corpus family's
+    // magnitudes; a 100 TB run scores in log space on doubles and keeps
+    // ranking-only semantics — this exact-integer form is what makes the
+    // small-scale result hash-checkable. Scale shape: bigram and unigram
+    // tables are both map-side-combined token aggregations; the final
+    // join touches only the vocab²-bounded collocation table against the
+    // broadcast vocab-sized unigram counts.
+    "text_collocations" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      val uni = toks.select(explode(col("toks")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i + 1] AS b))")).as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= MinColloc)
+      val nUni = uni.agg(sum(col("cf")).as("n_uni"))
+      val nBi = toks
+        .select(greatest(size(col("toks")) - 1, lit(0)).cast("long").as("nb"))
+        .agg(sum(col("nb")).as("n_bi"))
+      bi
+        .join(broadcast(uni.select(col("term").as("a"), col("cf").as("cf_a"))), Seq("a"))
+        .join(broadcast(uni.select(col("term").as("b"), col("cf").as("cf_b"))), Seq("b"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .select(col("a"), col("b"), col("n_ab"), col("cf_a"), col("cf_b"),
+          expr("((n_ab * 1000000 * n_uni) div (cf_a * cf_b) * n_uni) div n_bi")
+            .as("lift_ppm"))
     }))
 
   /** One BPE training round over a (doc_id, toks) frame: returns the
@@ -849,5 +911,43 @@ object TextOps {
          |SELECT qbin, n_docs, chars, cum_docs, cum_chars,
          |  (cum_docs * 1000000 // tot.n)::BIGINT AS docs_kept_ppm,
          |  (cum_chars * 1000000 // tot.tc)::BIGINT AS chars_kept_ppm
-         |FROM c, tot""".stripMargin)
+         |FROM c, tot""".stripMargin,
+
+    "text_lexical_diversity" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${Dk.tokens("text")}) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS cf FROM t GROUP BY 1, 2),
+         |d AS (
+         |  SELECT doc_id, sum(cf)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         |    sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+         |    max(cf)::BIGINT AS top_cf
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, n_hapax, top_cf,
+         |  (n_types * 1000000 // n_tokens)::BIGINT AS ttr_ppm,
+         |  (n_hapax * 1000000 // n_types)::BIGINT AS hapax_ppm,
+         |  (top_cf * 1000000 // n_tokens)::BIGINT AS top_share_ppm
+         |FROM d""".stripMargin,
+
+    "text_collocations" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |uni AS (
+         |  SELECT term, count(*)::BIGINT AS cf
+         |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+         |bg AS (
+         |  SELECT unnest([toks[i] || ' ' || toks[i + 1]
+         |    for i in generate_series(1, len(toks) - 1)]) AS ab
+         |  FROM t WHERE len(toks) >= 2),
+         |bi AS (
+         |  SELECT split_part(ab, ' ', 1) AS a, split_part(ab, ' ', 2) AS b,
+         |    count(*)::BIGINT AS n_ab
+         |  FROM bg GROUP BY 1, 2 HAVING count(*) >= $MinColloc),
+         |nu AS (SELECT sum(cf)::BIGINT AS n_uni FROM uni),
+         |nb AS (
+         |  SELECT sum(greatest(len(toks) - 1, 0))::BIGINT AS n_bi FROM t)
+         |SELECT bi.a, bi.b, bi.n_ab, ua.cf AS cf_a, ub.cf AS cf_b,
+         |  ((bi.n_ab * 1000000 * n_uni) // (ua.cf * ub.cf) * n_uni // n_bi)::BIGINT
+         |    AS lift_ppm
+         |FROM bi JOIN uni ua ON bi.a = ua.term JOIN uni ub ON bi.b = ub.term,
+         |  nu, nb""".stripMargin)
 }

@@ -625,6 +625,56 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     ()
   }
 
+  test("q_url_version_intervals: SCD2 intervals chain without gaps or overlaps") {
+    val out = SparkEntry.queries("q_url_version_intervals")(spark, dir).cache()
+    val ev  = spark.read.parquet(s"$dir/events.parquet")
+    // every observation lands in exactly one interval
+    assert(out.agg(sum(col("n_obs"))).head.getLong(0) == ev.count())
+    // exactly one open (current) interval per url
+    val cur = out.filter(col("is_current")).groupBy(col("url_id")).count()
+    assert(cur.filter(col("count") =!= 1).count() == 0)
+    // intervals chain: valid_to of run k == valid_from of run k+1; ordered
+    val nxt = out.select(col("url_id"), (col("run_id") - 1).as("run_id"),
+      col("valid_from_us").as("next_from"))
+    val chained = out.join(nxt, Seq("url_id", "run_id"))
+    assert(chained.filter(col("valid_to_us") =!= col("next_from")).count() == 0)
+    assert(out.filter(col("valid_from_us") > col("last_seen_us")).count() == 0)
+    assert(out.filter(!col("is_current") &&
+      col("last_seen_us") >= col("valid_to_us")).count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("text_lexical_diversity: counters nest and agree with text_tokens") {
+    val out = SparkEntry.queries("text_lexical_diversity")(spark, dir).cache()
+    assert(out.filter(col("n_hapax") > col("n_types")
+      || col("n_types") > col("n_tokens")
+      || col("top_cf") > col("n_tokens")
+      || col("ttr_ppm") > 1000000L).count() == 0)
+    // cross-operator consistency: token totals match the text_tokens query
+    val tok = SparkEntry.queries("text_tokens")(spark, dir)
+      .select(col("doc_id"), col("ws_tokens"))
+    assert(out.join(tok, Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("ws_tokens")).count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("text_collocations: min-count honored, unigram counts bound bigram counts") {
+    val out = SparkEntry.queries("text_collocations")(spark, dir)
+    assert(out.filter(col("n_ab") < 5).count() == 0)
+    assert(out.filter(col("cf_a") < col("n_ab") || col("cf_b") < col("n_ab")).count() == 0)
+    assert(out.filter(col("lift_ppm") < 0).count() == 0)
+  }
+
+  test("q_reciprocal_links: reciprocated edges bounded by out-degree, flag consistent") {
+    val out = SparkEntry.queries("q_reciprocal_links")(spark, dir).cache()
+    assert(out.filter(col("n_recip") > col("out_deg")).count() == 0)
+    assert(out.filter(col("link_farm_flag") =!= (col("recip_ppm") >= 500000L)).count() == 0)
+    out.unpersist()
+    ()
+  }
+
   test("search_tiered_index: tiers partition each posting list, tier 0 = ceil(df/4)") {
     val out = SparkEntry.queries("search_tiered_index")(spark, dir).cache()
     val byTerm = out.groupBy(col("term"))
