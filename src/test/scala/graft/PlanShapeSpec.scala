@@ -350,4 +350,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!p.contains("BroadcastExchange"),
       s"golden diff broadcast a corpus-scaled side:\n${p.take(2000)}")
   }
+
+  test("bitext mining: candidates from bucket equi-joins, never source×target") {
+    val p = plan("q_bitext_mine")
+    assert(!p.contains("CartesianProduct"),
+      s"bitext candidate join went cartesian:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bitext candidate join lost its equi-key:\n${p.take(2000)}")
+  }
+
+  test("tiered index: one posting shuffle + one term-window shuffle, nothing more") {
+    val p = plan("search_tiered_index")
+    // groupBy(term, doc) then window partitionBy(term): the (term) exchange
+    // also serves the final (term, tier) agg — a third shuffle means the
+    // partitioning reuse broke
+    assert(count(p, "Exchange") == 2,
+      s"expected exactly 2 Exchanges:\n${p.take(3000)}")
+  }
+
+  test("HITS iterations broadcast score tables; shuffles carry (host, int64) only") {
+    val executed = SparkEntry.queries("q_host_hits")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"score table not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("CartesianProduct"))
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("text"), s"HITS shuffle carries text: $cols")
+    }
+  }
+
+  test("collocations: unigram counts broadcast back to the bigram table") {
+    val p = plan("text_collocations")
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram side not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "vocab-sized unigram join degraded to SortMerge")
+  }
 }
