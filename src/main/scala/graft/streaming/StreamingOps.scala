@@ -292,4 +292,73 @@ object StreamingOps {
           }
         })
   }
+
+  /** One pending fetch request against a host's politeness budget.
+    * `us` is event time in epoch microseconds (carried as an integer so
+    * the refill arithmetic is exact — Timestamp truncates to ms). */
+  final case class FetchReq(host_id: Long, us: Long, event_id: Long)
+
+  final case class FetchDecision(host_id: Long, event_id: Long, us: Long,
+      tok_before_mu: Long, allowed: Boolean)
+
+  /** (last observed us, micro-tokens remaining) per host. */
+  final case class BucketState(lastUs: Long, tokMu: Long)
+
+  /** Token-bucket capacity: 2 tokens, in micro-tokens. */
+  val RateCapMu: Long = 2000000L
+
+  /** One fetch costs one token. */
+  val RateCostMu: Long = 1000000L
+
+  /** Refill: 1 token per 6 hours ⇒ 1 micro-token per [[RateRefillUsPerMu]]
+    * microseconds — sized to the events table's per-host gap distribution
+    * so the sf replay exercises BOTH outcomes (≈10% denied at sf0.001,
+    * ≈25% at sf0.01, ≈88% at sf0.1). */
+  val RateRefillUsPerMu: Long = 21600L
+
+  /** Streaming token-bucket rate limiter — the crawl-politeness gate in
+    * its streaming-native form (the batch `q_crawl_schedule` PLANS a
+    * fetch timeline; this ADMITS live requests against each host's
+    * budget, the decision a fetcher fleet needs at request time and a
+    * batch job can only backfill). Per host: a bucket of [[RateCapMu]]
+    * micro-tokens refills linearly with event time (integer floor per
+    * gap), each admitted fetch costs [[RateCostMu]], a request finding
+    * less than one token is denied (and consumes nothing). The
+    * recurrence tok' = min(cap, tok + Δt/refill) − cost·allowed is
+    * NON-LINEAR (the cap and the conditional spend), so no window
+    * function expresses it — this operator is genuine sequential state,
+    * which is why it ships as `mapGroupsWithState` machinery and its
+    * oracle is a recursive CTE stepping the same recurrence.
+    *
+    * Scale shape: state is (2 longs) × hosts, hash-distributed by the
+    * group key like all state here; each micro-batch sorts ONLY its own
+    * per-host slice (bounded by per-host batch arrivals, the sessionize
+    * discipline). NoTimeout: a host's budget is permanent standing
+    * state, size-bounded by the host universe, not the stream — eviction
+    * (LRU on lastUs) is a deployment policy knob, not a correctness
+    * need. Within-batch order is (us, event_id) — the replay feeds
+    * chronological batches, so output equals the sequential recurrence
+    * over the full stream (proven by the hash-exact recursive oracle). */
+  def rateLimit(reqs: Dataset[FetchReq]): Dataset[FetchDecision] = {
+    import reqs.sparkSession.implicits._
+    reqs
+      .groupByKey(_.host_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (host: Long, it: Iterator[FetchReq], state: GroupState[BucketState]) => {
+          val rows = it.toVector.sortBy(e => (e.us, e.event_id))
+          var (last, tok) = state.getOption
+            .map(s => (s.lastUs, s.tokMu)).getOrElse((Long.MinValue, RateCapMu))
+          val out = rows.map { e =>
+            if (last != Long.MinValue)
+              tok = math.min(RateCapMu, tok + (e.us - last) / RateRefillUsPerMu)
+            val before  = tok
+            val allowed = tok >= RateCostMu
+            if (allowed) tok -= RateCostMu
+            last = e.us
+            FetchDecision(host, e.event_id, e.us, before, allowed)
+          }
+          state.update(BucketState(last, tok))
+          out.iterator
+        })
+  }
 }

@@ -251,6 +251,33 @@ object StreamingQueries {
       ss.table(name)
         .groupBy(col("doc_id"))
         .agg(expr("bool_or(seen)").as("near_dup"))
+    }),
+
+    // Streaming token-bucket rate limiter: fetch requests (events keyed
+    // to ~97 hosts) replay chronologically; the per-host bucket state
+    // lives in flatMapGroupsWithState across micro-batches. The oracle
+    // is a recursive CTE stepping the IDENTICAL integer recurrence —
+    // min-cap refill + conditional spend is sequential state no window
+    // function expresses, so this pair proves the streaming state
+    // machine against a from-first-principles replay of the recurrence.
+    "stream_rate_limit" -> ((s, dir) => {
+      val ss = replaySession(s)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val rows = ss.read.parquet(s"$dir/events.parquet")
+        .select((col("user_id") % 97L).as("host_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id").cast("long").as("event_id"))
+        .as[StreamingOps.FetchReq].collect()
+        .sortBy(e => (e.us, e.event_id))
+      val in   = MemoryStream[StreamingOps.FetchReq]
+      val name = s"srl_${qId.incrementAndGet()}"
+      val q = StreamingOps.rateLimit(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        quarters(rows.toSeq).foreach { b => in.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      ss.table(name)
     }))
 
   // --- DuckDB oracles (the batch twins) -----------------------------------
@@ -306,5 +333,36 @@ object StreamingQueries {
         |v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
         |      FROM events WHERE event_type = 'view')
         |SELECT c.click_id, c.user_id, v.view_id, c.c_us - v.v_us AS lag_us
-        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.c_us >= v.v_us""".stripMargin)
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.c_us >= v.v_us""".stripMargin,
+
+    // recursive CTE stepping the token-bucket recurrence host by host,
+    // one observation per iteration (the recursive term sees only the
+    // previous iteration's rows — each host advances its own pointer):
+    // tok_before = min(cap, tok + Δus // refill), spend iff ≥ cost.
+    // Constants mirror StreamingOps.{RateCapMu, RateCostMu,
+    // RateRefillUsPerMu}; the first observation finds a full bucket.
+    "stream_rate_limit" -> {
+      val cap    = StreamingOps.RateCapMu
+      val cost   = StreamingOps.RateCostMu
+      val refill = StreamingOps.RateRefillUsPerMu
+      val r      = s"least($cap, s.tok_mu + (o.us - s.us) // $refill)"
+      s"""WITH RECURSIVE o AS (
+         |  SELECT user_id % 97 AS host_id, event_id, epoch_us(ts) AS us,
+         |    row_number() OVER (
+         |      PARTITION BY user_id % 97 ORDER BY epoch_us(ts), event_id)::BIGINT AS rn
+         |  FROM events),
+         |sim AS (
+         |  SELECT host_id, rn, us, event_id,
+         |    $cap::BIGINT AS tok_before, true AS allowed,
+         |    ${cap - cost}::BIGINT AS tok_mu
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.host_id, o.rn, o.us, o.event_id,
+         |    ($r)::BIGINT AS tok_before,
+         |    $r >= $cost AS allowed,
+         |    (CASE WHEN $r >= $cost THEN $r - $cost ELSE $r END)::BIGINT AS tok_mu
+         |  FROM sim s JOIN o ON o.host_id = s.host_id AND o.rn = s.rn + 1)
+         |SELECT host_id, event_id, us, tok_before AS tok_before_mu, allowed
+         |FROM sim""".stripMargin
+    })
 }

@@ -255,4 +255,32 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(verdict(8L) === true)
     } finally q.stop()
   }
+
+  test("rateLimit: bucket drains, refills by event time, state survives batch boundaries") {
+    import StreamingOps.{FetchDecision, FetchReq}
+    implicit val sq = spark.sqlContext
+    val H  = 7L
+    val S  = 1000000L // one token in micro-tokens
+    val in = MemoryStream[FetchReq]
+    val q = StreamingOps.rateLimit(in.toDS())
+      .writeStream.format("memory").queryName("rlim").outputMode("update").start()
+    try {
+      // batch 1: simultaneous burst of 3 (event_id order) — cap is 2
+      // tokens, third denied with an empty bucket
+      in.addData(FetchReq(H, 0L, 1L), FetchReq(H, 0L, 2L), FetchReq(H, 0L, 3L))
+      q.processAllAvailable()
+      // batch 2 (state carry): at t=+3 h only half a token refilled →
+      // denied (balance kept); 6 h later that half plus a full token → admit
+      val h3 = 3L * 3600 * 1000000L
+      in.addData(FetchReq(H, h3, 4L), FetchReq(H, 3 * h3, 5L))
+      q.processAllAvailable()
+      val d = spark.table("rlim").as[FetchDecision].collect()
+        .map(r => r.event_id -> ((r.tok_before_mu, r.allowed))).toMap
+      assert(d(1L) == ((2 * S, true)))
+      assert(d(2L) == ((S, true)))
+      assert(d(3L) == ((0L, false)), "burst beyond capacity must be denied")
+      assert(d(4L) == ((S / 2, false)), "half-refilled bucket cannot admit")
+      assert(d(5L) == ((3 * S / 2, true)), "refill accrues across batches on the kept balance")
+    } finally q.stop()
+  }
 }
