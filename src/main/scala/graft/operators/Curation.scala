@@ -45,6 +45,10 @@ object Curation {
   /** PageRank integer scale (rank 1.0 ≡ [[PrScale]]). */
   private val PrScale = 1000000L
 
+  /** TrustRank seed whitelist — the hand-vetted hosts trust flows from.
+    * src0 (the planted hub) is deliberately excluded. */
+  private val TrustSeeds = Seq("src1", "src5", "src9")
+
   /** Memorization-audit chunk width (tokens), the Lee-et-al granularity
     * (mirrors TextOps' chunk rule). */
   private val MemChunkW = 10
@@ -489,6 +493,54 @@ object Curation {
         .withColumn("crawl_rank", dense_rank().over(w).cast("long"))
     }),
 
+    // TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004) — PageRank with the
+    // teleport mass confined to a hand-vetted seed whitelist, the
+    // standard link-SPAM demotion prior: a host earns trust only through
+    // (possibly indirect) links FROM the seed set, so rank manufactured
+    // by link farms and the planted hub's raw in-link mass is discounted
+    // unless trusted hosts actually point there. Same synthesized host
+    // multigraph, same exact-int64 unrolled iterations as
+    // `q_host_pagerank` (contribution = (85·r·w) div (100·out)); the two
+    // differences are the init vector (trust mass split over seeds, 0
+    // elsewhere) and the teleport (seeds only). src0 — the hub 1/3 of all
+    // links point at — is deliberately NOT a seed: the spec pins that its
+    // trust comes out LOWER relative to PageRank's rank-1 crown unless
+    // seeds link it. Scale shape identical to PageRank: host-pair edge
+    // list, broadcast rank table, (host, int64) shuffles per round.
+    "q_host_trustrank" -> ((s, dir) => {
+      val idx = substring(col("source"), 4, 6).cast("int")
+      val rot = concat(lit("src"), ((idx + 1 + (col("doc_id") % 19).cast("int")) % 20).cast("string"))
+      val v   = when(col("doc_id") % 3 === 0 && col("source") =!= "src0", lit("src0"))
+        .otherwise(rot)
+      val e = docs(s, dir).select(col("source").as("u"), v.as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      val outw  = e.groupBy(col("u")).agg(sum(col("w")).as("outw"))
+      val hosts = e.select(col("u").as("host"))
+        .unionByName(e.select(col("v").as("host"))).distinct()
+      val isSeed   = col("host").isin(TrustSeeds: _*)
+      val seedTele = 15L * PrScale / (100L * TrustSeeds.size)
+      val seedInit = PrScale / TrustSeeds.size
+      def step(r: DataFrame): DataFrame = {
+        val contrib = e.join(outw, Seq("u"))
+          .join(broadcast(r.withColumnRenamed("host", "u")), Seq("u"))
+          .select(col("v").as("host"), expr("(85 * r * w) div (100 * outw)").as("c"))
+          .groupBy(col("host")).agg(sum(col("c")).as("cs"))
+        hosts.join(contrib, Seq("host"), "left")
+          .select(col("host"),
+            (when(isSeed, lit(seedTele)).otherwise(lit(0L))
+              + coalesce(col("cs"), lit(0L))).as("r"))
+      }
+      val r0 = hosts.select(col("host"),
+        when(isSeed, lit(seedInit)).otherwise(lit(0L)).as("r"))
+      val r1 = step(r0)
+      val r2 = step(r1)
+      hosts.select(col("host"), isSeed.as("is_seed"))
+        .join(r1.withColumnRenamed("r", "tr1"), Seq("host"))
+        .join(r2.withColumnRenamed("r", "tr2"), Seq("host"))
+        .withColumn("trust_rank", dense_rank().over(
+          Window.orderBy(col("tr2").desc, col("host").asc)).cast("long"))
+    }),
+
     // Domain-mixture resampling (the Pile/Dolma-style mixing step): given
     // per-domain raw counts, compute temperature-scaled target weights
     // w_d ∝ n_d^0.5 (α = 0.5 flattens the mix toward rare domains), turn
@@ -883,6 +935,44 @@ object Curation {
          |  dense_rank() OVER (ORDER BY r2.r DESC, h.host ASC)::BIGINT AS crawl_rank
          |FROM h
          |LEFT JOIN ow ON ow.u = h.host
+         |JOIN r1 ON r1.host = h.host
+         |JOIN r2 ON r2.host = h.host""".stripMargin
+    },
+
+    "q_host_trustrank" -> {
+      val seeds    = TrustSeeds.map(s => s"'$s'").mkString("(", ", ", ")")
+      val seedTele = 15L * PrScale / (100L * TrustSeeds.size)
+      val seedInit = PrScale / TrustSeeds.size
+      s"""WITH e AS (
+         |  SELECT source AS u,
+         |    CASE WHEN doc_id % 3 = 0 AND source <> 'src0' THEN 'src0'
+         |         ELSE 'src' ||
+         |           ((CAST(substr(source, 4) AS INT) + 1 + (doc_id % 19)::INT) % 20)::VARCHAR
+         |    END AS v,
+         |    count(*)::BIGINT AS w
+         |  FROM documents GROUP BY 1, 2),
+         |ow AS (SELECT u, sum(w)::BIGINT AS outw FROM e GROUP BY 1),
+         |h AS (SELECT u AS host FROM e UNION SELECT v FROM e),
+         |r0 AS (SELECT host,
+         |  (CASE WHEN host IN $seeds THEN $seedInit ELSE 0 END)::BIGINT AS r FROM h),
+         |c1 AS (
+         |  SELECT v AS host, sum((85 * r * w) // (100 * outw))::BIGINT AS cs
+         |  FROM e JOIN ow USING (u) JOIN r0 ON r0.host = e.u GROUP BY 1),
+         |r1 AS (SELECT h.host,
+         |  ((CASE WHEN h.host IN $seeds THEN $seedTele ELSE 0 END)
+         |    + coalesce(cs, 0))::BIGINT AS r
+         |  FROM h LEFT JOIN c1 USING (host)),
+         |c2 AS (
+         |  SELECT v AS host, sum((85 * r * w) // (100 * outw))::BIGINT AS cs
+         |  FROM e JOIN ow USING (u) JOIN r1 ON r1.host = e.u GROUP BY 1),
+         |r2 AS (SELECT h.host,
+         |  ((CASE WHEN h.host IN $seeds THEN $seedTele ELSE 0 END)
+         |    + coalesce(cs, 0))::BIGINT AS r
+         |  FROM h LEFT JOIN c2 USING (host))
+         |SELECT h.host, h.host IN $seeds AS is_seed,
+         |  r1.r AS tr1, r2.r AS tr2,
+         |  dense_rank() OVER (ORDER BY r2.r DESC, h.host ASC)::BIGINT AS trust_rank
+         |FROM h
          |JOIN r1 ON r1.host = h.host
          |JOIN r2 ON r2.host = h.host""".stripMargin
     },

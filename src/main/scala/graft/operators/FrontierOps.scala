@@ -227,10 +227,21 @@ object FrontierOps {
     // iterations; nothing corpus-sized moves after the one groupBy that
     // builds the edges.
     "q_host_hits" -> ((s, dir) => {
-      val e = hostEdges(s, dir)
+      // the four unrolled half-steps reference the edge set ~2^4 times
+      // through their lineage; cached, each reference is a host-pair-sized
+      // read instead of a corpus scan + distinct (12.7 s → sub-second at
+      // sf0.1). At scale the edge list is a stored table, derived never.
+      val e = hostEdges(s, dir).cache()
       val hosts = e.select(col("src").as("host"))
         .unionByName(e.select(col("dst").as("host"))).distinct().cache()
-      def normPpm(r: DataFrame, c: String): DataFrame = {
+      // each half-step's raw scores are referenced twice (the L1 total and
+      // the rescale) and feed the next half-step — left lazy, the lineage
+      // doubles per step (2^4 subtrees ⇒ ~12 s of re-planned tiny stages
+      // at sf0.1). localCheckpoint materializes the host-sized score table
+      // once per step (the kmeans-centroid discipline: an iterative
+      // fixpoint's per-round result is DATA, not a plan to replay).
+      def normPpm(r0: DataFrame, c: String): DataFrame = {
+        val r = r0.localCheckpoint()
         val t = r.agg(sum(col(c)).as("t"))
         r.crossJoin(broadcast(t))
           .select(col("host"), expr(s"($c * 1000000) div t").as(c))

@@ -198,6 +198,24 @@ object Search {
           max(col("df")).as("df"), max(col("total_tf")).as("ttf"))
         .select(col("term"), col("tier"), col("n_postings"), col("tf_mass"),
           col("df"), expr("(tf_mass * 1000000) div ttf").as("mass_ppm"))
+    }),
+
+    // Corpus-derived stopword list: terms whose document-frequency share
+    // crosses 80% — the list the BM25/tiering path drops before indexing
+    // and tokenizer training reserves slots for. Deriving it from the
+    // OBSERVED df (rather than shipping a fixed English list) is what
+    // keeps the index honest on a multilingual crawl; the 800k-ppm
+    // threshold is the conventional "appears in nearly every document"
+    // cut. One distinct-terms-per-doc aggregation (map-side combined) +
+    // a broadcast 1-row corpus count — vocab-sized output, integer ppm.
+    "text_stopword_derive" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.agg(count(lit(1)).as("n"))
+      d.select(explode(array_distinct(tokens(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("term"), col("df"), expr("(df * 1000000) div n").as("df_ppm"))
+        .withColumn("stopword", col("df_ppm") >= 800000L)
     }))
 
   private val dkBm25 =
@@ -278,5 +296,14 @@ object Search {
          |SELECT term, tier, count(*)::BIGINT AS n_postings, sum(tf)::BIGINT AS tf_mass,
          |  max(df)::BIGINT AS df,
          |  (sum(tf) * 1000000 // max(total_tf))::BIGINT AS mass_ppm
-         |FROM tiers GROUP BY 1, 2""".stripMargin)
+         |FROM tiers GROUP BY 1, 2""".stripMargin,
+
+    "text_stopword_derive" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |d AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+         |df AS (SELECT term, count(*)::BIGINT AS df FROM d GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n FROM documents)
+         |SELECT term, df, (df * 1000000 // n)::BIGINT AS df_ppm,
+         |  (df * 1000000 // n) >= 800000 AS stopword
+         |FROM df, n""".stripMargin)
 }

@@ -39,6 +39,24 @@ object Similarity {
   private val KmeansIters = 2
   private val BitextK         = 4        // neighborhood size for margin scoring
   private val BitextMarginPpm = 1300000L // accept: top-1 ≥ 1.3× its neighborhood
+  private val BitextRecallMax = 50L      // recall audit's exact-side src subset
+
+  /** The two bitext collections: source = even vec_ids; target = odd
+    * vec_ids ∪ 10 planted translations (perturbed copies of sources
+    * 0..18, tgt_id = src_id + 500001). Shared by the miner and its
+    * recall audit so both score the identical corpus. */
+  private def bitextSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val raw = s.read.parquet(s"$dir/embeddings.parquet")
+    val srcV = raw.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), toDouble(col("embedding")).as("v"))
+    val tgtV = raw.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), toDouble(col("embedding")).as("v"))
+      .unionByName(raw.filter(col("vec_id") % 2 === 0 && col("vec_id") < 20)
+        .select((col("vec_id") + 500001L).as("tgt_id"),
+          transform(col("embedding"),
+            (x, i) => x.cast("double") + lit(0.005) * ((i % 5) - 2).cast("double")).as("v")))
+    (srcV, tgtV)
+  }
 
   /** TRAINED coarse quantizer: Lloyd's k-means iterations in the integer
     * quantized space (VectorKernels.quantize), so every step — distance,
@@ -371,15 +389,7 @@ object Similarity {
     // candidate sources (no neighborhood evidence) fall back to an
     // absolute shifted-cosine test at 1.9e6 (cos ≥ 0.9).
     "q_bitext_mine" -> ((s, dir) => {
-      val raw = s.read.parquet(s"$dir/embeddings.parquet")
-      val srcV = raw.filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id").as("src_id"), toDouble(col("embedding")).as("v"))
-      val tgtV = raw.filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("tgt_id"), toDouble(col("embedding")).as("v"))
-        .unionByName(raw.filter(col("vec_id") % 2 === 0 && col("vec_id") < 20)
-          .select((col("vec_id") + 500001L).as("tgt_id"),
-            transform(col("embedding"),
-              (x, i) => x.cast("double") + lit(0.005) * ((i % 5) - 2).cast("double")).as("v")))
+      val (srcV, tgtV) = bitextSides(s, dir)
       val planes = planesFor(corpusN(s, dir))
       // both sides read twice (bucket-key join, then vector fetch for
       // survivors); cached like embeddingNearDups' keys — at scale the
@@ -416,6 +426,35 @@ object Similarity {
         .withColumn("accepted",
           (col("n_topk") > 1 && col("margin_ppm") >= BitextMarginPpm) ||
             (col("n_topk") === 1 && col("cos_shift_scaled") >= 1900000L))
+    }),
+
+    // Recall audit for the bitext miner — `ann_recall`'s role for the
+    // cross-lingual path: on a source subset, the EXACT best target (a
+    // broadcast brute-force argmax over the whole target side) is
+    // compared against what the LSH-probed miner surfaced; hit = the
+    // miner's top-1 equals the exact top-1, miss rows keep the exact
+    // answer so the gap is inspectable. At 100 TB this runs on a sampled
+    // source slice exactly like this — you track the recall number, the
+    // bucketed miner does the work.
+    "q_bitext_recall" -> ((s, dir) => {
+      val (srcV, tgtV) = bitextSides(s, dir)
+      val probe = srcV.filter(col("src_id") < BitextRecallMax)
+        .withColumn("sn", norm(col("v")))
+        .select(col("src_id"), col("v").as("sv"), col("sn"))
+      val corpus = tgtV.withColumn("tn", norm(col("v")))
+      val scored = corpus.crossJoin(broadcast(probe))
+        .select(col("src_id"), col("tgt_id"),
+          floor(lit(1e6) * (lit(1.0) + dot(col("sv"), col("v")) / (col("sn") * col("tn"))))
+            .cast("long").as("s"))
+      val w = Window.partitionBy(col("src_id")).orderBy(col("s").desc, col("tgt_id").asc)
+      val exact = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("src_id"), col("tgt_id").as("exact_tgt"), col("s").as("exact_s"))
+      val mined = queries("q_bitext_mine")(s, dir)
+        .filter(col("src_id") < BitextRecallMax)
+        .select(col("src_id"), col("tgt_id").as("mined_tgt"))
+      exact.join(mined, Seq("src_id"), "left")
+        .select(col("src_id"), col("exact_tgt"), col("exact_s"), col("mined_tgt"),
+          coalesce(col("mined_tgt") === col("exact_tgt"), lit(false)).as("hit"))
     }))
 
   // --- DuckDB oracles -----------------------------------------------------
@@ -634,46 +673,71 @@ object Similarity {
     // Bitext mining twin: same collections, same corpus-scaling planes,
     // same own+hamming-1 probe set, same integer margin arithmetic.
     "q_bitext_mine" ->
-      s"""WITH src AS (
-         |  SELECT vec_id AS src_id, [x::DOUBLE for x in embedding] AS v
-         |  FROM embeddings WHERE vec_id % 2 = 0),
-         |tgt AS (
-         |  SELECT vec_id AS tgt_id, [x::DOUBLE for x in embedding] AS v
-         |  FROM embeddings WHERE vec_id % 2 = 1
-         |  UNION ALL
-         |  SELECT vec_id + 500001 AS tgt_id,
-         |    [embedding[i]::DOUBLE + 0.005 * (((i - 1) % 5) - 2)
-         |     for i in generate_series(1, $Dims)] AS v
-         |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 20),
-         |prm AS (SELECT ${Dk.planesCase("n")} AS np
-         |  FROM (SELECT count(*)::BIGINT AS n FROM embeddings)),
-         |sb AS (SELECT src_id, v, $dkBktDyn AS bkt FROM src, prm),
-         |tb AS (SELECT tgt_id, v, $dkBktDyn AS bkt FROM tgt, prm),
-         |probes AS (
-         |  SELECT src_id, v, unnest(list_prepend(bkt,
-         |    [xor(bkt, (1::BIGINT << j)) for j in generate_series(0, np - 1)])) AS pb
-         |  FROM sb, prm),
-         |sc AS (
-         |  SELECT q.src_id, t.tgt_id,
-         |    floor(1000000 * (1.0 + ${Dk.cosine("q.v", "t.v", Dims)}))::BIGINT AS s
-         |  FROM probes q JOIN tb t ON q.pb = t.bkt),
-         |rk AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY src_id ORDER BY s DESC, tgt_id)::BIGINT AS rn
-         |  FROM sc),
-         |top AS (
-         |  SELECT src_id, count(*)::BIGINT AS n_topk, sum(s)::BIGINT AS sum_s,
-         |    max(CASE WHEN rn = 1 THEN tgt_id END)::BIGINT AS tgt_id,
-         |    max(CASE WHEN rn = 1 THEN s END)::BIGINT AS s1
-         |  FROM rk WHERE rn <= $BitextK GROUP BY 1),
-         |m AS (
-         |  SELECT src_id, tgt_id, s1 AS cos_shift_scaled, n_topk,
-         |    (CASE WHEN n_topk > 1
-         |      THEN ((n_topk - 1) * s1 * 1000000) // (sum_s - s1)
-         |      ELSE 1000000 END)::BIGINT AS margin_ppm
-         |  FROM top)
+      s"""WITH $dkBitextChain
          |SELECT src_id, tgt_id, cos_shift_scaled, n_topk, margin_ppm,
          |  ((n_topk > 1 AND margin_ppm >= $BitextMarginPpm)
          |    OR (n_topk = 1 AND cos_shift_scaled >= 1900000)) AS accepted
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin,
+
+    // Recall audit twin: the mined chain verbatim plus an exact
+    // brute-force argmax over the source subset.
+    "q_bitext_recall" ->
+      s"""WITH $dkBitextChain,
+         |ex AS (
+         |  SELECT q.src_id, t.tgt_id,
+         |    floor(1000000 * (1.0 + ${Dk.cosine("q.v", "t.v", Dims)}))::BIGINT AS s
+         |  FROM src q JOIN tgt t ON q.src_id < $BitextRecallMax),
+         |exr AS (
+         |  SELECT src_id, tgt_id AS exact_tgt, s AS exact_s FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY src_id ORDER BY s DESC, tgt_id) AS rn
+         |    FROM ex) WHERE rn = 1)
+         |SELECT exr.src_id, exr.exact_tgt, exr.exact_s,
+         |  m.tgt_id AS mined_tgt,
+         |  coalesce(m.tgt_id = exr.exact_tgt, false) AS hit
+         |FROM exr LEFT JOIN m
+         |  ON m.src_id = exr.src_id AND m.src_id < $BitextRecallMax""".stripMargin)
+
+  /** Shared oracle CTE chain for the bitext pair: collections → planes →
+    * buckets → own+hamming-1 probes → candidate scores → per-source top-k
+    * margin table `m` (and `src`/`tgt` for the exact side). */
+  private def dkBitextChain: String =
+    s"""src AS (
+       |  SELECT vec_id AS src_id, [x::DOUBLE for x in embedding] AS v
+       |  FROM embeddings WHERE vec_id % 2 = 0),
+       |tgt AS (
+       |  SELECT vec_id AS tgt_id, [x::DOUBLE for x in embedding] AS v
+       |  FROM embeddings WHERE vec_id % 2 = 1
+       |  UNION ALL
+       |  SELECT vec_id + 500001 AS tgt_id,
+       |    [embedding[i]::DOUBLE + 0.005 * (((i - 1) % 5) - 2)
+       |     for i in generate_series(1, $Dims)] AS v
+       |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 20),
+       |prm AS (SELECT ${Dk.planesCase("n")} AS np
+       |  FROM (SELECT count(*)::BIGINT AS n FROM embeddings)),
+       |sb AS (SELECT src_id, v, $dkBktDyn AS bkt FROM src, prm),
+       |tb AS (SELECT tgt_id, v, $dkBktDyn AS bkt FROM tgt, prm),
+       |probes AS (
+       |  SELECT src_id, v, unnest(list_prepend(bkt,
+       |    [xor(bkt, (1::BIGINT << j)) for j in generate_series(0, np - 1)])) AS pb
+       |  FROM sb, prm),
+       |sc AS (
+       |  SELECT q.src_id, t.tgt_id,
+       |    floor(1000000 * (1.0 + ${Dk.cosine("q.v", "t.v", Dims)}))::BIGINT AS s
+       |  FROM probes q JOIN tb t ON q.pb = t.bkt),
+       |rk AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY src_id ORDER BY s DESC, tgt_id)::BIGINT AS rn
+       |  FROM sc),
+       |top AS (
+       |  SELECT src_id, count(*)::BIGINT AS n_topk, sum(s)::BIGINT AS sum_s,
+       |    max(CASE WHEN rn = 1 THEN tgt_id END)::BIGINT AS tgt_id,
+       |    max(CASE WHEN rn = 1 THEN s END)::BIGINT AS s1
+       |  FROM rk WHERE rn <= $BitextK GROUP BY 1),
+       |m AS (
+       |  SELECT src_id, tgt_id, s1 AS cos_shift_scaled, n_topk,
+       |    (CASE WHEN n_topk > 1
+       |      THEN ((n_topk - 1) * s1 * 1000000) // (sum_s - s1)
+       |      ELSE 1000000 END)::BIGINT AS margin_ppm
+       |  FROM top)""".stripMargin
 }

@@ -675,6 +675,45 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     ()
   }
 
+  test("q_host_trustrank: trust stays on the seed-reachable graph and propagates") {
+    val out = SparkEntry.queries("q_host_trustrank")(spark, dir).cache()
+    assert(out.filter(col("is_seed")).count() == 3)
+    assert(out.filter(col("tr1") < 0 || col("tr2") < 0).count() == 0)
+    // every seed keeps at least its teleport share each round
+    assert(out.filter(col("is_seed") && col("tr2") < 50000L).count() == 0)
+    // trust flows off the seed set (the graph is seed-connected)
+    assert(out.filter(!col("is_seed") && col("tr2") > 0).count() > 0)
+    // total trust never exceeds the injected mass (d=0.85 leaks per hop):
+    // 2 rounds of teleport + initial propagation stay under 2 * PrScale
+    assert(out.agg(sum(col("tr2"))).head.getLong(0) <= 2000000L)
+    out.unpersist()
+    ()
+  }
+
+  test("q_bitext_recall: exact argmax finds every planted twin; miner recall is high") {
+    val out = SparkEntry.queries("q_bitext_recall")(spark, dir).cache()
+    // the exact side must name the planted translation for every planted src
+    val planted = out.filter(col("src_id") < 20)
+    assert(planted.count() == 10)
+    assert(planted.filter(col("exact_tgt") =!= col("src_id") + 500001L).count() == 0,
+      "brute-force argmax missed a planted twin")
+    // the LSH-probed miner recovers most of them (hamming-1 probe bound)
+    assert(planted.filter(col("hit")).count() >= 8)
+    out.unpersist()
+    ()
+  }
+
+  test("text_stopword_derive: df bounded by corpus size, flag matches threshold") {
+    val out  = SparkEntry.queries("text_stopword_derive")(spark, dir).cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.filter(col("df") > docs).count() == 0)
+    assert(out.filter(col("stopword") =!= (col("df_ppm") >= 800000L)).count() == 0)
+    // the sf corpus is a small-vocabulary soup: its core vocab IS near-universal
+    assert(out.filter(col("stopword")).count() > 0)
+    out.unpersist()
+    ()
+  }
+
   test("search_tiered_index: tiers partition each posting list, tier 0 = ceil(df/4)") {
     val out = SparkEntry.queries("search_tiered_index")(spark, dir).cache()
     val byTerm = out.groupBy(col("term"))
