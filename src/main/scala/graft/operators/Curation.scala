@@ -541,6 +541,51 @@ object Curation {
           Window.orderBy(col("tr2").desc, col("host").asc)).cast("long"))
     }),
 
+    // Per-source data card — the summary table a curated release SHIPS
+    // (Datasheets-for-Datasets / Dolma-style per-source reporting): for
+    // every source host, volume (docs/chars/tokens), mean quality bin,
+    // dominant language (count argmax, alphabetical tiebreak), and the
+    // exact-duplicate share. Runs over documents ∪ planted byte-exact
+    // copies of every 10th doc (the raw sf corpus is dup-free, which
+    // would make the dup column vacuous). Scale shape: one quality scan
+    // (source/n_chars ride along — no second scan), one md5 groupBy
+    // whose shuffle carries (hash, source) only, one (source, lang)
+    // aggregation; everything reduces to source-cardinality frames
+    // before joining.
+    "q_source_datacard" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("source"), col("lang"), col("n_chars"), col("text")))
+      val base = TextOps.qualityFrame(corpus)
+        .select(col("source"), col("n_chars"), col("n_tokens"),
+          floor(col("quality") * 100).cast("long").as("qbin"))
+      val agg = base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"), sum(col("qbin")).as("qsum"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("total_tokens"), expr("qsum div n_docs").as("mean_qbin"))
+      val hashed = corpus.select(col("source"), md5(col("text")).as("h"))
+      val hot = hashed.groupBy(col("h")).agg(count(lit(1)).as("copies"))
+        .filter(col("copies") >= 2)
+      val dupBySrc = hashed.join(hot, Seq("h"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+      val langTop = corpus.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("ln"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("ln").desc, col("lang").asc)))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("ln").as("top_lang_docs"))
+      agg.join(dupBySrc, Seq("source"), "left").join(langTop, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("total_tokens"), col("mean_qbin"), col("top_lang"),
+          col("top_lang_docs"),
+          coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+        .withColumn("dup_ppm", expr("(dup_docs * 1000000) div n_docs"))
+    }),
+
     // Domain-mixture resampling (the Pile/Dolma-style mixing step): given
     // per-domain raw counts, compute temperature-scaled target weights
     // w_d ∝ n_d^0.5 (α = 0.5 flattens the mix toward rare domains), turn
@@ -976,6 +1021,42 @@ object Curation {
          |JOIN r1 ON r1.host = h.host
          |JOIN r2 ON r2.host = h.host""".stripMargin
     },
+
+    "q_source_datacard" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, source, lang, n_chars, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, source, lang, n_chars, text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |${TextOps.dkQualityCte("corpus")},
+         |base AS (
+         |  SELECT c.source, c.n_chars, q.n_tokens,
+         |    floor(q.quality * 100)::BIGINT AS qbin
+         |  FROM qual q JOIN corpus c USING (doc_id)),
+         |agg AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(n_chars)::BIGINT AS total_chars,
+         |    sum(n_tokens)::BIGINT AS total_tokens,
+         |    (sum(qbin) // count(*))::BIGINT AS mean_qbin
+         |  FROM base GROUP BY 1),
+         |hashed AS (SELECT source, md5(text) AS h FROM corpus),
+         |hot AS (SELECT h FROM hashed GROUP BY h HAVING count(*) >= 2),
+         |dup AS (
+         |  SELECT source, count(*)::BIGINT AS dup_docs
+         |  FROM hashed WHERE h IN (SELECT h FROM hot) GROUP BY 1),
+         |lt AS (
+         |  SELECT source, lang AS top_lang, ln AS top_lang_docs FROM (
+         |    SELECT source, lang, count(*)::BIGINT AS ln,
+         |      row_number() OVER (
+         |        PARTITION BY source ORDER BY count(*) DESC, lang) AS rk
+         |    FROM corpus GROUP BY 1, 2) WHERE rk = 1)
+         |SELECT a.source, a.n_docs, a.total_chars, a.total_tokens, a.mean_qbin,
+         |  lt.top_lang, lt.top_lang_docs,
+         |  coalesce(dup.dup_docs, 0)::BIGINT AS dup_docs,
+         |  (coalesce(dup.dup_docs, 0) * 1000000 // a.n_docs)::BIGINT AS dup_ppm
+         |FROM agg a
+         |LEFT JOIN dup ON dup.source = a.source
+         |JOIN lt ON lt.source = a.source""".stripMargin,
 
     "q_domain_mix" ->
       s"""WITH d AS (

@@ -583,6 +583,28 @@ object TextOps {
         .select(col("a"), col("b"), col("n_ab"), col("cf_a"), col("cf_b"),
           expr("((n_ab * 1000000 * n_uni) div (cf_a * cf_b) * n_uni) div n_bi")
             .as("lift_ppm"))
+    }),
+
+    // Confusion matrix for the language-ID heuristic against the corpus's
+    // LABELED `lang` column — the evaluation loop every classifier in the
+    // curation stack needs closed (the reference's whole eval half is
+    // this shape: predictions ⋈ ground truth → per-class counts;
+    // `eval_script_field_level.py` does it for extraction fields, this
+    // does it for a classifier). Per (truth, predicted) cell: count and
+    // exact ppm share of the truth class — row-normalizing the matrix
+    // makes per-class recall readable directly. Scale shape: predictor
+    // scan + a (lang, lang_pred) aggregation of counters; the matrix is
+    // |langs|² ≤ 36 rows, the window runs on that, never on docs.
+    "eval_langid_confusion" -> ((s, dir) => {
+      val pred  = queries("text_langid")(s, dir).select(col("doc_id"), col("lang_pred"))
+      val truth = docs(s, dir).select(col("doc_id"), col("lang"))
+      val cm = truth.join(pred, Seq("doc_id"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      cm.withColumn("lang_total",
+          sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("lang_pred"), col("n"), col("lang_total"),
+          expr("(n * 1000000) div lang_total").as("share_ppm"),
+          (col("lang") === col("lang_pred")).as("correct"))
     }))
 
   /** One BPE training round over a (doc_id, toks) frame: returns the
@@ -659,6 +681,22 @@ object TextOps {
        |    array_to_string((${Dk.tokens("text")})[1:${2 * ChunkW}], ' ') || ' $Footer' AS text
        |  FROM documents)""".stripMargin
 
+  /** `text_langid`'s full oracle SQL, factored so the confusion-matrix
+    * evaluator can reuse the identical predictor chain. */
+  private def dkLangidSql: String = {
+    val scores = LangMarkers.map { case (lang, ms) =>
+      s"${Dk.markerHits("toks", ms)}::BIGINT AS s_$lang" }.mkString(", ")
+    val best = LangMarkers.map { case (lang, _) => s"s_$lang" }
+      .mkString("greatest(", ", ", ")")
+    val pred = LangMarkers.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
+      s"CASE WHEN s_$lang = $best AND $best > 0 THEN '$lang' ELSE $acc END"
+    }
+    s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+       |s AS (SELECT doc_id, $scores FROM t)
+       |SELECT doc_id, ${LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")}, $pred AS lang_pred
+       |FROM s""".stripMargin
+  }
+
   /** [[qualityFrame]]'s oracle twin, ending in a `qual` CTE (shared by
     * `text_quality` and the adaptive gate; `src` = source CTE/table). */
   private[operators] def dkQualityCte(src: String = "documents"): String =
@@ -708,17 +746,7 @@ object TextOps {
          |thr AS (SELECT min(qbin)::BIGINT AS thr_bin FROM cum, prm WHERE cum >= target)
          |SELECT doc_id, quality, qbin, thr_bin, qbin >= thr_bin AS keep
          |FROM b, thr""".stripMargin,
-    "text_langid" -> {
-      val scores = LangMarkers.map { case (lang, ms) => s"${Dk.markerHits("toks", ms)}::BIGINT AS s_$lang" }.mkString(", ")
-      val best   = LangMarkers.map { case (lang, _) => s"s_$lang" }.mkString("greatest(", ", ", ")")
-      val pred = LangMarkers.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
-        s"CASE WHEN s_$lang = $best AND $best > 0 THEN '$lang' ELSE $acc END"
-      }
-      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
-         |s AS (SELECT doc_id, $scores FROM t)
-         |SELECT doc_id, ${LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")}, $pred AS lang_pred
-         |FROM s""".stripMargin
-    },
+    "text_langid" -> dkLangidSql,
     "text_fingerprint" ->
       s"""SELECT doc_id, ${Dk.fingerprint("text")} AS fp, ${Dk.winnowMin("text")} AS winnow_min
          |FROM documents""".stripMargin,
@@ -928,6 +956,17 @@ object TextOps {
          |  (n_hapax * 1000000 // n_types)::BIGINT AS hapax_ppm,
          |  (top_cf * 1000000 // n_tokens)::BIGINT AS top_share_ppm
          |FROM d""".stripMargin,
+
+    "eval_langid_confusion" ->
+      s"""WITH li AS ($dkLangidSql)
+         |SELECT lang, lang_pred, n, lang_total,
+         |  (n * 1000000 // lang_total)::BIGINT AS share_ppm,
+         |  lang = lang_pred AS correct
+         |FROM (
+         |  SELECT d.lang, li.lang_pred, count(*)::BIGINT AS n,
+         |    sum(count(*)) OVER (PARTITION BY d.lang)::BIGINT AS lang_total
+         |  FROM documents d JOIN li ON d.doc_id = li.doc_id
+         |  GROUP BY 1, 2)""".stripMargin,
 
     "text_collocations" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

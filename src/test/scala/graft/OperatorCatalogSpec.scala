@@ -675,6 +675,33 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     ()
   }
 
+  test("eval_langid_confusion: matrix partitions the corpus, rows normalize to 1e6") {
+    val out  = SparkEntry.queries("eval_langid_confusion")(spark, dir).cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(out.agg(sum(col("n"))).head.getLong(0) == docs.count())
+    // per-truth-class shares sum to ~1e6 (floor loss < cells per row)
+    val rows = out.groupBy(col("lang"))
+      .agg(sum(col("share_ppm")).as("sp"), count(lit(1)).as("cells"))
+    assert(rows.filter(col("sp") > 1000000L
+      || col("sp") <= lit(1000000L) - col("cells")).count() == 0)
+    assert(out.filter(col("correct") =!= (col("lang") === col("lang_pred"))).count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("q_source_datacard: volumes partition the planted corpus, dup share exact") {
+    val out  = SparkEntry.queries("q_source_datacard")(spark, dir).cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val planted = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(out.agg(sum(col("n_docs"))).head.getLong(0) == docs.count() + planted)
+    // each planted byte-exact copy makes itself AND its original dup rows
+    assert(out.agg(sum(col("dup_docs"))).head.getLong(0) == 2 * planted)
+    assert(out.filter(col("top_lang_docs") > col("n_docs")
+      || col("mean_qbin") > 100 || col("dup_ppm") > 1000000L).count() == 0)
+    out.unpersist()
+    ()
+  }
+
   test("q_host_trustrank: trust stays on the seed-reachable graph and propagates") {
     val out = SparkEntry.queries("q_host_trustrank")(spark, dir).cache()
     assert(out.filter(col("is_seed")).count() == 3)
