@@ -35,7 +35,7 @@ object SparkEntry {
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextOps.queries ++ Multimodal.queries ++ Curation.queries ++
       Temporal.queries ++ Sketches.queries ++ Search.queries ++
-      WebOps.queries ++ FrontierOps.queries ++
+      WebOps.queries ++ FrontierOps.queries ++ Layout.queries ++
       ExtractQueries.queries ++ graft.streaming.StreamingQueries.queries
 
   /** DuckDB-equivalent ANSI SQL per query. The extraction/eval kernels are
@@ -46,6 +46,6 @@ object SparkEntry {
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextOps.oracles ++ Multimodal.oracles ++ Curation.oracles ++
       Temporal.oracles ++ Sketches.oracles ++ Search.oracles ++
-      WebOps.oracles ++ FrontierOps.oracles ++
+      WebOps.oracles ++ FrontierOps.oracles ++ Layout.oracles ++
       ExtractQueries.oracles ++ graft.streaming.StreamingQueries.oracles
 }

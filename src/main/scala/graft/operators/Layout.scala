@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.functions.TextKernels.hex32
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physical-layout planning operators — the table-maintenance jobs an
+  * Iceberg-backed 100 TB corpus runs continuously (the north rule's
+  * storage layer): small-file compaction planning, Z-order clustering
+  * with a data-skipping audit, and the two-pass distributed training
+  * shuffle. All three are pure metadata/layout math over the same tables
+  * the rest of the catalog reads, so every plan row is oracle-checkable.
+  *
+  *  - **Compaction planning** (à la Iceberg `rewrite_data_files` binpack):
+  *    the file inventory is derived deterministically from `orders`
+  *    (file per order, size from the price column, table-partition from
+  *    o_orderpriority). Only small files qualify; qualifying files
+  *    bin-pack per partition by the concat-and-cut rule (bin boundary
+  *    every TargetKb of cumulative size, the same discipline as
+  *    text_shard_pack). Scale shape: one window pass PER TABLE PARTITION
+  *    (at 100 TB: thousands of date partitions, each with a bounded file
+  *    list — the window key is the parallel unit), and the output is
+  *    plan metadata (bins), never data. The rewrite itself would be a
+  *    partition-pruned scan per bin.
+  *
+  *  - **Z-order layout audit**: Morton-interleave (user_id, time-bucket)
+  *    into a 32-bit z-value via the classic shift-and-mask bit spread
+  *    (Morton 1966; the Delta/Iceberg OPTIMIZE ZORDER key), assign each
+  *    row to one of 64 fixed-width z-ranges ("files"), collect per-file
+  *    min/max zone maps for BOTH dimensions, and simulate a box query's
+  *    file pruning against the layout an event log ships with — files in
+  *    ingestion (time) order — at the same file count: time-linear files
+  *    prune only on the time dimension, so a user-selective box query
+  *    scans every in-window file, while z-order prunes on both. Scale shape: zero sorts — fixed z-ranges make file
+  *    assignment a stateless map (at a real write you'd
+  *    repartitionByRange on z; the audit's zone-map math is identical),
+  *    and the aggregate shuffles 2×64 stat rows regardless of input.
+  *
+  *  - **Two-pass global shuffle**: the canonical way a training pipeline
+  *    materializes a deterministic random order over 10^12 docs without
+  *    a single-partition sort: salt-hash every doc_id to a position key,
+  *    range-bucket the key space, count per bucket (pass 1, a 64-row
+  *    aggregate), prefix-sum the counts into bucket offsets (64-row
+  *    window — the only "global" object, broadcast back), then
+  *    global_pos = bucket_offset + intra-bucket rank (pass 2, a window
+  *    keyed by bucket). The oracle proves two-pass == the naive global
+  *    `row_number() OVER (ORDER BY key)` exactly.
+  */
+object Layout {
+
+  /** compaction: files at least this size (KB) are left alone */
+  val SmallKb = 40000L
+  /** compaction: target output-file size (KB) */
+  val TargetKb = 200000L
+
+  /** z-order: 16 bits per dimension, 64 output files */
+  val ZFiles = 64
+  /** z audit's probe box: a narrow user slice × a time slice */
+  val BoxXLo = 1000L; val BoxXHi = 1999L
+  val BoxYLo = 8192L; val BoxYHi = 24575L
+
+  /** shuffle: range buckets over the 32-bit position-key space */
+  val ShufBuckets = 64
+  val ShufSalt    = "shuf-v1"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Morton bit-spread: 16-bit value -> even bit positions of 32 bits.
+    * floor() on the input keeps the cross-engine contract integer-only. */
+  private def spread16(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit values; x occupies the even bits. */
+  private[graft] def mortonZ(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** The z-audit's point set. x = the user's shard slot: user_id times a
+    * fixed odd multiplier mod 2^16 (gcd(431, 2^16) = 1, so it permutes —
+    * the id-to-shard spread a clustered write would apply to a dense id
+    * space). y = 40-second time bucket since the table epoch
+    * (2024-01-01), sized so the corpus's 30-day window fills the 16-bit
+    * grid without wrapping. */
+  private val EpochUs = 1704067200000000L // 2024-01-01T00:00:00Z
+  private def zPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      pmod(col("user_id") * 431L, lit(65536L)).as("x"),
+      pmod(expr(s"(unix_micros(CAST(ts AS TIMESTAMP)) - $EpochUs) DIV 40000000"),
+        lit(65536L)).as("y"))
+
+  private def zStats(pts: DataFrame, layout: String, fileOf: Column): DataFrame =
+    pts.groupBy(fileOf.as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("layout", lit(layout))
+      .withColumn("scanned",
+        col("min_x") <= BoxXHi && col("max_x") >= BoxXLo &&
+          col("min_y") <= BoxYHi && col("max_y") >= BoxYLo)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Iceberg-style binpack compaction plan over a derived file inventory.
+    "q_compaction_plan" -> ((s, dir) => {
+      val inv = t(s, dir, "orders").select(
+        col("o_orderkey").as("file_id"),
+        col("o_orderpriority").as("part"),
+        floor(col("o_totalprice")).cast("long").as("size_kb"))
+      val cand = inv.filter(col("size_kb") < SmallKb)
+      val w = Window.partitionBy(col("part")).orderBy(col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cand
+        .withColumn("cum_kb", sum(col("size_kb")).over(w))
+        .withColumn("bin_id", expr(s"(cum_kb - size_kb) DIV $TargetKb"))
+        .groupBy(col("part"), col("bin_id"))
+        .agg(count(lit(1)).as("n_files"), sum(col("size_kb")).as("kb_in"),
+          min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+        .filter(col("n_files") > 1) // a 1-file bin is a no-op rewrite
+    }),
+
+    // Z-order vs linear layout: per-file zone maps + box-query pruning.
+    "q_zorder_layout" -> ((s, dir) => {
+      val pts = zPoints(s, dir).withColumn("z", mortonZ(col("x"), col("y")))
+      val zf  = zStats(pts, "zorder", expr(s"z DIV ${(1L << 32) / ZFiles}"))
+      // the baseline an event log ships with: files in ingestion (time) order
+      val lf  = zStats(pts, "linear", expr(s"y DIV ${65536L / ZFiles}"))
+      zf.unionByName(lf)
+        .select(col("layout"), col("file_id"), col("n_rows"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"), col("scanned"))
+    }),
+
+    // Two-pass distributed stable shuffle == global row_number proof.
+    "q_global_shuffle" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents").select(
+        col("doc_id"),
+        hex32(concat(col("doc_id"), lit("|" + ShufSalt))).as("pos_key"))
+        .withColumn("bucket", expr(s"pos_key DIV ${(1L << 32) / ShufBuckets}"))
+      val offs = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn("offset",
+          coalesce(sum(col("n")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("offset"))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("pos_key"), col("doc_id"))
+      keyed.join(broadcast(offs), Seq("bucket"))
+        .withColumn("global_pos",
+          col("offset") + row_number().over(wIn).cast("long") - 1L)
+        .select(col("doc_id"), col("bucket"), col("pos_key"), col("global_pos"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_compaction_plan" ->
+      s"""WITH inv AS (
+         |  SELECT o_orderkey AS file_id, o_orderpriority AS part,
+         |    floor(o_totalprice)::BIGINT AS size_kb
+         |  FROM orders),
+         |cand AS (SELECT * FROM inv WHERE size_kb < $SmallKb),
+         |c AS (
+         |  SELECT *, sum(size_kb) OVER (PARTITION BY part ORDER BY file_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_kb
+         |  FROM cand),
+         |b AS (SELECT *, ((cum_kb - size_kb) // $TargetKb)::BIGINT AS bin_id FROM c)
+         |SELECT part, bin_id, count(*)::BIGINT AS n_files, sum(size_kb)::BIGINT AS kb_in,
+         |  min(file_id) AS first_file, max(file_id) AS last_file
+         |FROM b GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "q_zorder_layout" ->
+      s"""WITH pts AS (
+         |  SELECT (((user_id * 431) % 65536) + 65536) % 65536 AS x,
+         |    (((((epoch_us(ts) - 1704067200000000) // 40000000) % 65536) + 65536) % 65536) AS y
+         |  FROM events),
+         |sp AS (
+         |  SELECT x, y,
+         |    (x | (x << 8)) & 16711935 AS x1, (y | (y << 8)) & 16711935 AS y1
+         |  FROM pts),
+         |sp2 AS (
+         |  SELECT x, y,
+         |    (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2
+         |  FROM sp),
+         |sp3 AS (
+         |  SELECT x, y,
+         |    (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3
+         |  FROM sp2),
+         |zv AS (
+         |  SELECT x, y,
+         |    ((x3 | (x3 << 1)) & 1431655765)
+         |      | (((y3 | (y3 << 1)) & 1431655765) << 1) AS z
+         |  FROM sp3),
+         |stats AS (
+         |  SELECT 'zorder' AS layout, z // ${(1L << 32) / ZFiles} AS file_id,
+         |    count(*)::BIGINT AS n_rows,
+         |    min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |  FROM zv GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'linear' AS layout, y // ${65536L / ZFiles} AS file_id,
+         |    count(*)::BIGINT AS n_rows,
+         |    min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |  FROM zv GROUP BY 1, 2)
+         |SELECT layout, file_id, n_rows, min_x, max_x, min_y, max_y,
+         |  (min_x <= $BoxXHi AND max_x >= $BoxXLo
+         |    AND min_y <= $BoxYHi AND max_y >= $BoxYLo) AS scanned
+         |FROM stats""".stripMargin,
+
+    "q_global_shuffle" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    ${graft.functions.TextKernels.Dk.hex32(s"doc_id || '|$ShufSalt'")} AS pos_key
+         |  FROM documents)
+         |SELECT doc_id, pos_key // ${(1L << 32) / ShufBuckets} AS bucket, pos_key,
+         |  (row_number() OVER (ORDER BY pos_key, doc_id) - 1)::BIGINT AS global_pos
+         |FROM keyed""".stripMargin)
+}

@@ -392,4 +392,50 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!p.contains("SortMergeJoin"),
       "vocab-sized unigram join degraded to SortMerge")
   }
+
+  test("z-order audit: file assignment is a stateless map — no Sort before the stat aggs") {
+    val p = plan("q_zorder_layout")
+    // fixed-width z-ranges need no global sort; the only acceptable Sorts
+    // would come from a regression to ntile/row_number file assignment
+    assert(!p.contains("Sort "), s"z-file assignment picked up a sort:\n${p.take(3000)}")
+    // one partial+final agg pair per layout, nothing more
+    assert(count(p, "Exchange") == 2, s"expected exactly 2 Exchanges:\n${p.take(3000)}")
+  }
+
+  test("compaction plan: the window is partitioned by table partition, never global") {
+    val executed = SparkEntry.queries("q_compaction_plan")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val windows = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "compaction cumsum window lost its partition key (single-partition sort at scale)")
+    }
+  }
+
+  test("global shuffle: bucket offsets broadcast; only the tiny offset frame sorts globally") {
+    val executed = SparkEntry.queries("q_global_shuffle")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"offset table not broadcast:\n${root.toString.take(2000)}")
+    // the per-doc window must be keyed by bucket — the whole point is
+    // that no corpus-sized single-partition window exists
+    val windows = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val docWindows = windows.filter(_.output.map(_.name).contains("doc_id"))
+    assert(docWindows.nonEmpty)
+    docWindows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "doc-grain window lost its bucket key"))
+  }
 }
