@@ -32,6 +32,9 @@ object Curation {
   /** Tokens-per-doc budget for one packed shard (tiny for the sf corpora;
     * a real run uses ~the sequence length × rows per file). */
   private val ShardBudget = 2048L
+
+  /** sequence length (tokens) for concat-and-chunk packing */
+  private val SeqLen = 256L
   private val TrainPct    = 90L
 
   /** Per-domain quota (the C4/RefinedWeb host-cap policy constant). */
@@ -173,6 +176,41 @@ object Curation {
           size(tokens(col("text"))).cast("long").as("n_tokens"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .withColumn("shard", floor((col("cum_tokens") - col("n_tokens")) / ShardBudget))
+    }),
+
+    // Concat-and-chunk sequence packing — the OTHER packing discipline an
+    // LLM trainer runs (shard_pack keeps docs whole; seq_pack concatenates
+    // the token stream and cuts fixed SeqLen-token training sequences, so
+    // docs SPLIT across sequence boundaries). Per pack bucket (same
+    // packBucketsFor sizing, so per-bucket window work is constant at any
+    // corpus size), docs concatenate in doc_id order; each doc spans
+    // sequences [start DIV L, (end-1) DIV L] — a `sequence()` explode, ≤
+    // (doc_len/L + 1) rows per doc, never a cross join. Output grain =
+    // one row per (bucket, seq): how many docs contribute, how many are
+    // carried across the left boundary (the attention-fragmentation
+    // quantity packing curricula minimize), and the exact token fill
+    // (= L everywhere except each bucket's tail sequence — asserted in
+    // CurationSpec). All integer math on both engines.
+    "text_seq_pack" -> ((s, dir) => {
+      val nBuckets = packBucketsFor(docs(s, dir).count())
+      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          (hex32(concat(lit("pack:"), col("doc_id").cast("string"))) % nBuckets).as("bucket"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        // a 0-token doc spans no sequence — and Spark's sequence() would
+        // DESCEND on (k, k-1) where DuckDB's generate_series returns empty
+        .filter(col("n_tokens") > 0)
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("start", col("cum") - col("n_tokens"))
+        .withColumn("seq",
+          explode(sequence(expr(s"start DIV $SeqLen"), expr(s"(cum - 1) DIV $SeqLen"))))
+        .groupBy(col("bucket"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("start") < col("seq") * SeqLen, 1)).as("n_carried_in"),
+          sum(least(col("cum"), (col("seq") + 1) * SeqLen) -
+            greatest(col("start"), col("seq") * SeqLen)).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
     }),
 
     // Benchmark decontamination: flag corpus docs sharing a WINNOWED
@@ -794,6 +832,28 @@ object Curation {
          |SELECT doc_id, bucket, n_tokens, cum_tokens::BIGINT AS cum_tokens,
          |  ((cum_tokens - n_tokens) // $ShardBudget)::BIGINT AS shard
          |FROM c""".stripMargin,
+
+    "text_seq_pack" ->
+      s"""WITH prm AS (SELECT ${dkPackBuckets("count(*)")}::BIGINT AS nb FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |    ${Dk.hex32("'pack:' || doc_id::VARCHAR")} % nb AS bucket,
+         |    len(${Dk.tokens("text")})::BIGINT AS n_tokens
+         |  FROM documents, prm),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)::BIGINT AS cum
+         |  FROM t WHERE n_tokens > 0),
+         |spans AS (
+         |  SELECT bucket, doc_id, cum, cum - n_tokens AS strt,
+         |    unnest(generate_series((cum - n_tokens) // $SeqLen, (cum - 1) // $SeqLen)) AS seq
+         |  FROM c)
+         |SELECT bucket, seq, count(*)::BIGINT AS n_docs,
+         |  count(CASE WHEN strt < seq * $SeqLen THEN 1 END)::BIGINT AS n_carried_in,
+         |  sum(least(cum, (seq + 1) * $SeqLen)
+         |    - greatest(strt, seq * $SeqLen))::BIGINT AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM spans GROUP BY 1, 2""".stripMargin,
     // The flagship oracle reruns the WHOLE chain in SQL: the recursive
     // transitive closure recomputes the duplicate clusters independently,
     // so the hash compare proves quality gate, exact dedup, LSH banding

@@ -194,6 +194,40 @@ object Similarity {
       topk(pairs)
     }),
 
+    // Hard-negative mining for contrastive training (the batch job behind
+    // every embedding-model finetune at scale): for each probe, the top-K
+    // most-similar DIFFERENT-label vectors (the hard negatives) annotated
+    // with the probe's best same-label positive and the triplet verdict —
+    // is_hard = negative at least as close as the positive (margin ≤ 0,
+    // the pairs a triplet loss actually learns from). One broadcast-probe
+    // corpus scan computes every pair cosine once; positives are a
+    // per-query max (argmax via the same deterministic window discipline
+    // as topk), negatives a per-query top-K. Comparisons happen on the
+    // round-4 values both engines already agree on bit-for-bit.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQuery)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qlabel"), col("vec_id").as("neighbor_id"),
+          col("label"), round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
+      val wPos = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val pos = pairs.filter(col("label") === col("qlabel"))
+        .withColumn("r", row_number().over(wPos)).filter(col("r") === 1)
+        .select(col("query_id"), col("neighbor_id").as("pos_id"), col("cos").as("cos_pos"))
+      val neg = pairs.filter(col("label") =!= col("qlabel"))
+        .withColumn("rank", row_number().over(wPos).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("label"), col("rank"),
+          col("cos").as("cos_neg"))
+      neg.join(broadcast(pos), Seq("query_id"))
+        .withColumn("is_hard", col("cos_neg") >= col("cos_pos"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("label"),
+          col("cos_neg"), col("pos_id"), col("cos_pos"), col("is_hard"))
+    }),
+
     // Per-vector LSH bucket assignment + bucket histogram (the index build;
     // also the skew observable: max bucket size is the quantity that must
     // stay ~corpus/2^planes at scale).
@@ -537,6 +571,26 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> dkBruteforce,
+    "q_hard_negatives" ->
+      s"""WITH e AS ($dkEmb),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+         |    c.vec_id AS neighbor_id, c.label, round($dkCos, 4) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < $NQuery AND c.vec_id <> q.vec_id),
+         |pos AS (
+         |  SELECT query_id, neighbor_id AS pos_id, cos AS cos_pos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS r
+         |  FROM pairs WHERE label = qlabel),
+         |neg AS (
+         |  SELECT query_id, neighbor_id, label, cos AS cos_neg,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM pairs WHERE label <> qlabel)
+         |SELECT n.query_id, n.rank::BIGINT AS rank, n.neighbor_id, n.label,
+         |  n.cos_neg, p.pos_id, p.cos_pos, n.cos_neg >= p.cos_pos AS is_hard
+         |FROM neg n JOIN (SELECT * FROM pos WHERE r = 1) p USING (query_id)
+         |WHERE n.rank <= $K""".stripMargin,
     "ann_kmeans_cells" ->
       s"""WITH $dkKmeansChain
          |SELECT vec_id, cell, d2 FROM ad WHERE rn = 1""".stripMargin,

@@ -86,6 +86,45 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("cohort"), col("n_events"))
 
+  /** One event of a stream-stream interval-join side. */
+  final case class RangeEvent(user_id: Long, event_time: Timestamp, event_id: Long)
+
+  /** NATIVE stream-stream interval join (clicks ⋈ errors per user within
+    * [e, e + window)) — the one join class the catalog's other streaming
+    * entries don't exercise: BOTH sides are unbounded streams, so Spark
+    * runs a symmetric hash join whose buffered state is pruned by the
+    * watermark-derived time bound it extracts from the range condition
+    * (the condition must stay on the watermarked TIMESTAMP columns —
+    * rewriting it onto unix_micros() projections would hide the bound and
+    * make both buffers grow with stream length). Inner join in append
+    * mode: a match emits as soon as the later side arrives; no
+    * flush-sentinel is needed. State scale: each side buffers only
+    * `window + watermarkDelay` of events per key, hash-distributed by
+    * user_id like any shuffle.
+    *
+    * Oracle-visibility: the replay (StreamingQueries) feeds the two sides
+    * alternately so every match must cross a micro-batch boundary; the
+    * oracle is the batch twin q_range_join's SQL VERBATIM. */
+  def intervalJoin(
+      clicks: Dataset[RangeEvent],
+      errors: Dataset[RangeEvent],
+      windowUs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(windowUs % 1000000L == 0, "interval window must be whole seconds")
+    val c = clicks.toDF().withWatermark("event_time", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("c_time"))
+    val e = errors.toDF().withWatermark("event_time", watermarkDelay)
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("event_time").as("e_time"))
+    c.join(e,
+      col("user_id") === col("e_user") &&
+        col("c_time") >= col("e_time") &&
+        col("c_time") < col("e_time") + expr(s"INTERVAL '${windowUs / 1000000L}' SECOND"))
+      .select(col("click_id"), col("error_id"), col("user_id"),
+        (unix_micros(col("c_time")) - unix_micros(col("e_time"))).as("gap_us"))
+  }
+
   final case class UserEvent(user_id: Long, event_time: Timestamp)
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)

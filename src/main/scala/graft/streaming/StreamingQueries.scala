@@ -152,6 +152,42 @@ object StreamingQueries {
         .select(col("click_id"), col("user_id"), col("view_id"), col("lag_us"))
     }),
 
+    // NATIVE stream-stream interval join (symmetric hash join with
+    // watermark-pruned buffers — see StreamingOps.intervalJoin). The two
+    // sides are SEPARATE MemoryStreams fed alternately (errors of quarter
+    // i a full micro-batch before the clicks of quarter i), so every
+    // match is found across batch boundaries from buffered state, never
+    // within one batch. Oracle: q_range_join's batch SQL verbatim.
+    "stream_interval_join" -> ((s, dir) => {
+      val ss = replaySession(s)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      def side(tp: String): Seq[StreamingOps.RangeEvent] = ss.read
+        .parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === tp)
+        .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+          col("event_id").cast("long"))
+        .as[(Long, Timestamp, Long)].collect()
+        .sortBy(r => (r._2.getTime, r._3)).toSeq
+        .map(r => StreamingOps.RangeEvent(r._1, r._2, r._3))
+      val inC  = MemoryStream[StreamingOps.RangeEvent]
+      val inE  = MemoryStream[StreamingOps.RangeEvent]
+      val name = s"sij_${qId.incrementAndGet()}"
+      val q = StreamingOps
+        .intervalJoin(inC.toDS(), inE.toDS(), graft.operators.Temporal.RangeWindowUs)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        val cq = quarters(side("click"))
+        val eq = quarters(side("error"))
+        (0 until math.max(cq.size, eq.size)).foreach { i =>
+          if (i < eq.size) { inE.addData(eq(i)); q.processAllAvailable() }
+          if (i < cq.size) { inC.addData(cq(i)); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      ss.table(name)
+        .select(col("click_id"), col("error_id"), col("user_id"), col("gap_us"))
+    }),
+
     // Stream-static enrichment: facts stream through MemoryStream, the
     // user→cohort dimension is a STATIC batch frame broadcast into every
     // micro-batch (stateless join), enriched rows aggregate into
@@ -325,6 +361,9 @@ object StreamingQueries {
         |  cohort, count(*) AS n_events
         |FROM events JOIN dim USING (user_id)
         |GROUP BY 1, 2, 3""".stripMargin,
+    // q_range_join's oracle verbatim: the native stream-stream join must
+    // reproduce the canonical batch interval join exactly
+    "stream_interval_join" -> graft.operators.Temporal.oracles("q_range_join"),
     // q_asof_join's oracle verbatim (DuckDB native ASOF LEFT JOIN): the
     // stream must reproduce the canonical batch as-of exactly
     "stream_asof_join" ->

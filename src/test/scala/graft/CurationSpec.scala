@@ -101,4 +101,31 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.filter(col("n_shared") < 1).count() == 0)
     out.unpersist()
   }
+
+  test("text_seq_pack: every sequence is exactly full except each bucket's tail") {
+    val out = SparkEntry.queries("text_seq_pack")(spark, "/root/testdata/sf0.001")
+      .select("bucket", "seq", "n_tokens", "n_docs", "n_carried_in").cache()
+    try {
+      val tail = out.groupBy(col("bucket")).agg(max(col("seq")).as("seq"))
+      val nonTail = out.join(tail, Seq("bucket", "seq"), "left_anti")
+      assert(nonTail.filter(col("n_tokens") =!= 256L).count() == 0,
+        "a non-tail sequence is not exactly SeqLen tokens")
+      // packing concatenates: sequences after the first of a bucket carry
+      // the previous doc in unless a doc boundary landed exactly on the cut
+      assert(out.filter(col("n_carried_in") > 1).count() == 0,
+        "more than one doc can never straddle a single left boundary")
+      // fragmentation is real in this corpus: some doc crosses a boundary
+      assert(out.filter(col("n_carried_in") === 1).count() > 0)
+      // bucket-total conservation: Σ n_tokens per bucket == Σ doc tokens
+      val byBucket = out.groupBy("bucket").agg(sum("n_tokens").as("packed"))
+      val docsTok = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"),
+          (graft.functions.TextKernels.hex32(concat(lit("pack:"), col("doc_id"))) %
+            graft.operators.Curation.packBucketsFor(500L)).as("bucket"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+        .groupBy("bucket").agg(sum("n").as("want"))
+      assert(byBucket.join(docsTok, Seq("bucket"))
+        .filter(col("packed") =!= col("want")).count() == 0)
+    } finally out.unpersist()
+  }
 }

@@ -755,4 +755,25 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
     ()
   }
+
+  test("q_hard_negatives: negatives cross labels, ranks order by cosine, verdict is consistent") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").as("true_label"))
+    val out = SparkEntry.queries("q_hard_negatives")(spark, dir).cache()
+    try {
+      // the mined negative really is a different-label vector…
+      val labelled = out
+        .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+        .join(emb.select(col("vec_id").as("query_id"), col("true_label").as("qlabel")),
+          Seq("query_id"))
+      assert(labelled.filter(col("label") =!= col("true_label")).count() == 0)
+      assert(labelled.filter(col("label") === col("qlabel")).count() == 0)
+      // …ranks descend in cosine, and the triplet verdict matches the margin
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      assert(out.withColumn("prev", lag(col("cos_neg"), 1).over(w))
+        .filter(col("prev") < col("cos_neg")).count() == 0)
+      assert(out.filter(col("is_hard") =!= (col("cos_neg") >= col("cos_pos"))).count() == 0)
+    } finally { out.unpersist(); () }
+  }
 }

@@ -283,4 +283,31 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(d(5L) == ((3 * S / 2, true)), "refill accrues across batches on the kept balance")
     } finally q.stop()
   }
+
+  test("intervalJoin: [e, e+W) boundary semantics, matches found across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.RangeEvent
+    val W    = 2000000L // 2 s window
+    val base = 1000L * 60000L
+    def t(offUs: Long): Timestamp = new Timestamp((base * 1000 + offUs) / 1000)
+    val inC = MemoryStream[RangeEvent]
+    val inE = MemoryStream[RangeEvent]
+    val q = StreamingOps.intervalJoin(inC.toDS(), inE.toDS(), W)
+      .writeStream.format("memory").queryName("sij_unit").outputMode("append").start()
+    try {
+      // errors arrive first (batch 1), clicks in a LATER batch — every
+      // match must come from the join's buffered state
+      inE.addData(RangeEvent(7L, t(0), 100L))
+      q.processAllAvailable()
+      inC.addData(
+        RangeEvent(7L, t(0), 1L),           // c == e        -> in (left-closed)
+        RangeEvent(7L, t(W - 1000000), 2L), // c == e+W-1s   -> in
+        RangeEvent(7L, t(W), 3L),           // c == e+W      -> out (right-open)
+        RangeEvent(8L, t(1000000), 4L))     // wrong user    -> out
+      q.processAllAvailable()
+      val got = spark.table("sij_unit")
+        .select("click_id", "gap_us").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 0L), (2L, W - 1000000)))
+    } finally q.stop()
+  }
 }
