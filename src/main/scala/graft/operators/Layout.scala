@@ -64,6 +64,9 @@ object Layout {
   val ShufBuckets = 64
   val ShufSalt    = "shuf-v1"
 
+  /** snapshot expiration: days of snapshot history to retain */
+  val RetainDays = 365L
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -132,6 +135,42 @@ object Layout {
       zf.unionByName(lf)
         .select(col("layout"), col("file_id"), col("n_rows"),
           col("min_x"), col("max_x"), col("min_y"), col("max_y"), col("scanned"))
+    }),
+
+    // Snapshot-expiration planning — the third leg of the Iceberg
+    // maintenance triad (compact / recluster / expire): which data files
+    // does dropping snapshots older than the retention window actually
+    // free? The file log derives deterministically from `orders`: every
+    // file is added on its order day; 'F' (rewritten) files are removed
+    // (o_orderkey % 20) + 1 days later; a snapshot on day s references
+    // the files with added <= s < removed. Expiring snapshots before
+    // cutoff = head - RetainDays frees exactly the files whose removal
+    // predates the cutoff ("expirable"); removed-but-referenced files
+    // stay ("retained"); never-removed files are "live". Scale shape: one
+    // scan + a broadcast 1-row head aggregate — the plan is metadata
+    // math, no shuffle wider than the scalar. At a real 100 TB table this
+    // runs over the manifest-file table (millions of rows), not the data.
+    "q_snapshot_expire" -> ((s, dir) => {
+      val inv = t(s, dir, "orders").select(
+        col("o_orderkey").as("file_id"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("added_day"),
+        when(col("o_orderstatus") === "F",
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000") +
+            pmod(col("o_orderkey"), lit(20L)) + 1L).as("removed_day"),
+        floor(col("o_totalprice")).cast("long").as("size_kb"))
+      // max() skips nulls in both engines; greatest() does not — keep the
+      // null handling inside the aggregates
+      val head = inv.agg(greatest(max(col("added_day")),
+          coalesce(max(col("removed_day")), lit(0L))).as("head_day"))
+        .select(col("head_day"), (col("head_day") - RetainDays).as("cutoff_day"))
+      inv.join(broadcast(head))
+        .withColumn("status",
+          when(col("removed_day").isNull, "live")
+            .when(col("removed_day") <= col("cutoff_day"), "expirable")
+            .otherwise("retained"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_files"), sum(col("size_kb")).as("kb"),
+          min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
     }),
 
     // Two-pass distributed stable shuffle == global row_number proof.
@@ -205,6 +244,26 @@ object Layout {
          |  (min_x <= $BoxXHi AND max_x >= $BoxXLo
          |    AND min_y <= $BoxYHi AND max_y >= $BoxYLo) AS scanned
          |FROM stats""".stripMargin,
+
+    "q_snapshot_expire" ->
+      s"""WITH inv AS (
+         |  SELECT o_orderkey AS file_id,
+         |    epoch_us(o_orderdate) // 86400000000 AS added_day,
+         |    CASE WHEN o_orderstatus = 'F'
+         |      THEN epoch_us(o_orderdate) // 86400000000
+         |        + (((o_orderkey % 20) + 20) % 20) + 1 END AS removed_day,
+         |    floor(o_totalprice)::BIGINT AS size_kb
+         |  FROM orders),
+         |head AS (
+         |  SELECT greatest(max(added_day), coalesce(max(removed_day), 0))
+         |    - $RetainDays AS cutoff_day
+         |  FROM inv)
+         |SELECT CASE WHEN removed_day IS NULL THEN 'live'
+         |    WHEN removed_day <= cutoff_day THEN 'expirable'
+         |    ELSE 'retained' END AS status,
+         |  count(*)::BIGINT AS n_files, sum(size_kb)::BIGINT AS kb,
+         |  min(file_id) AS first_file, max(file_id) AS last_file
+         |FROM inv, head GROUP BY 1""".stripMargin,
 
     "q_global_shuffle" ->
       s"""WITH keyed AS (

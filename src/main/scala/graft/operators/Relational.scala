@@ -260,6 +260,26 @@ object Relational {
             .otherwise(0L))
         .groupBy(col("user_id"))
         .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // Data-governance audit: k-anonymity over a quasi-identifier tuple
+    // (nation × market segment × balance band — the release-table shape
+    // privacy review asks about before any user-keyed corpus ships). A
+    // QI group smaller than K is re-identifiable; the audit emits every
+    // group with its size, the anonymity verdict, and how many rows
+    // suppression would drop. One hash aggregation on the QI key — the
+    // same partial-agg/single-Exchange shape as any groupBy, so the audit
+    // costs one scan at any corpus size. floor() on the double balance is
+    // the one cross-engine-safe bucketing primitive (identical IEEE op).
+    "q_k_anonymity" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 2000.0).cast("long").as("balance_band"))
+        .groupBy(col("nation"), col("segment"), col("balance_band"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("k_anonymous", col("n") >= 5L)
+        .withColumn("rows_suppressed", when(col("n") < 5L, col("n")).otherwise(lit(0L)))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -390,5 +410,12 @@ object Relational {
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events)
         |SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
-        |FROM x GROUP BY 1""".stripMargin)
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+        |  floor(c_acctbal / 2000.0)::BIGINT AS balance_band,
+        |  count(*)::BIGINT AS n, count(*) >= 5 AS k_anonymous,
+        |  (CASE WHEN count(*) < 5 THEN count(*) ELSE 0 END)::BIGINT AS rows_suppressed
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin)
 }

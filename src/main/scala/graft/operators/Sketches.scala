@@ -144,6 +144,42 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_registers" -> ((s, dir) => registers(s, dir)),
 
+    // Distribution-drift monitor (the PSI-style data-quality gate a
+    // continuously-ingesting corpus runs between time slices, kept
+    // INTEGER-EXACT instead of transcendental so both engines agree
+    // bit-for-bit): split the event stream at the midpoint day, compare
+    // each event_type's rate between the halves in ppm, flag drift above
+    // 2%. Scale shape: category counts are one partial-agg pass (the
+    // shuffle carries (type, half, count) rows — category-cardinality,
+    // not events), the half totals are a broadcast-sized frame, and the
+    // midpoint comes from the same 1-row min/max aggregate discipline as
+    // q_snapshot_expire's head. abs() of an integer difference, no
+    // doubles anywhere.
+    "q_distribution_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"))
+      val mid = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(expr("(mn + mx + 1) DIV 2").as("mid_day"))
+      val halves = ev.join(broadcast(mid))
+        .withColumn("half", when(col("day") < col("mid_day"), "base").otherwise("current"))
+        .groupBy(col("event_type"), col("half")).agg(count(lit(1)).as("n"))
+      val tot = halves.groupBy(col("half")).agg(sum(col("n")).as("tot"))
+      val ppm = halves.join(broadcast(tot), Seq("half"))
+        .withColumn("ppm", expr("n * 1000000 DIV tot"))
+      val base = ppm.filter(col("half") === "base")
+        .select(col("event_type"), col("n").as("n_base"), col("ppm").as("ppm_base"))
+      val cur = ppm.filter(col("half") === "current")
+        .select(col("event_type"), col("n").as("n_current"), col("ppm").as("ppm_current"))
+      base.join(cur, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_current"), lit(0L)).as("n_current"),
+          coalesce(col("ppm_base"), lit(0L)).as("ppm_base"),
+          coalesce(col("ppm_current"), lit(0L)).as("ppm_current"))
+        .withColumn("drift_ppm", abs(col("ppm_current") - col("ppm_base")))
+        .withColumn("drifted", col("drift_ppm") > 20000L)
+    }),
+
     // Estimator + error observable vs the exact distinct count. raw
     // estimate = alpha_m * m^2 / Σ 2^-rho_j over ALL m registers; the sum
     // is carried as integers scaled by 2^24 (empty registers contribute
@@ -291,6 +327,32 @@ object Sketches {
     Map(
       "sketch_hll_registers" ->
         s"WITH $regCte SELECT reg, rho FROM regs",
+
+      "q_distribution_drift" ->
+        """WITH ev AS (
+          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+          |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid_day FROM ev),
+          |halves AS (
+          |  SELECT event_type,
+          |    CASE WHEN day < mid_day THEN 'base' ELSE 'current' END AS half,
+          |    count(*)::BIGINT AS n
+          |  FROM ev, mid GROUP BY 1, 2),
+          |tot AS (SELECT half, sum(n)::BIGINT AS tot FROM halves GROUP BY 1),
+          |ppm AS (
+          |  SELECT event_type, half, n, (n * 1000000) // tot AS ppm
+          |  FROM halves JOIN tot USING (half)),
+          |b AS (SELECT event_type, n AS n_base, ppm AS ppm_base
+          |      FROM ppm WHERE half = 'base'),
+          |c AS (SELECT event_type, n AS n_current, ppm AS ppm_current
+          |      FROM ppm WHERE half = 'current')
+          |SELECT event_type,
+          |  coalesce(n_base, 0)::BIGINT AS n_base,
+          |  coalesce(n_current, 0)::BIGINT AS n_current,
+          |  coalesce(ppm_base, 0)::BIGINT AS ppm_base,
+          |  coalesce(ppm_current, 0)::BIGINT AS ppm_current,
+          |  abs(coalesce(ppm_current, 0) - coalesce(ppm_base, 0))::BIGINT AS drift_ppm,
+          |  abs(coalesce(ppm_current, 0) - coalesce(ppm_base, 0)) > 20000 AS drifted
+          |FROM b FULL OUTER JOIN c USING (event_type)""".stripMargin,
       "sketch_hll_estimate" ->
         s"""WITH $regCte,
            |sums AS (

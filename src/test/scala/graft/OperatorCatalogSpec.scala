@@ -776,4 +776,39 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(out.filter(col("is_hard") =!= (col("cos_neg") >= col("cos_pos"))).count() == 0)
     } finally { out.unpersist(); () }
   }
+
+  test("q_snapshot_expire: statuses partition the file inventory; only rewritten files expire") {
+    val out = SparkEntry.queries("q_snapshot_expire")(spark, dir).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_files")).toMap
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    assert(out.values.sum == orders.count())
+    assert(out("live") == orders.filter(col("o_orderstatus") =!= "F").count())
+    // both removed-file outcomes occur: old rewrites expire, recent stay
+    assert(out.getOrElse("expirable", 0L) > 0 && out.getOrElse("retained", 0L) > 0)
+  }
+
+  test("q_distribution_drift: ppm shares of each half sum to ~1e6, counts partition the stream") {
+    val out = SparkEntry.queries("q_distribution_drift")(spark, dir).cache()
+    try {
+      val n = spark.read.parquet(s"$dir/events.parquet").count()
+      assert(out.agg(sum(col("n_base") + col("n_current"))).head().getLong(0) == n)
+      // integer DIV floors, so each half's shares sum to (1e6 - categories, 1e6]
+      Seq("ppm_base", "ppm_current").foreach { c =>
+        val s = out.agg(sum(col(c))).head().getLong(0)
+        assert(s <= 1000000L && s > 1000000L - out.count(), s"$c sums to $s")
+      }
+      assert(out.filter(col("drifted") =!= (col("drift_ppm") > 20000L)).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_k_anonymity: verdict and suppression agree with the group size") {
+    val out = SparkEntry.queries("q_k_anonymity")(spark, dir).cache()
+    try {
+      assert(out.agg(sum("n")).head().getLong(0) ==
+        spark.read.parquet(s"$dir/customer.parquet").count())
+      assert(out.filter(col("k_anonymous") =!= (col("n") >= 5L)).count() == 0)
+      assert(out.filter(col("rows_suppressed") =!=
+        when(col("n") < 5L, col("n")).otherwise(lit(0L))).count() == 0)
+    } finally { out.unpersist(); () }
+  }
 }
