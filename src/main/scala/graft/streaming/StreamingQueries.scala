@@ -160,6 +160,11 @@ object StreamingQueries {
     // within one batch. Oracle: q_range_join's batch SQL verbatim.
     "stream_interval_join" -> ((s, dir) => {
       val ss = replaySession(s)
+      // the symmetric hash join keeps TWO keyed state stores per shuffle
+      // partition and checkpoints delta files for each per micro-batch —
+      // at this replay's per-batch volume 4 partitions halve that fixed
+      // cost again (state hash-distributes the same way at any count)
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       import ss.implicits._
       implicit val sq = ss.sqlContext
       def side(tp: String): Seq[StreamingOps.RangeEvent] = ss.read
@@ -179,9 +184,15 @@ object StreamingQueries {
       try {
         val cq = quarters(side("click"))
         val eq = quarters(side("error"))
-        (0 until math.max(cq.size, eq.size)).foreach { i =>
-          if (i < eq.size) { inE.addData(eq(i)); q.processAllAvailable() }
-          if (i < cq.size) { inC.addData(cq(i)); q.processAllAvailable() }
+        // micro-batch i carries errors of quarter i AND clicks of quarter
+        // i-1: clicks always arrive one batch after the errors they match
+        // (the 2 h window is far inside a quarter), so every match still
+        // comes from buffered state — at half the micro-batches of
+        // processing each side separately
+        (0 to math.max(eq.size, cq.size)).foreach { i =>
+          if (i < eq.size) inE.addData(eq(i))
+          if (i > 0 && (i - 1) < cq.size) inC.addData(cq(i - 1))
+          q.processAllAvailable()
         }
       } finally q.stop()
       ss.table(name)
