@@ -38,7 +38,12 @@ object PlanAudit {
         // weight table, zero-shuffle chunk explode
         "q_url_dedup", "q_dsir_weight", "text_chunk_windows",
         "q_host_pagerank", "text_bpe_merges", "q_memorization_audit",
-        "q_skew_salted_join")
+        "q_skew_salted_join",
+        // round-4 closing: sortless Morton layout, per-partition binpack
+        // window, bucket-windowed two-pass shuffle, broadcast-probed
+        // triplet mining
+        "q_zorder_layout", "q_compaction_plan", "q_global_shuffle",
+        "q_hard_negatives")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -280,6 +280,69 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .withColumn("k_anonymous", col("n") >= 5L)
         .withColumn("rows_suppressed", when(col("n") < 5L, col("n")).otherwise(lit(0L)))
+    }),
+
+    // Multi-dimensional aggregate: CUBE over (returnflag, linestatus) —
+    // all four grouping sets in ONE Expand+aggregate pass (Spark's Expand
+    // replicates each input row once per grouping set BEFORE the partial
+    // agg, so the shuffle still carries only group rows — the same
+    // single-Exchange discipline as a plain groupBy, versus the 4-scan
+    // union a naive rollup reimplementation would cost at 100 TB). The
+    // subtotal marker is a coalesced sentinel label, not grouping_id():
+    // the label is engine-neutral, while grouping_id bit orders are not.
+    "q_cube_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("sum_qty"), col("cnt"))
+    }),
+
+    // Pivot (long→wide): per-user event-type counts as columns. The value
+    // list is EXPLICIT — Spark's inferring variant runs a driver-side
+    // distinct scan first (two jobs, and a 100 TB scan just to learn the
+    // column set); with the list pinned the pivot is one partial-agg pass
+    // shuffling (user, 4 counters) rows. Oracle: conditional aggregation,
+    // which is exactly what the pivot lowers to.
+    "q_pivot_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+    }),
+
+    // CDC MERGE-apply (the Iceberg/lakehouse `MERGE INTO` an hourly-crawl
+    // corpus replays continuously): a derived changelog of deletes
+    // (doc_id % 10 = 0), updates (% 10 in (1,2) — re-crawled text) and
+    // inserts (% 10 = 5, new ids) applies to the base in ONE pass shaped
+    // as anti-join + union: survivors = base ⟂ (D ∪ U keys), then the U
+    // and I payload rows append. Both legs shuffle on doc_id only; at
+    // scale the changelog side is hours of crawl vs the full corpus, so
+    // the anti-join broadcasts it and the base is never rewritten beyond
+    // the touched partitions (what snapshot isolation buys). Output =
+    // the merged table keyed by doc_id with its provenance and content
+    // hash — the oracle recomputes the merge relationally.
+    "q_cdc_merge" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dels = base.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      val upds = base.filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 2)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+      val ins = base.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          concat(col("text"), lit(" [new]")).as("text"))
+      val touched = dels.unionByName(upds.select(col("doc_id")))
+      base.join(broadcast(touched), Seq("doc_id"), "left_anti")
+        .withColumn("status", lit("kept"))
+        .unionByName(upds.withColumn("status", lit("updated")))
+        .unionByName(ins.withColumn("status", lit("inserted")))
+        .select(col("doc_id"), col("status"), md5(col("text")).as("content_hash"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -417,5 +480,35 @@ object Relational {
         |  floor(c_acctbal / 2000.0)::BIGINT AS balance_band,
         |  count(*)::BIGINT AS n, count(*) >= 5 AS k_anonymous,
         |  (CASE WHEN count(*) < 5 THEN count(*) ELSE 0 END)::BIGINT AS rows_suppressed
-        |FROM customer GROUP BY 1, 2, 3""".stripMargin)
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_cube_agg" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+        |  count(*)::BIGINT AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS n_click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS n_view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS n_purchase,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_cdc_merge" ->
+      """WITH dels AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+        |upds AS (SELECT doc_id, text || ' [rev2]' AS text
+        |         FROM documents WHERE doc_id % 10 IN (1, 2)),
+        |ins AS (SELECT doc_id + 900000 AS doc_id, text || ' [new]' AS text
+        |        FROM documents WHERE doc_id % 10 = 5)
+        |SELECT doc_id, 'kept' AS status, md5(text) AS content_hash
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+        |  AND doc_id NOT IN (SELECT doc_id FROM upds)
+        |UNION ALL
+        |SELECT doc_id, 'updated', md5(text) FROM upds
+        |UNION ALL
+        |SELECT doc_id, 'inserted', md5(text) FROM ins""".stripMargin)
 }

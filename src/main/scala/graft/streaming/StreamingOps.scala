@@ -98,7 +98,12 @@ object StreamingOps {
     * rewriting it onto unix_micros() projections would hide the bound and
     * make both buffers grow with stream length). Inner join in append
     * mode: a match emits as soon as the later side arrives; no
-    * flush-sentinel is needed. State scale: each side buffers only
+    * flush-sentinel is needed. `joinType = "left_outer"` adds the harder
+    * half of the semantics: an unmatched left row may only emit (with
+    * nulls) once the watermark PROVES no matching right row can still
+    * arrive, so null results are late by construction and a replay must
+    * push the watermark past `last click + window` with sentinel batches
+    * to flush them. State scale: each side buffers only
     * `window + watermarkDelay` of events per key, hash-distributed by
     * user_id like any shuffle.
     *
@@ -109,7 +114,8 @@ object StreamingOps {
       clicks: Dataset[RangeEvent],
       errors: Dataset[RangeEvent],
       windowUs: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(windowUs % 1000000L == 0, "interval window must be whole seconds")
     val c = clicks.toDF().withWatermark("event_time", watermarkDelay)
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -120,7 +126,8 @@ object StreamingOps {
     c.join(e,
       col("user_id") === col("e_user") &&
         col("c_time") >= col("e_time") &&
-        col("c_time") < col("e_time") + expr(s"INTERVAL '${windowUs / 1000000L}' SECOND"))
+        col("c_time") < col("e_time") + expr(s"INTERVAL '${windowUs / 1000000L}' SECOND"),
+      joinType)
       .select(col("click_id"), col("error_id"), col("user_id"),
         (unix_micros(col("c_time")) - unix_micros(col("e_time"))).as("gap_us"))
   }

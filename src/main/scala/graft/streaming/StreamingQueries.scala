@@ -199,6 +199,56 @@ object StreamingQueries {
         .select(col("click_id"), col("error_id"), col("user_id"), col("gap_us"))
     }),
 
+    // LEFT OUTER stream-stream interval join: same operator, the harder
+    // output contract — an unmatched click emits (error_id null) only
+    // when the watermark proves no matching error can still arrive, so
+    // the replay ends with sentinel batches on BOTH sides pushing the
+    // watermark past last click + window, then a second sentinel round to
+    // fire the eviction that emits the null rows. Oracle: the LEFT JOIN
+    // twin of q_range_join.
+    "stream_interval_join_left" -> ((s, dir) => {
+      val ss = replaySession(s)
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      def side(tp: String): Seq[StreamingOps.RangeEvent] = ss.read
+        .parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === tp)
+        .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+          col("event_id").cast("long"))
+        .as[(Long, Timestamp, Long)].collect()
+        .sortBy(r => (r._2.getTime, r._3)).toSeq
+        .map(r => StreamingOps.RangeEvent(r._1, r._2, r._3))
+      val inC  = MemoryStream[StreamingOps.RangeEvent]
+      val inE  = MemoryStream[StreamingOps.RangeEvent]
+      val name = s"sijl_${qId.incrementAndGet()}"
+      val q = StreamingOps.intervalJoin(inC.toDS(), inE.toDS(),
+        graft.operators.Temporal.RangeWindowUs, joinType = "left_outer")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        val cq = quarters(side("click"))
+        val eq = quarters(side("error"))
+        val maxMs = (cq.flatten ++ eq.flatten).map(_.event_time.getTime).max
+        (0 to math.max(eq.size, cq.size)).foreach { i =>
+          if (i < eq.size) inE.addData(eq(i))
+          if (i > 0 && (i - 1) < cq.size) inC.addData(cq(i - 1))
+          q.processAllAvailable()
+        }
+        // two sentinel rounds on both sides: advance the watermark past
+        // every pending click's match window, then fire the eviction pass
+        // that emits the unmatched-left rows
+        Seq(48L, 49L).foreach { h =>
+          val t = new Timestamp(maxMs + h * 3600 * 1000)
+          inC.addData(StreamingOps.RangeEvent(-1L, t, -1L))
+          inE.addData(StreamingOps.RangeEvent(-1L, t, -2L))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ss.table(name)
+        .filter(col("user_id") =!= -1L)
+        .select(col("click_id"), col("error_id"), col("user_id"), col("gap_us"))
+    }),
+
     // Stream-static enrichment: facts stream through MemoryStream, the
     // user→cohort dimension is a STATIC batch frame broadcast into every
     // micro-batch (stateless join), enriched rows aggregate into
@@ -375,6 +425,16 @@ object StreamingQueries {
     // q_range_join's oracle verbatim: the native stream-stream join must
     // reproduce the canonical batch interval join exactly
     "stream_interval_join" -> graft.operators.Temporal.oracles("q_range_join"),
+    // the LEFT JOIN twin: unmatched clicks survive with null error/gap
+    "stream_interval_join_left" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+         |           FROM events WHERE event_type = 'click'),
+         |e AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_us
+         |      FROM events WHERE event_type = 'error')
+         |SELECT c.click_id, e.error_id, c.user_id, c.c_us - e.e_us AS gap_us
+         |FROM c LEFT JOIN e ON c.user_id = e.user_id
+         | AND c.c_us >= e.e_us
+         | AND c.c_us < e.e_us + ${graft.operators.Temporal.RangeWindowUs}""".stripMargin,
     // q_asof_join's oracle verbatim (DuckDB native ASOF LEFT JOIN): the
     // stream must reproduce the canonical batch as-of exactly
     "stream_asof_join" ->

@@ -811,4 +811,47 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
         when(col("n") < 5L, col("n")).otherwise(lit(0L))).count() == 0)
     } finally { out.unpersist(); () }
   }
+
+  test("q_cube_agg: every grouping-set subtotal sums its children exactly") {
+    val out = SparkEntry.queries("q_cube_agg")(spark, dir).cache()
+    try {
+      val grand = out.filter(col("returnflag") === "(all)" && col("linestatus") === "(all)")
+      val leaves = out.filter(col("returnflag") =!= "(all)" && col("linestatus") =!= "(all)")
+      assert(grand.count() == 1)
+      assert(grand.head().getAs[Long]("cnt") ==
+        leaves.agg(sum("cnt")).head().getLong(0))
+      // one-dim subtotals partition the leaves too
+      val byFlag = out.filter(col("returnflag") =!= "(all)" && col("linestatus") === "(all)")
+      assert(byFlag.agg(sum("cnt")).head().getLong(0) ==
+        leaves.agg(sum("cnt")).head().getLong(0))
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_pivot_events: wide counts re-fold to the long counts") {
+    val out = SparkEntry.queries("q_pivot_events")(spark, dir)
+    val ev  = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type").isin("click", "view", "purchase", "error"))
+    assert(out.agg(sum(col("n_click") + col("n_view") + col("n_purchase") + col("n_error")))
+      .head().getLong(0) == ev.count())
+    assert(out.count() ==
+      spark.read.parquet(s"$dir/events.parquet").select("user_id").distinct().count())
+  }
+
+  test("q_cdc_merge: deletes vanish, updates/inserts land, survivors are untouched") {
+    val out  = SparkEntry.queries("q_cdc_merge")(spark, dir).cache()
+    try {
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+      assert(out.filter(col("doc_id") % 10 === 0 && col("doc_id") < 900000L).count() == 0)
+      assert(out.filter(col("status") === "updated").count() ==
+        base.filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 2).count())
+      assert(out.filter(col("status") === "inserted").count() ==
+        base.filter(col("doc_id") % 10 === 5).count())
+      // kept rows carry the base content hash verbatim
+      val kept = out.filter(col("status") === "kept")
+        .join(base.select(col("doc_id"), md5(col("text")).as("want")), Seq("doc_id"))
+      assert(kept.filter(col("content_hash") =!= col("want")).count() == 0)
+      // merged table is still keyed: doc_id unique
+      assert(out.select("doc_id").distinct().count() == out.count())
+    } finally { out.unpersist(); () }
+  }
 }

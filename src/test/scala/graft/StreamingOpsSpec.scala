@@ -310,4 +310,34 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(got == Set((1L, 0L), (2L, W - 1000000)))
     } finally q.stop()
   }
+
+  test("intervalJoin left_outer: an unmatched click emits nulls only once the watermark proves it") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.RangeEvent
+    val W    = 2000000L
+    val base = 1000L * 60000L
+    def t(offUs: Long): Timestamp = new Timestamp((base * 1000 + offUs) / 1000)
+    val inC = MemoryStream[RangeEvent]
+    val inE = MemoryStream[RangeEvent]
+    val q = StreamingOps.intervalJoin(inC.toDS(), inE.toDS(), W, joinType = "left_outer")
+      .writeStream.format("memory").queryName("sijl_unit").outputMode("append").start()
+    try {
+      inE.addData(RangeEvent(9L, t(0), 100L)) // different user: never a match
+      inC.addData(RangeEvent(7L, t(0), 1L))   // the orphan click
+      q.processAllAvailable()
+      assert(spark.table("sijl_unit").count() == 0,
+        "null row emitted before the watermark could prove no match arrives")
+      // two sentinel rounds push the watermark past click + W and fire
+      // the eviction pass that emits the unmatched-left row
+      Seq(1L, 2L).foreach { d =>
+        inC.addData(RangeEvent(-1L, t(d * 3600L * 1000000L), -1L))
+        inE.addData(RangeEvent(-1L, t(d * 3600L * 1000000L), -2L))
+        q.processAllAvailable()
+      }
+      val got = spark.table("sijl_unit").filter(col("user_id") =!= -1L)
+        .select("click_id", "error_id").collect()
+      assert(got.length == 1 && got.head.getLong(0) == 1L && got.head.isNullAt(1),
+        got.mkString(","))
+    } finally q.stop()
+  }
 }
