@@ -77,6 +77,52 @@ object FrontierOps {
           col("fetch_ms"), expr("fetch_ms div 60000").as("minute"))
     }),
 
+    // Triangle counting + local clustering coefficient on the host graph
+    // — the canonical distributed graph kernel (Suri & Vassilvitskii's
+    // MR triangle counting, via DEGREE-ORDERED ORIENTATION): symmetrize
+    // the link graph, orient every edge from the (degree, name)-smaller
+    // endpoint to the larger, and count closed wedges. Orientation is
+    // what makes this survive scale-up: each triangle is counted exactly
+    // once, and the wedge join fans out by the ORIENTED out-degree, which
+    // the ordering bounds by O(sqrt(|E|)) even for celebrity hosts — the
+    // unoriented join would square the hub's degree. Shuffles carry
+    // (host, host) pairs only. Output per host: degree, triangle count,
+    // clustering coefficient in ppm (integer-exact).
+    "q_triangle_count" -> ((s, dir) => {
+      val e = hostEdges(s, dir)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val deg = und.select(col("a").as("h")).unionAll(und.select(col("b").as("h")))
+        .groupBy(col("h")).agg(count(lit(1)).as("deg"))
+      val withDeg = und
+        .join(deg.select(col("h").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("h").as("b"), col("deg").as("db")), Seq("b"))
+      val o = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v"))
+      val wedges = o.select(col("u"), col("v").as("x"))
+        .join(o.select(col("u"), col("v").as("y")), Seq("u"))
+        .filter(col("x") < col("y"))
+      val tri = wedges.join(
+        // both orientations of the closing edge (unionByName — positional
+        // unionAll would silently un-swap the second leg)
+        o.select(col("u").as("x"), col("v").as("y"))
+          .unionByName(o.select(col("v").as("x"), col("u").as("y"))),
+        Seq("x", "y"))
+      val perHost = tri.select(col("u").as("h"))
+        .unionAll(tri.select(col("x").as("h")))
+        .unionAll(tri.select(col("y").as("h")))
+        .groupBy(col("h")).agg(count(lit(1)).as("n_triangles"))
+      deg.join(perHost, Seq("h"), "left_outer")
+        .select(col("h").as("host"), col("deg"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .withColumn("clustering_ppm",
+          when(col("deg") >= 2,
+            expr("(2 * n_triangles * 1000000) DIV (deg * (deg - 1))")).otherwise(lit(0L)))
+    }),
+
     // Link co-citation (bibliographic coupling): host pairs ranked by the
     // overlap of their distinct outlink-target sets — integer-ppm Jaccard,
     // pairs sharing <2 targets dropped as noise. The link-graph twin of
@@ -324,6 +370,35 @@ object FrontierOps {
          |SELECT host_a, host_b, shared, sa.n AS na, sb.n AS nb,
          |  (shared * 1000000 // (sa.n + sb.n - shared))::BIGINT AS jaccard_ppm
          |FROM p JOIN sz sa ON p.host_a = sa.src JOIN sz sb ON p.host_b = sb.src""".stripMargin,
+
+    "q_triangle_count" ->
+      s"""WITH e AS ($dkHostEdges),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |deg AS (
+         |  SELECT h, count(*)::BIGINT AS deg FROM (
+         |    SELECT a AS h FROM und UNION ALL SELECT b AS h FROM und)
+         |  GROUP BY 1),
+         |o AS (
+         |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.a < und.b)
+         |           THEN und.a ELSE und.b END AS u,
+         |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.a < und.b)
+         |           THEN und.b ELSE und.a END AS v
+         |  FROM und JOIN deg d1 ON d1.h = und.a JOIN deg d2 ON d2.h = und.b),
+         |wedges AS (
+         |  SELECT o1.u, o1.v AS x, o2.v AS y
+         |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+         |closing AS (SELECT u AS x, v AS y FROM o UNION ALL SELECT v AS x, u AS y FROM o),
+         |tri AS (SELECT w.u, w.x, w.y FROM wedges w JOIN closing c ON w.x = c.x AND w.y = c.y),
+         |per AS (
+         |  SELECT h, count(*)::BIGINT AS n_triangles FROM (
+         |    SELECT u AS h FROM tri UNION ALL SELECT x AS h FROM tri
+         |    UNION ALL SELECT y AS h FROM tri)
+         |  GROUP BY 1)
+         |SELECT deg.h AS host, deg.deg, coalesce(per.n_triangles, 0)::BIGINT AS n_triangles,
+         |  (CASE WHEN deg.deg >= 2
+         |     THEN (2 * coalesce(per.n_triangles, 0) * 1000000) // (deg.deg * (deg.deg - 1))
+         |     ELSE 0 END)::BIGINT AS clustering_ppm
+         |FROM deg LEFT JOIN per ON per.h = deg.h""".stripMargin,
 
     "q_frontier_bfs" ->
       s"""WITH e AS ($dkHostEdges),

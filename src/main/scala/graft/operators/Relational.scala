@@ -282,6 +282,31 @@ object Relational {
         .withColumn("rows_suppressed", when(col("n") < 5L, col("n")).otherwise(lit(0L)))
     }),
 
+    // EXACT distributed quantiles (percentile_disc semantics) per group,
+    // rank-based: one per-group sort pass assigns row_number, the value
+    // at rank ceil(q·n) is the exact q-quantile — spelled as integer rank
+    // arithmetic so both engines agree on every tie. The honest scale
+    // note: exact quantiles NEED the per-group sort (one shuffle on the
+    // group key, sort within partitions); at 100 TB you run the mergeable
+    // sketch (sketch_quantile_est) first and reserve this for the groups
+    // that matter — this entry is the exact fallback, and values at a
+    // fixed rank are tie-break-independent because ordering only breaks
+    // ties WITHIN equal values.
+    "q_exact_quantile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+      val rn = row_number().over(
+        w.orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber")))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", rn.cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("l_quantity"))).as("median_qty"),
+          max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("l_quantity"))).as("p90_qty"))
+    }),
+
     // Multi-dimensional aggregate: CUBE over (returnflag, linestatus) —
     // all four grouping sets in ONE Expand+aggregate pass (Spark's Expand
     // replicates each input row once per grouping set BEFORE the partial
@@ -481,6 +506,18 @@ object Relational {
         |  count(*)::BIGINT AS n, count(*) >= 5 AS k_anonymous,
         |  (CASE WHEN count(*) < 5 THEN count(*) ELSE 0 END)::BIGINT AS rows_suppressed
         |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_exact_quantile" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, max(n)::BIGINT AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS median_qty,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_quantity END) AS p90_qty
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q_cube_agg" ->
       """SELECT coalesce(l_returnflag, '(all)') AS returnflag,

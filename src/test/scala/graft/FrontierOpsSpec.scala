@@ -123,4 +123,36 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cum.zip(cum.tail).forall { case (a, b) => a < b })
     out.unpersist(); ()
   }
+
+  test("q_triangle_count matches a brute-force enumeration of the host graph") {
+    val out = SparkEntry.queries("q_triangle_count")(spark, dir).collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_triangles")))).toMap
+    // independent second opinion: naive O(V^3) over the tiny host graph,
+    // edges re-derived in plain Scala from the documented link rotation
+    val edges = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map { r =>
+        val (id, src) = (r.getAs[Long]("doc_id"), r.getAs[String]("source"))
+        val idx = src.drop(3).toInt
+        val dst =
+          if (id % 3 == 0 && src != "src0") "src0"
+          else s"src${(idx + 1 + (id % 19).toInt) % 20}"
+        (src, dst)
+      }
+      .filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq(if (a < b) (a, b) else (b, a)) }.toSet
+    val hosts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def adj(a: String, b: String) =
+      edges.contains(if (a < b) (a, b) else (b, a))
+    val triPerHost = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for {
+      i <- hosts.indices; j <- (i + 1) until hosts.size; k <- (j + 1) until hosts.size
+      if adj(hosts(i), hosts(j)) && adj(hosts(i), hosts(k)) && adj(hosts(j), hosts(k))
+    } Seq(hosts(i), hosts(j), hosts(k)).foreach(h => triPerHost(h) += 1)
+    hosts.foreach { h =>
+      val degWant = edges.count(e => e._1 == h || e._2 == h).toLong
+      assert(out(h) == ((degWant, triPerHost(h))), s"host $h: got ${out(h)}")
+    }
+  }
 }

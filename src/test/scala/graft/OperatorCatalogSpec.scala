@@ -854,4 +854,34 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(out.select("doc_id").distinct().count() == out.count())
     } finally { out.unpersist(); () }
   }
+
+  test("q_exact_quantile equals a driver-side sort (percentile_disc semantics)") {
+    val out = SparkEntry.queries("q_exact_quantile")(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("median_qty"), r.getAs[Double]("p90_qty")))).toMap
+    val byFlag = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    byFlag.foreach { case (flag, rows) =>
+      val v = rows.map(_._2).sorted
+      val n = v.length
+      // value at rank ceil(q*n), 1-based
+      val want = (n.toLong, v((n + 1) / 2 - 1), v((9 * n + 9) / 10 - 1))
+      assert(out(flag) == want, s"$flag: got ${out(flag)}, want $want")
+    }
+  }
+
+  test("q_debounce: keeps are exactly the quiet-period events and every event is audited") {
+    val out = SparkEntry.queries("q_debounce")(spark, dir).cache()
+    try {
+      assert(out.count() == spark.read.parquet(s"$dir/events.parquet").count())
+      assert(out.filter(col("kept") =!=
+        (col("gap_us").isNull || col("gap_us") > 3600L * 1000000L)).count() == 0)
+      // the corpus really exercises both outcomes
+      assert(out.filter(!col("kept")).count() > 0)
+      // exactly one first event (null gap) per user
+      assert(out.filter(col("gap_us").isNull).count() ==
+        out.select("user_id").distinct().count())
+    } finally { out.unpersist(); () }
+  }
 }
