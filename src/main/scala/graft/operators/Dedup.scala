@@ -56,6 +56,12 @@ object Dedup {
 
   private val MinhashK = 8 // 4 bands × rows of 2
 
+  /** Sorted-neighborhood method: blocking-key width, slide window, and
+    * exact-verify threshold (`dedup_sorted_neighborhood`). */
+  private val SnmKeyChars   = 32
+  private val SnmWindow     = 4
+  private val SnmMinJaccard = 0.5
+
   /** Deterministic hot-band cap: a band group keeps only its this-many
     * smallest doc_ids for candidate generation (bounds a degenerate band
     * to MaxBandGroup² pairs). Mirrored bit-for-bit in the DuckDB oracle. */
@@ -566,6 +572,50 @@ object Dedup {
           jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
     }),
 
+    // Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD 1995): sort
+    // the corpus ONCE by a blocking key — here the 32-char text prefix —
+    // and compare each record only to its w−1 successors in that order.
+    // The linear-scan alternative to LSH when near-dups share a sortable
+    // key (URLs, titles, leading text); total candidates = (w−1)·N
+    // regardless of cluster sizes, vs LSH's Σ bucket². Scale shape: the
+    // global order comes from the SAME two-pass rank as q_global_shuffle
+    // (range bucket → per-bucket row_number + broadcast cumulative
+    // offsets — no single-partition window, and bucket = key prefix so
+    // (bucket, key, doc_id) order ≡ (key, doc_id) order); the rank pass
+    // shuffles (doc_id, 32-char key) only; shingle sets re-join BY ID
+    // for the surviving candidates (the minhashLsh payload discipline);
+    // exact-verify is the catalog's n-gram Jaccard. dupCorpus's planted
+    // copies append " zzz" — prefix-identical, so they land adjacent.
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = dupCorpus(s, dir)
+      val keyed = c.select(col("doc_id"),
+          substring(col("text"), 1, SnmKeyChars).as("key"))
+        .withColumn("bucket", substring(col("key"), 1, 1))
+      val offs = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bucket"), col("offset"))
+      val ranked = keyed.join(broadcast(offs), Seq("bucket"))
+        .withColumn("rnk", col("offset") + row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rnk"))
+      val cand = ranked
+        .withColumn("k", explode(sequence(lit(1L), lit((SnmWindow - 1).toLong))))
+        .select(col("doc_id").as("doc_a"), (col("rnk") + col("k")).as("tr"),
+          col("k").as("gap"))
+        .join(ranked.select(col("doc_id").as("doc_b"), col("rnk").as("tr")), Seq("tr"))
+        .select(col("doc_a"), col("doc_b"), col("gap"))
+      val sh = c.withColumn("th", tokenHashes(tokens(col("text"))))
+        .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
+      cand.join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("gap"),
+          jaccard(col("sha"), col("shb")).as("jaccard"))
+        .filter(col("jaccard") >= SnmMinJaccard)
+    }),
+
     // Embedding-cosine near-dup: candidates come from sign-LSH buckets
     // whose plane count GROWS with the corpus (planesFor keeps ~64
     // vectors/bucket), with HAMMING-1 MULTIPROBE (each vector also probes
@@ -884,6 +934,22 @@ object Dedup {
          |d AS (SELECT doc_id, list_distinct(${Dk.shingleHashes("th")}) AS sh FROM thsrc)
          |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, $dkJaccard AS jaccard
          |FROM d l JOIN d r ON r.doc_id = l.doc_id + 1""".stripMargin,
+    "dedup_sorted_neighborhood" ->
+      s"""WITH $dkCorpus,
+         |toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |thsrc AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM toksrc),
+         |d AS (SELECT doc_id, list_distinct(${Dk.shingleHashes("th")}) AS sh FROM thsrc),
+         |keyed AS (SELECT doc_id, substr(text, 1, $SnmKeyChars) AS key FROM corpus),
+         |ranked AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rnk FROM keyed),
+         |cand AS (
+         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, (r.rnk - l.rnk)::BIGINT AS gap
+         |  FROM ranked l JOIN ranked r
+         |    ON r.rnk > l.rnk AND r.rnk <= l.rnk + ${SnmWindow - 1})
+         |SELECT * FROM (
+         |  SELECT c.doc_a, c.doc_b, c.gap, $dkJaccard AS jaccard
+         |  FROM cand c JOIN d l ON l.doc_id = c.doc_a JOIN d r ON r.doc_id = c.doc_b)
+         |WHERE jaccard >= $SnmMinJaccard""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH $dkEmbNearDups
          |SELECT vec_a, vec_b, probe_dist, cos FROM verified""".stripMargin,

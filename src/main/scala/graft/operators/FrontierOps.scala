@@ -59,6 +59,10 @@ object FrontierOps {
     s"""SELECT DISTINCT source AS src, ${WebOps.dkLinkTarget} AS dst
        |  FROM documents WHERE source <> ${WebOps.dkLinkTarget}""".stripMargin
 
+  /** q_link_prediction: deterministic per-common-neighbor fanout cap
+    * (smallest neighbors by name) — the hub-squaring guard. */
+  private val MaxNeighbors = 256L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Politeness-constrained crawl scheduler: each doc is a pending fetch
     // on its source host; per host, urls are ordered by priority (higher
@@ -121,6 +125,41 @@ object FrontierOps {
         .withColumn("clustering_ppm",
           when(col("deg") >= 2,
             expr("(2 * n_triangles * 1000000) DIV (deg * (deg - 1))")).otherwise(lit(0L)))
+    }),
+
+    // Link prediction by the resource-allocation index (Zhou, Lü & Zhang,
+    // EPJ B 2009): for every NON-adjacent host pair, score = Σ_z 1e6 DIV
+    // deg(z) over their common neighbors z — RA is Adamic–Adar with 1/deg
+    // in place of 1/log·deg, which keeps the score integer-exact across
+    // engines (no float log surface). The crawl use: predicted links are
+    // hosts that SHOULD be related (shared low-degree neighbors weigh
+    // most) — seed candidates for discovery crawling. Scale shape:
+    // candidate pairs are minted THROUGH each common neighbor z (one
+    // equi-join on z), so cost is Σ_z deg(z)², bounded by the same
+    // deterministic per-key cap as the LSH band join (smallest
+    // MaxNeighbors per z by name, row_number — mirrored in the oracle;
+    // at scale a capped hub loudly stops minting candidates instead of
+    // squaring). Shuffles carry host-string pairs only; the final
+    // anti-join removes already-existing edges.
+    "q_link_prediction" -> ((s, dir) => {
+      val und = hostEdges(s, dir).select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val nb = und.select(col("a").as("z"), col("b").as("n"))
+        .unionByName(und.select(col("b").as("z"), col("a").as("n")))
+      val deg = nb.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+      val capped = nb.withColumn("rn", row_number().over(
+          Window.partitionBy(col("z")).orderBy(col("n"))))
+        .filter(col("rn") <= MaxNeighbors).drop("rn")
+      val scored = capped.as("l").join(capped.as("r"),
+          col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+        .select(col("l.z").as("z"), col("l.n").as("x"), col("r.n").as("y"))
+        .join(deg, Seq("z"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("n_common"), sum(expr("1000000 DIV deg")).as("ra_ppm"))
+      scored.join(und,
+          scored("x") === und("a") && scored("y") === und("b"), "left_anti")
+        .select(col("x").as("host_a"), col("y").as("host_b"),
+          col("n_common"), col("ra_ppm"))
     }),
 
     // Link co-citation (bibliographic coupling): host pairs ranked by the
@@ -399,6 +438,25 @@ object FrontierOps {
          |     THEN (2 * coalesce(per.n_triangles, 0) * 1000000) // (deg.deg * (deg.deg - 1))
          |     ELSE 0 END)::BIGINT AS clustering_ppm
          |FROM deg LEFT JOIN per ON per.h = deg.h""".stripMargin,
+
+    "q_link_prediction" ->
+      s"""WITH e AS ($dkHostEdges),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |nb AS (SELECT a AS z, b AS n FROM und UNION ALL SELECT b AS z, a AS n FROM und),
+         |deg AS (SELECT z, count(*)::BIGINT AS deg FROM nb GROUP BY 1),
+         |capped AS (
+         |  SELECT z, n FROM (
+         |    SELECT z, n, row_number() OVER (PARTITION BY z ORDER BY n) AS rn FROM nb)
+         |  WHERE rn <= $MaxNeighbors),
+         |p AS (
+         |  SELECT l.z, l.n AS x, r.n AS y
+         |  FROM capped l JOIN capped r ON l.z = r.z AND l.n < r.n),
+         |sc AS (
+         |  SELECT x, y, count(*)::BIGINT AS n_common,
+         |    sum(1000000 // deg.deg)::BIGINT AS ra_ppm
+         |  FROM p JOIN deg ON deg.z = p.z GROUP BY 1, 2)
+         |SELECT sc.x AS host_a, sc.y AS host_b, n_common, ra_ppm
+         |FROM sc ANTI JOIN und ON sc.x = und.a AND sc.y = und.b""".stripMargin,
 
     "q_frontier_bfs" ->
       s"""WITH e AS ($dkHostEdges),

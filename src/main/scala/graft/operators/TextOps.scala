@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** eval_cer: bounded sample width (edit distance is quadratic) and the
+    * fixed insertion tail for corruption class 3. */
+  private val CerSampleChars = 400
+  private val CerTail        = " ocr tail noise"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -605,6 +610,33 @@ object TextOps {
         .select(col("lang"), col("lang_pred"), col("n"), col("lang_total"),
           expr("(n * 1000000) div lang_total").as("share_ppm"),
           (col("lang") === col("lang_pred")).as("correct"))
+    }),
+
+    // Character-error-rate evaluation — the OCR/ASR extraction-quality
+    // metric (CER = levenshtein(golden, predicted) / |golden|, integer
+    // ppm), computed with both engines' native Levenshtein. Predictions
+    // are derived by deterministic class-keyed corruptions so every CER
+    // has a known closed form (the eval_metrics planted-defect move):
+    // class 0 = clean (CER 0), 1 = substitutions (e→3), 2 = deletions
+    // (o removed), 3 = insertion (fixed appended tail). The scale
+    // contract: edit distance is O(m·n), so both sides are BOUNDED
+    // 400-char samples — constant work per doc, one narrow codegen'd
+    // scan, zero shuffles (sampled CER is what OCR evals report; full-
+    // text CER at 100 TB chunks both sides and sums per-chunk distances
+    // as an upper bound).
+    "eval_cer" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, CerSampleChars).as("golden"))
+        .withColumn("corruption", col("doc_id") % 4)
+        .withColumn("pred",
+          when(col("corruption") === 1, translate(col("golden"), "e", "3"))
+            .when(col("corruption") === 2, translate(col("golden"), "o", ""))
+            .when(col("corruption") === 3, concat(col("golden"), lit(CerTail)))
+            .otherwise(col("golden")))
+        .select(col("doc_id"), col("corruption"),
+          length(col("golden")).cast("long").as("n_chars"),
+          levenshtein(col("golden"), col("pred")).cast("long").as("dist"))
+        .withColumn("cer_ppm", expr("(dist * 1000000) DIV greatest(n_chars, 1)"))
     }))
 
   /** One BPE training round over a (doc_id, toks) frame: returns the
@@ -967,6 +999,25 @@ object TextOps {
          |    sum(count(*)) OVER (PARTITION BY d.lang)::BIGINT AS lang_total
          |  FROM documents d JOIN li ON d.doc_id = li.doc_id
          |  GROUP BY 1, 2)""".stripMargin,
+
+    "eval_cer" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, substr(text, 1, $CerSampleChars) AS golden,
+         |    doc_id % 4 AS corruption
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, corruption, golden,
+         |    CASE corruption
+         |      WHEN 1 THEN translate(golden, 'e', '3')
+         |      WHEN 2 THEN translate(golden, 'o', '')
+         |      WHEN 3 THEN golden || '$CerTail'
+         |      ELSE golden END AS pred
+         |  FROM g)
+         |SELECT doc_id, corruption, length(golden)::BIGINT AS n_chars,
+         |  levenshtein(golden, pred)::BIGINT AS dist,
+         |  (levenshtein(golden, pred) * 1000000
+         |    // greatest(length(golden), 1))::BIGINT AS cer_ppm
+         |FROM p""".stripMargin,
 
     "text_collocations" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

@@ -124,13 +124,11 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist(); ()
   }
 
-  test("q_triangle_count matches a brute-force enumeration of the host graph") {
-    val out = SparkEntry.queries("q_triangle_count")(spark, dir).collect()
-      .map(r => r.getAs[String]("host") ->
-        ((r.getAs[Long]("deg"), r.getAs[Long]("n_triangles")))).toMap
-    // independent second opinion: naive O(V^3) over the tiny host graph,
-    // edges re-derived in plain Scala from the documented link rotation
-    val edges = spark.read.parquet(s"$dir/documents.parquet")
+  /** Undirected host edge set re-derived in plain Scala from the
+    * documented link rotation — the independent second opinion shared by
+    * the graph-kernel tests. */
+  private def bruteEdges(): Set[(String, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source")).collect()
       .map { r =>
         val (id, src) = (r.getAs[Long]("doc_id"), r.getAs[String]("source"))
@@ -141,7 +139,14 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
         (src, dst)
       }
       .filter { case (a, b) => a != b }
-      .flatMap { case (a, b) => Seq(if (a < b) (a, b) else (b, a)) }.toSet
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+
+  test("q_triangle_count matches a brute-force enumeration of the host graph") {
+    val out = SparkEntry.queries("q_triangle_count")(spark, dir).collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_triangles")))).toMap
+    // naive O(V^3) over the tiny host graph
+    val edges = bruteEdges()
     val hosts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
     def adj(a: String, b: String) =
       edges.contains(if (a < b) (a, b) else (b, a))
@@ -154,5 +159,24 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val degWant = edges.count(e => e._1 == h || e._2 == h).toLong
       assert(out(h) == ((degWant, triPerHost(h))), s"host $h: got ${out(h)}")
     }
+  }
+
+  test("q_link_prediction equals brute-force resource allocation over non-edges") {
+    val out = SparkEntry.queries("q_link_prediction")(spark, dir).collect()
+      .map(r => (r.getAs[String]("host_a"), r.getAs[String]("host_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Long]("ra_ppm")))).toMap
+    val edges = bruteEdges()
+    val hosts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def nbrs(h: String) =
+      edges.collect { case (a, b) if a == h => b; case (a, b) if b == h => a }
+    val want = (for {
+      i <- hosts.indices; j <- (i + 1) until hosts.size
+      x = hosts(i); y = hosts(j)
+      if !edges.contains((x, y))
+      common = nbrs(x).intersect(nbrs(y))
+      if common.nonEmpty
+    } yield (x, y) -> ((common.size.toLong,
+      common.toSeq.map(z => 1000000L / nbrs(z).size).sum))).toMap
+    assert(out == want, s"diff: ${(out.toSet -- want.toSet) ++ (want.toSet -- out.toSet)}")
   }
 }

@@ -884,4 +884,50 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
         out.select("user_id").distinct().count())
     } finally { out.unpersist(); () }
   }
+
+  test("eval_cer: planted corruption classes have closed-form edit distances") {
+    val rows = SparkEntry.queries("eval_cer")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("corruption"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("dist"), r.getAs[Long]("cer_ppm")))).toMap
+    val samples = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), substring(col("text"), 1, 400).as("s")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("s")).toMap
+    assert(rows.keySet == samples.keySet)
+    rows.foreach { case (id, (cls, n, dist, cer)) =>
+      val s = samples(id)
+      assert(n == s.length)
+      assert(cer == dist * 1000000L / math.max(n, 1L))
+      cls match {
+        case 0 => assert(dist == 0L, s"doc $id: clean class must have CER 0")
+        case 1 => // substitution-only: bounded by #e, positive iff any 'e'
+          val e = s.count(_ == 'e').toLong
+          assert(dist <= e && (e == 0L || dist > 0L), s"doc $id: dist=$dist #e=$e")
+        case 2 => // pure deletion of k chars: distance is exactly k
+          assert(dist == s.count(_ == 'o').toLong, s"doc $id deletion")
+        case 3 => // pure insertion of the fixed 15-char tail
+          assert(dist == 15L, s"doc $id insertion: $dist")
+      }
+    }
+    assert(rows.values.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("dedup_sorted_neighborhood finds the prefix-adjacent planted near-dups") {
+    val out = SparkEntry.queries("dedup_sorted_neighborhood")(spark, dir).cache()
+    try {
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      // every pair the window emits passed the exact verify
+      assert(out.filter(col("jaccard") < 0.5).count() == 0)
+      assert(out.filter(col("gap") < 1 || col("gap") > 3).count() == 0)
+      // the planted copies (id+1e6, " zzz" appended) share the 32-char
+      // blocking prefix, so the sort puts them in the same neighborhood
+      val planted = out.filter(col("doc_b") === col("doc_a") + 1000000L)
+      assert(planted.count() >= (nDocs * 9) / 10,
+        s"found ${planted.count()} of $nDocs planted pairs")
+      // and they are true near-dups, not borderline — up to a small tail
+      // of short docs where the appended " zzz" is a big share of a tiny
+      // shingle set
+      assert(planted.filter(col("jaccard") < 0.9).count() <= nDocs / 20)
+    } finally { out.unpersist(); () }
+  }
 }
