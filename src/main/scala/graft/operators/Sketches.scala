@@ -78,13 +78,29 @@ object Sketches {
       .groupBy(col("day_key"), col("reg"))
       .agg(max(col("rho")).as("rho"))
 
-  /** The raw HLL estimator per day_key group of a (day_key, reg, rho)
-    * frame — same integer-space sum rule as [[queries]]' global
-    * estimate. */
-  private def estimateOf(regs: DataFrame): DataFrame = {
+  /** [[estimateOf]] plus the Flajolet–Fusy–Gandouet–Meunier small-range
+    * correction: below raw ≤ 2.5m with empty registers present, LINEAR
+    * COUNTING m·ln(m/v_zero) replaces the raw estimate (which overreads
+    * badly in that regime — the catalog's other HLL queries expose
+    * v_zero and leave the switch to the consumer; the intersect query IS
+    * such a consumer, and inclusion–exclusion of three overread raws
+    * compounds the bias). The branch condition uses the already-4dp-
+    * rounded raw, so both engines take the same arm; the `ln` is the one
+    * float-library call in the catalog — safe under 4dp rounding on
+    * deterministic inputs (≤1 ulp libm-vs-JVM drift vs a 5e-5 grid). */
+  private def estimateCorrected(regs: DataFrame, keys: Seq[String]): DataFrame =
+    estimateOf(regs, keys)
+      .withColumn("estimate",
+        when(col("v_zero") > 0 && col("raw_estimate") <= lit(2.5 * M),
+          round(lit(M.toDouble) * log(lit(M.toDouble) / col("v_zero")), 4))
+          .otherwise(col("raw_estimate")))
+
+  /** The raw HLL estimator per key group of a (keys…, reg, rho) frame —
+    * same integer-space sum rule as [[queries]]' global estimate. */
+  private def estimateOf(regs: DataFrame, keys: Seq[String] = Seq("day_key")): DataFrame = {
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble))
     val scale = lit((1L << (WBits + 1)).toDouble)
-    regs.groupBy(col("day_key"))
+    regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("m_hit"),
         sum(pow(lit(2.0), lit(WBits + 1) - col("rho")).cast("long")).as("hit_sum"))
       .withColumn("v_zero", lit(M.toLong) - col("m_hit"))
@@ -92,8 +108,8 @@ object Sketches {
         (col("hit_sum") + col("v_zero") * (1L << (WBits + 1))).cast("double") / scale)
       .withColumn("raw_estimate",
         round(alpha * lit(M.toDouble) * lit(M.toDouble) / col("sum_inv"), 4))
-      .select(col("day_key"), col("m_hit").cast("long").as("m_hit"),
-        col("v_zero"), col("raw_estimate"))
+      .select(keys.map(col) ++ Seq(col("m_hit").cast("long").as("m_hit"),
+        col("v_zero"), col("raw_estimate")): _*)
   }
 
   /** CMS geometry: CmsD hash rows × CmsW counters. Error bound: est −
@@ -237,6 +253,58 @@ object Sketches {
         .join(exactDay.unionByName(exactAll.select(exactDay.columns.toIndexedSeq.map(col): _*)),
           Seq("day_key"))
         .withColumn("rel_to_exact", round(col("raw_estimate") / col("exact_distinct"), 4))
+    }),
+
+    // Set-overlap estimation by HLL inclusion–exclusion: for every pair
+    // of event types, |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    // union sketch is the per-register MAX of the two sets' registers —
+    // the merge property again, now answering a question (audience
+    // overlap, cross-source entity overlap) that would otherwise need a
+    // full distinct-join. Scale shape: per-type registers are ONE pass
+    // over events ending in |types|·m rows; every pair estimate is
+    // arithmetic over those tiny register sets (the pair frame is
+    // broadcast); the exact intersection rides along as the observable —
+    // an entity-keyed equi-join whose fanout per key is ≤ |types| —
+    // so the estimator's error is measured, not trusted. Every estimate
+    // goes through [[estimateCorrected]]'s linear-counting small-range
+    // switch: inclusion–exclusion of three RAW estimates would compound
+    // the LC-regime overread into nonsense at exactly the set sizes
+    // where overlap questions get asked.
+    "sketch_hll_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        concat(col("user_id").cast("string"), lit("|"), col("props")).as("key"))
+      val regsT = ev.select(col("event_type"), hex32(col("key")).as("h"))
+        .select(col("event_type"), (col("h") % M).as("reg"), expr(s"h DIV $M").as("w"))
+        .withColumn("rho",
+          when(col("w") === 0, lit(WBits + 1).cast("long"))
+            .otherwise(lit(WBits + 1) - length(conv(col("w").cast("string"), 10, 2))).cast("long"))
+        .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("rho"))
+      val types = regsT.select(col("event_type")).distinct()
+      val pairs = types.as("a").join(types.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      val unionRegs = broadcast(pairs).join(regsT,
+          col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+        .groupBy(col("type_a"), col("type_b"), col("reg")).agg(max(col("rho")).as("rho"))
+      val estT = estimateCorrected(regsT, Seq("event_type"))
+      val estU = estimateCorrected(unionRegs, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("estimate").as("est_union"))
+      val ents = ev.distinct()
+      val exact = ents.as("a").join(ents.as("b"),
+          col("a.key") === col("b.key") && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      pairs
+        .join(estT.select(col("event_type").as("type_a"), col("estimate").as("est_a")),
+          Seq("type_a"))
+        .join(estT.select(col("event_type").as("type_b"), col("estimate").as("est_b")),
+          Seq("type_b"))
+        .join(estU, Seq("type_a", "type_b"))
+        .join(exact, Seq("type_a", "type_b"), "left_outer")
+        .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+          col("est_union"),
+          round(col("est_a") + col("est_b") - col("est_union"), 4).as("est_intersect"),
+          coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
     // Count-min sketch over document tokens (heavy-hitter / hot-boilerplate
@@ -410,6 +478,57 @@ object Sketches {
            |SELECT day_key, m_hit, v_zero, raw_estimate, exact_distinct,
            |  round(raw_estimate / exact_distinct, 4) AS rel_to_exact
            |FROM est JOIN exacts USING (day_key)""".stripMargin,
+      "sketch_hll_intersect" -> {
+        // raw estimator + the same LC small-range switch as the Spark side
+        // (branch on the 4dp-rounded raw, so both engines pick one arm)
+        val est = (src: String, keys: String) =>
+          s"""SELECT $keys,
+             |    CASE WHEN ($M - m_hit) > 0 AND raw_estimate <= ${2.5 * M}
+             |      THEN round(${M.toDouble} * ln(${M.toDouble} / ($M - m_hit)), 4)
+             |      ELSE raw_estimate END AS estimate
+             |  FROM (
+             |    SELECT $keys, count(*) AS m_hit,
+             |      round((0.7213 / (1.0 + 1.079 / ${M.toDouble})) * ${M.toDouble} * ${M.toDouble}
+             |        / (((sum((2.0 ^ (${WBits + 1} - rho))::BIGINT)
+             |             + ($M - count(*)) * ${1L << (WBits + 1)})::DOUBLE)
+             |           / ${(1L << (WBits + 1)).toDouble}), 4) AS raw_estimate
+             |    FROM $src GROUP BY ALL)""".stripMargin
+        s"""WITH base AS (
+           |  SELECT event_type, user_id::VARCHAR || '|' || props AS key FROM events),
+           |hs AS (SELECT event_type, ${Dk.hex32("key")} AS h FROM base),
+           |rt AS (
+           |  SELECT event_type, h % $M AS reg,
+           |    CASE WHEN h // $M = 0 THEN ${WBits + 1}
+           |         ELSE ${WBits + 1} - length(to_base(h // $M, 2)) END AS rho
+           |  FROM hs),
+           |regs AS (SELECT event_type, reg, max(rho) AS rho FROM rt GROUP BY 1, 2),
+           |types AS (SELECT DISTINCT event_type FROM base),
+           |pairs AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b
+           |  FROM types a JOIN types b ON a.event_type < b.event_type),
+           |uregs AS (
+           |  SELECT type_a, type_b, reg, max(rho) AS rho
+           |  FROM pairs JOIN regs ON event_type = type_a OR event_type = type_b
+           |  GROUP BY 1, 2, 3),
+           |estt AS (${est("regs", "event_type")}),
+           |estu AS (${est("uregs", "type_a, type_b")}),
+           |dents AS (SELECT DISTINCT event_type, key FROM base),
+           |ex AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+           |    count(*)::BIGINT AS exact_intersect
+           |  FROM dents a JOIN dents b
+           |    ON a.key = b.key AND a.event_type < b.event_type
+           |  GROUP BY 1, 2)
+           |SELECT p.type_a, p.type_b, ea.estimate AS est_a, eb.estimate AS est_b,
+           |  eu.estimate AS est_union,
+           |  round(ea.estimate + eb.estimate - eu.estimate, 4) AS est_intersect,
+           |  coalesce(ex.exact_intersect, 0)::BIGINT AS exact_intersect
+           |FROM pairs p
+           |  JOIN estt ea ON ea.event_type = p.type_a
+           |  JOIN estt eb ON eb.event_type = p.type_b
+           |  JOIN estu eu ON eu.type_a = p.type_a AND eu.type_b = p.type_b
+           |  LEFT JOIN ex ON ex.type_a = p.type_a AND ex.type_b = p.type_b""".stripMargin
+      },
       "sketch_cms_counters" ->
         s"WITH $cmsCountersCte SELECT row_j, idx, cnt FROM counters",
       "sketch_cms_heavy_hitters" ->

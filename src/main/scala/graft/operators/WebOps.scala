@@ -244,7 +244,51 @@ object WebOps {
         .join(stats, Seq("term"))
         .select(col("term"), col("shard"), col("block_id"), col("df"), col("cf"),
           col("block_n"), col("gaps"))
+    }),
+
+    // Redirect-chain resolution by pointer DOUBLING: every URL carries a
+    // redirect pointer (synthesized functional graph — ids at multiples
+    // of 50 are terminals pointing at themselves, everything else points
+    // at id−1, so chains run up to 49 hops), and each round composes the
+    // pointer map with ITSELF (f ← f∘f), so a chain of length L resolves
+    // in ⌈log2 L⌉ = RedirectRounds rounds instead of L sequential steps —
+    // the Wyllie pointer-jumping move the CC operator uses for cluster
+    // labels, applied to the functional graph every crawler maintains
+    // for 3xx chains / URL aliases / rel=canonical links. Each round is
+    // ONE self equi-join of an (id, ptr, hops) longs frame; terminals
+    // compose as fixpoints (ptr = u, hops 0) so converged rows ride
+    // through unchanged. Lineage is truncated each round
+    // (localCheckpoint — the plan would otherwise reference itself twice
+    // per round, 2^rounds leaves; the HITS lesson) and the previous
+    // round's blocks are freed eagerly; only the final round's tiny
+    // (3 longs/url) blocks outlive the query. The oracle walks the SAME
+    // chains ONE hop at a time via a recursive CTE — an independent
+    // O(L)-step method agreeing with the O(log L) one.
+    "q_redirect_resolve" -> ((s, dir) => {
+      var f = docs(s, dir).select(col("doc_id").as("u"))
+        .withColumn("p",
+          when(col("u") % 50 === 0, col("u")).otherwise(col("u") - 1))
+        .withColumn("hops",
+          when(col("p") === col("u"), lit(0L)).otherwise(lit(1L)))
+      var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
+      (1 to RedirectRounds).foreach { _ =>
+        val next = f.as("l").join(f.as("r"), col("l.p") === col("r.u"))
+          .select(col("l.u").as("u"), col("r.p").as("p"),
+            (col("l.hops") + col("r.hops")).as("hops"))
+          .localCheckpoint()
+        val blocks = next.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
+        prevBlocks.foreach(_.unpersist(blocking = false))
+        prevBlocks = blocks
+        f = next
+      }
+      f.select(col("u").as("url_id"), col("p").as("terminal_id"), col("hops"))
     }))
+
+  /** q_redirect_resolve: doubling rounds — 2^6 = 64 ≥ the 49-hop max
+    * chain the synthesized pointer map contains. */
+  private val RedirectRounds = 6
 
   // --- DuckDB oracles -------------------------------------------------------
 
@@ -258,6 +302,23 @@ object WebOps {
        |END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_redirect_resolve" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS u,
+        |    CASE WHEN doc_id % 50 = 0 THEN doc_id ELSE doc_id - 1 END AS p
+        |  FROM documents),
+        |walk AS (
+        |  SELECT u, p AS cur,
+        |    (CASE WHEN p = u THEN 0 ELSE 1 END)::BIGINT AS hops
+        |  FROM base
+        |  UNION ALL
+        |  SELECT w.u, b.p AS cur, w.hops + 1
+        |  FROM walk w JOIN base b ON b.u = w.cur
+        |  WHERE b.p <> w.cur)
+        |SELECT u AS url_id, arg_max(cur, hops) AS terminal_id,
+        |  max(hops)::BIGINT AS hops
+        |FROM walk GROUP BY 1""".stripMargin,
+
     "q_robots_filter" ->
       s"""WITH r(h, prefix, allow) AS (VALUES $dkRobotsValues),
          |u AS (

@@ -234,4 +234,27 @@ class TemporalSketchSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val n     = out.count()
     assert(n > total / 20 && n < total * 45 / 100, s"sampled $n of $total")
   }
+
+  test("hll intersect: union sketch is monotone and inclusion-exclusion tracks the exact overlap") {
+    val rows = SparkEntry.queries("sketch_hll_intersect")(spark, dir).collect()
+    val nTypes = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_type").distinct().count()
+    assert(rows.length == (nTypes * (nTypes - 1) / 2).toInt)
+    rows.foreach { r =>
+      val (a, b, u) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+        r.getAs[Double]("est_union"))
+      val est   = r.getAs[Double]("est_intersect")
+      val exact = r.getAs[Long]("exact_intersect")
+      // register-max merge: union dominates both sides and stays near-
+      // subadditive (LC estimates are not STRICTLY subadditive — two
+      // same-size sets can union to a hair over their sum, so the upper
+      // check carries a small estimator slack)
+      assert(u >= math.max(a, b) - 1e-9 && u <= a + b + 0.02 * u + 1.0)
+      // with the LC small-range switch each estimate is within a few
+      // percent here; inclusion-exclusion compounds three of them —
+      // accept 10% of the union plus a small absolute floor
+      assert(math.abs(est - exact) <= 0.10 * u + 10.0,
+        s"pair ${r.getString(0)}/${r.getString(1)}: est $est vs exact $exact (union $u)")
+    }
+  }
 }

@@ -125,4 +125,19 @@ class WebOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.filter(col("keep") =!= (col("logit") >= 0)).count() == 0)
     out.unpersist(); ()
   }
+
+  test("q_redirect_resolve: 6 doubling rounds land every chain on its closed-form terminal") {
+    val out = SparkEntry.queries("q_redirect_resolve")(spark, dir).collect()
+      .map(r => r.getAs[Long]("url_id") ->
+        ((r.getAs[Long]("terminal_id"), r.getAs[Long]("hops")))).toMap
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.size == n)
+    // the synthesized pointer map has closed-form resolution:
+    // terminal = u - u%50, hops = u%50 (chains up to 49 > 2^5 — the
+    // doubling genuinely needs all 6 rounds)
+    out.foreach { case (u, (t, h)) =>
+      assert(t == u - u % 50 && h == u % 50, s"url $u: got ($t, $h)")
+    }
+    assert(out.values.map(_._2).max >= 33L, "corpus too small to exercise round 6")
+  }
 }
