@@ -438,4 +438,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     docWindows.foreach(w => assert(w.partitionSpec.nonEmpty,
       "doc-grain window lost its bucket key"))
   }
+
+  test("sorted-neighborhood: offsets broadcast, rank windows keyed, text never shuffles whole") {
+    val executed = SparkEntry.queries("dedup_sorted_neighborhood")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"offset table not broadcast:\n${root.toString.take(2000)}")
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"SNM shuffle carries full text (rank pass should carry the 32-char key only): $cols")
+    }
+    // the per-record rank window must stay bucket-keyed
+    root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.output.map(_.name).contains("doc_id") => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "SNM rank window lost its bucket key (single-partition global sort)"))
+  }
+
+  test("link prediction: no cartesian product, shuffles carry hosts and longs only") {
+    val executed = SparkEntry.queries("q_link_prediction")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    assert(!root.toString.contains("CartesianProduct"),
+      s"pair minting degraded to a cartesian:\n${root.toString.take(2000)}")
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("text"), s"link-prediction shuffle carries text: $cols")
+    }
+  }
 }
