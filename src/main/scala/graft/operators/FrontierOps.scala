@@ -63,6 +63,9 @@ object FrontierOps {
     * (smallest neighbors by name) — the hub-squaring guard. */
   private val MaxNeighbors = 256L
 
+  /** q_label_prop: hosts src0..src{n-1} are the labeled seed set. */
+  private val LabelSeeds = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Politeness-constrained crawl scheduler: each doc is a pending fetch
     // on its source host; per host, urls are ordered by priority (higher
@@ -160,6 +163,45 @@ object FrontierOps {
           scored("x") === und("a") && scored("y") === und("b"), "left_anti")
         .select(col("x").as("host_a"), col("y").as("host_b"),
           col("n_common"), col("ra_ppm"))
+    }),
+
+    // Semi-supervised label propagation (Zhu & Ghahramani's hard-label
+    // variant) on the host graph: LabelSeeds seed hosts carry known
+    // labels (their own index — topic tags, spam verdicts, language
+    // labels in a real crawl); each round every UNLABELED host adopts the
+    // majority label among its labeled neighbors, ties to the smallest
+    // label, and labeled hosts are frozen. Two rounds are unrolled (the
+    // sf graph reaches everything in 2 — production loops until the
+    // frontier empties, the BFS discipline). Scale shape per round: one
+    // equi-join of the edge list against the labeled set (broadcastable —
+    // it is the frontier, not the corpus) + a (host, label) counted
+    // aggregate + a per-host argmax window over ≤|labels| rows; shuffles
+    // carry (host, label, count). The deterministic tie-break is what
+    // makes the result engine-exact rather than seed-order-dependent.
+    "q_label_prop" -> ((s, dir) => {
+      val und = hostEdges(s, dir).select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val nb = und.select(col("a").as("h"), col("b").as("n"))
+        .unionByName(und.select(col("b").as("h"), col("a").as("n")))
+      val hosts = nb.select(col("h")).distinct()
+      val seeds = hosts
+        .filter(substring(col("h"), 4, 6).cast("int") < LabelSeeds)
+        .select(col("h"), substring(col("h"), 4, 6).cast("long").as("label"),
+          lit(0L).as("round_assigned"))
+      def propagate(labeled: DataFrame, round: Int): DataFrame = {
+        val won = nb.join(labeled.select(col("h")), Seq("h"), "left_anti")
+          .join(labeled.select(col("h").as("n"), col("label")), Seq("n"))
+          .groupBy(col("h"), col("label")).agg(count(lit(1)).as("votes"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("votes").desc, col("label"))))
+          .filter(col("rn") === 1)
+          .select(col("h"), col("label"), lit(round.toLong).as("round_assigned"))
+        labeled.unionByName(won)
+      }
+      hosts.join(propagate(propagate(seeds, 1), 2), Seq("h"), "left_outer")
+        .select(col("h").as("host"),
+          coalesce(col("label"), lit(-1L)).as("label"),
+          coalesce(col("round_assigned"), lit(-1L)).as("round_assigned"))
     }),
 
     // Link co-citation (bibliographic coupling): host pairs ranked by the
@@ -457,6 +499,41 @@ object FrontierOps {
          |  FROM p JOIN deg ON deg.z = p.z GROUP BY 1, 2)
          |SELECT sc.x AS host_a, sc.y AS host_b, n_common, ra_ppm
          |FROM sc ANTI JOIN und ON sc.x = und.a AND sc.y = und.b""".stripMargin,
+
+    "q_label_prop" ->
+      s"""WITH e AS ($dkHostEdges),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |nb AS (SELECT a AS h, b AS n FROM und UNION ALL SELECT b AS h, a AS n FROM und),
+         |hosts AS (SELECT DISTINCT h FROM nb),
+         |seeds AS (
+         |  SELECT h, CAST(substr(h, 4) AS BIGINT) AS label, 0::BIGINT AS round_assigned
+         |  FROM hosts WHERE CAST(substr(h, 4) AS INT) < $LabelSeeds),
+         |w1 AS (
+         |  SELECT nb.h, s.label, count(*) AS votes
+         |  FROM nb JOIN seeds s ON s.h = nb.n
+         |  WHERE nb.h NOT IN (SELECT h FROM seeds)
+         |  GROUP BY 1, 2),
+         |r1 AS (
+         |  SELECT h, label, 1::BIGINT AS round_assigned FROM (
+         |    SELECT h, label,
+         |      row_number() OVER (PARTITION BY h ORDER BY votes DESC, label) AS rn
+         |    FROM w1) WHERE rn = 1),
+         |l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r1),
+         |w2 AS (
+         |  SELECT nb.h, s.label, count(*) AS votes
+         |  FROM nb JOIN l1 s ON s.h = nb.n
+         |  WHERE nb.h NOT IN (SELECT h FROM l1)
+         |  GROUP BY 1, 2),
+         |r2 AS (
+         |  SELECT h, label, 2::BIGINT AS round_assigned FROM (
+         |    SELECT h, label,
+         |      row_number() OVER (PARTITION BY h ORDER BY votes DESC, label) AS rn
+         |    FROM w2) WHERE rn = 1),
+         |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM r2)
+         |SELECT hosts.h AS host,
+         |  coalesce(l2.label, -1)::BIGINT AS label,
+         |  coalesce(l2.round_assigned, -1)::BIGINT AS round_assigned
+         |FROM hosts LEFT JOIN l2 ON l2.h = hosts.h""".stripMargin,
 
     "q_frontier_bfs" ->
       s"""WITH e AS ($dkHostEdges),

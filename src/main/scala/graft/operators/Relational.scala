@@ -307,6 +307,30 @@ object Relational {
           max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("l_quantity"))).as("p90_qty"))
     }),
 
+    // Pre-flight join-size audit — the check a 100 TB self-join runs
+    // BEFORE paying for it: for the events-by-user self-join key, the
+    // exact output cardinality is Σ_k n(k)², computed from the per-key
+    // count table (one partial-agg pass over the fact table — the
+    // shuffle carries (key, count), never rows), plus the top-10 keys by
+    // contribution with their ppm share of the output. This is the
+    // number that decides broadcast vs shuffle vs salt vs cap: a single
+    // key owning >10% of a trillion-row join output is the skew the
+    // salting toolkit exists for, and it is knowable for the cost of a
+    // count. Top-k is a TakeOrdered over the count table, never a global
+    // sort of facts.
+    "q_join_size_audit" -> ((s, dir) => {
+      val cnt = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("pairs", col("n_rows") * col("n_rows"))
+      val tot = cnt.agg(sum(col("n_rows")).as("total_rows"),
+        sum(col("pairs")).as("total_pairs"), count(lit(1)).as("n_keys"))
+      cnt.orderBy(col("pairs").desc, col("user_id")).limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("user_id"), col("n_rows"), col("pairs"),
+          col("n_keys"), col("total_rows"), col("total_pairs"),
+          expr("pairs * 1000000 DIV total_pairs").as("share_ppm"))
+    }),
+
     // Multi-dimensional aggregate: CUBE over (returnflag, linestatus) —
     // all four grouping sets in ONE Expand+aggregate pass (Spark's Expand
     // replicates each input row once per grouping set BEFORE the partial
@@ -518,6 +542,20 @@ object Relational {
         |  max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS median_qty,
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_quantity END) AS p90_qty
         |FROM r GROUP BY 1""".stripMargin,
+
+    "q_join_size_audit" ->
+      """WITH cnt AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_rows,
+        |    (count(*) * count(*))::BIGINT AS pairs
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n_rows)::BIGINT AS total_rows, sum(pairs)::BIGINT AS total_pairs,
+        |    count(*)::BIGINT AS n_keys
+        |  FROM cnt)
+        |SELECT user_id, n_rows, pairs, n_keys, total_rows, total_pairs,
+        |  (pairs * 1000000 // total_pairs)::BIGINT AS share_ppm
+        |FROM cnt, tot
+        |ORDER BY pairs DESC, user_id LIMIT 10""".stripMargin,
 
     "q_cube_agg" ->
       """SELECT coalesce(l_returnflag, '(all)') AS returnflag,

@@ -179,4 +179,37 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       common.toSeq.map(z => 1000000L / nbrs(z).size).sum))).toMap
     assert(out == want, s"diff: ${(out.toSet -- want.toSet) ++ (want.toSet -- out.toSet)}")
   }
+
+  test("q_label_prop equals a brute-force two-round majority propagation") {
+    val out = SparkEntry.queries("q_label_prop")(spark, dir).collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("label"), r.getAs[Long]("round_assigned")))).toMap
+    val edges = bruteEdges()
+    val hosts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def nbrs(h: String) =
+      edges.collect { case (a, b) if a == h => b; case (a, b) if b == h => a }
+    var labels: Map[String, (Long, Long)] = hosts
+      .filter(_.drop(3).toInt < 4)
+      .map(h => h -> ((h.drop(3).toLong, 0L))).toMap
+    (1 to 2).foreach { round =>
+      val newly = hosts.filterNot(labels.contains).flatMap { h =>
+        val votes = nbrs(h).toSeq.flatMap(n => labels.get(n).map(_._1))
+        if (votes.isEmpty) None
+        else {
+          val win = votes.groupBy(identity).toSeq
+            .map { case (l, v) => (l, v.size) }
+            .minBy { case (l, c) => (-c, l) }._1
+          Some(h -> ((win, round.toLong)))
+        }
+      }
+      labels = labels ++ newly // simultaneous update: newly never re-reads itself
+    }
+    assert(out.keySet == hosts.toSet)
+    hosts.foreach { h =>
+      assert(out(h) == labels.getOrElse(h, (-1L, -1L)), s"host $h: got ${out(h)}")
+    }
+    // both propagation rounds genuinely fire on this graph
+    assert(out.values.count(_._2 == 1L) > 0 || labels.size == hosts.size)
+    assert(labels.size > 4, "no propagation happened at all")
+  }
 }

@@ -930,4 +930,26 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(planted.filter(col("jaccard") < 0.9).count() <= nDocs / 20)
     } finally { out.unpersist(); () }
   }
+
+  test("q_join_size_audit: totals and top contributors match a driver-side recount") {
+    val out = SparkEntry.queries("q_join_size_audit")(spark, dir).collect()
+    val counts = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    val totalPairs = counts.values.map(n => n * n).sum
+    val totalRows  = counts.values.sum
+    val wantTop = counts.toSeq.map { case (u, n) => (u, n * n) }
+      .sortBy { case (u, p) => (-p, u) }.take(10).map(_._1)
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("user_id")).toSet == wantTop.toSet)
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("n_rows") == counts(u))
+      assert(r.getAs[Long]("pairs") == counts(u) * counts(u))
+      assert(r.getAs[Long]("total_rows") == totalRows)
+      assert(r.getAs[Long]("total_pairs") == totalPairs)
+      assert(r.getAs[Long]("n_keys") == counts.size.toLong)
+      assert(r.getAs[Long]("share_ppm") == counts(u) * counts(u) * 1000000L / totalPairs)
+    }
+  }
 }
