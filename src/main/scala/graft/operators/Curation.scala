@@ -40,6 +40,12 @@ object Curation {
   /** Per-domain quota (the C4/RefinedWeb host-cap policy constant). */
   private val DomainCap = 10L
 
+  /** Mixture-allocation training budget as a percent of total available
+    * token mass — 60% makes three of the five planted domains cap-bind
+    * (their availability < budget·weight) so the water-filling
+    * redistribution round has real work. */
+  private val MixBudgetPct = 60L
+
   /** DSIR hashed-feature space size and the integer weight scale (a
     * weight of [[DsirScale]] ≡ probability ratio 1.0). */
   private val DsirBuckets = 1024L
@@ -670,6 +676,114 @@ object Curation {
           round(col("n_kept") / col("tk"), 4).as("share_sampled"))
     }),
 
+    // Token-budget mixture allocation (the Dolma/Pile config-solving step,
+    // run BEFORE sampling): given per-domain available token mass and a
+    // target mixture (ppm weights), allocate a global training budget
+    // across domains by water-filling — round 1 gives each domain
+    // min(avail, budget·w); domains whose availability binds are CAPPED,
+    // and round 2 redistributes the stranded budget across the uncapped
+    // domains proportionally to their weights (one unrolled round — the
+    // production loop repeats until no new cap binds; on this plant one
+    // round suffices and the test asserts it). All integer arithmetic
+    // (floor-div, ppm scales), so the plan is engine-exact. Scale shape:
+    // ONE partial-agg groupBy(domain) over a two-column scan; everything
+    // after runs on a |domains|-row frame (broadcast cross-joins) — the
+    // corpus is never shuffled, which is the whole point of solving the
+    // mixture on aggregates instead of materializing samples to count them.
+    "q_mixture_allocate" -> ((s, dir) => {
+      val m20 = col("doc_id") % 20
+      val domain = when(m20 < 10, lit("web")).when(m20 < 16, lit("news"))
+        .when(m20 < 18, lit("books")).when(m20 === 18, lit("code"))
+        .otherwise(lit("wiki"))
+      val targetPpm = when(col("domain") === "web", lit(350000L))
+        .when(col("domain") === "news", lit(150000L))
+        .when(col("domain") === "books", lit(250000L))
+        .when(col("domain") === "code", lit(150000L))
+        .otherwise(lit(100000L))
+      val av = docs(s, dir).select(col("n_chars"), domain.as("domain"))
+        .groupBy(col("domain")).agg(sum(col("n_chars")).as("avail"))
+        .withColumn("target_ppm", targetPpm)
+      val budget = av.agg(expr(s"sum(avail) * $MixBudgetPct DIV 100").as("budget"))
+      val r1 = av.crossJoin(broadcast(budget))
+        .withColumn("desired", expr("budget * target_ppm DIV 1000000"))
+        .withColumn("alloc1", least(col("avail"), col("desired")))
+        .withColumn("capped", col("desired") >= col("avail"))
+      val slack = r1.agg(
+        (max(col("budget")) - sum(col("alloc1"))).as("leftover"),
+        sum(when(!col("capped"), col("target_ppm")).otherwise(0L)).as("w_open"))
+      r1.crossJoin(broadcast(slack))
+        .withColumn("extra", when(!col("capped") && col("w_open") > 0L,
+          expr("leftover * target_ppm DIV w_open")).otherwise(lit(0L)))
+        .withColumn("alloc_final", least(col("avail"), col("alloc1") + col("extra")))
+        .select(col("domain"), col("avail"), col("target_ppm"), col("budget"),
+          col("alloc1"), col("capped"), col("alloc_final"),
+          expr("alloc_final * 1000000 DIV avail").as("fill_ppm"))
+    }),
+
+    // Soft deduplication (the keep-everything alternative to dropping
+    // duplicates — "Scaling Data-Constrained LMs" down-weights repeats
+    // instead of deleting them): every doc gets a training-loss weight of
+    // 1/copies (integer ppm), where copies = size of its exact-content
+    // group, so each distinct text contributes ~one document of total
+    // loss mass regardless of how many times the crawl re-fetched it.
+    // Scale shape: the corpus maps to (doc_id, md5) once — the groupBy's
+    // partial agg means the count shuffle carries (hash, n) per map task,
+    // and the join back shuffles (doc_id, hash) pairs only, never text. A
+    // 10M-copy boilerplate page costs the reduce side one counted row
+    // plus its id list — ids spread across tasks by hash, no sorter
+    // funnel (contrast with the window-over-content-hash shape the
+    // round-3 verdict retired from corpus_curate).
+    "q_softdedup_weights" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val ids = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+      val copies = ids.groupBy(col("h")).agg(count(lit(1)).as("copies"))
+      ids.join(copies, Seq("h"))
+        .select(col("doc_id"), col("copies"),
+          expr("1000000 DIV copies").as("weight_ppm"))
+    }),
+
+    // Curriculum interleave: a GLOBAL training order (per-domain quality
+    // curriculum, domains interleaved round-robin so no training window
+    // sees one domain back-to-back) computed WITHOUT a global sort. Two
+    // scale moves: (1) the within-domain rank by (n_chars DESC, doc_id)
+    // is a distributed rank — group-count per exact sort-key value,
+    // prefix-sum the |domains|×|distinct keys| count frame into offsets
+    // (tiny; window over counts, not docs), broadcast back, row_number
+    // only WITHIN a (domain, key) tie group (partitions = tie groups,
+    // which grow with the corpus; one degenerate all-ties key is the only
+    // hot case — the q_global_shuffle hash-bucket variant handles that);
+    // (2) the interleave position is ANALYTIC from the 5-row domain-count
+    // table: pos(d, rk) = Σ_d' min(rk−1, n_d') + #{d' ≤ d : n_d' ≥ rk},
+    // evaluated per row by a codegen'd HOF over one broadcast array — no
+    // row_number over the full corpus anywhere. The oracle computes pos
+    // as a literal global row_number over (rk, domain), so the gate
+    // proves the closed form equals the true interleave.
+    "q_curriculum_interleave" -> ((s, dir) => {
+      val m20 = col("doc_id") % 20
+      val domainOf = when(m20 < 10, lit("web")).when(m20 < 16, lit("news"))
+        .when(m20 < 18, lit("books")).when(m20 === 18, lit("code"))
+        .otherwise(lit("wiki"))
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"), domainOf.as("domain"))
+      val ties = d.groupBy(col("domain"), col("n_chars")).agg(count(lit(1)).as("gn"))
+      val offs = ties.withColumn("goff", coalesce(sum(col("gn")).over(
+          Window.partitionBy(col("domain")).orderBy(col("n_chars").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("domain"), col("n_chars"), col("goff"))
+      val ranked = d.join(broadcast(offs), Seq("domain", "n_chars"))
+        .withColumn("rk", col("goff") + row_number().over(
+          Window.partitionBy(col("domain"), col("n_chars"))
+            .orderBy(col("doc_id"))).cast("long"))
+      val nd = d.groupBy(col("domain")).agg(count(lit(1)).as("nd"))
+        .agg(sort_array(collect_list(struct(col("domain"), col("nd")))).as("nds"))
+      ranked.crossJoin(broadcast(nd))
+        .withColumn("pos", expr(
+          """aggregate(nds, 0L, (acc, x) -> acc + least(rk - 1, x.nd) +
+            |(CASE WHEN x.domain <= domain AND x.nd >= rk THEN 1 ELSE 0 END))""".stripMargin))
+        .select(col("doc_id"), col("domain"), col("rk"), col("pos"))
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       corpusFps(s, dir).join(broadcast(benchFps(s, dir)), Seq("fp"))
         .groupBy(col("doc_id"), col("bench_id"))
@@ -1144,6 +1258,64 @@ object Curation {
          |SELECT domain, n_docs, round(n_docs / tn, 4) AS share_raw,
          |  weight_scaled, keep_scaled, n_kept, round(n_kept / tk, 4) AS share_sampled
          |FROM o, tot""".stripMargin,
+    "q_mixture_allocate" ->
+      s"""WITH d AS (
+         |  SELECT n_chars,
+         |    CASE WHEN doc_id % 20 < 10 THEN 'web' WHEN doc_id % 20 < 16 THEN 'news'
+         |      WHEN doc_id % 20 < 18 THEN 'books' WHEN doc_id % 20 = 18 THEN 'code'
+         |      ELSE 'wiki' END AS domain
+         |  FROM documents),
+         |av AS (
+         |  SELECT domain, sum(n_chars)::BIGINT AS avail,
+         |    (CASE domain WHEN 'web' THEN 350000 WHEN 'news' THEN 150000
+         |      WHEN 'books' THEN 250000 WHEN 'code' THEN 150000
+         |      ELSE 100000 END)::BIGINT AS target_ppm
+         |  FROM d GROUP BY 1),
+         |b AS (SELECT (sum(avail) * $MixBudgetPct // 100)::BIGINT AS budget FROM av),
+         |r1 AS (
+         |  SELECT domain, avail, target_ppm, budget,
+         |    least(avail, budget * target_ppm // 1000000)::BIGINT AS alloc1,
+         |    (budget * target_ppm // 1000000) >= avail AS capped
+         |  FROM av, b),
+         |slack AS (
+         |  SELECT (max(budget) - sum(alloc1))::BIGINT AS leftover,
+         |    sum(CASE WHEN capped THEN 0 ELSE target_ppm END)::BIGINT AS w_open
+         |  FROM r1),
+         |r2 AS (
+         |  SELECT r1.*, CASE WHEN NOT capped AND w_open > 0
+         |      THEN leftover * target_ppm // w_open ELSE 0 END::BIGINT AS extra
+         |  FROM r1, slack)
+         |SELECT domain, avail, target_ppm, budget, alloc1, capped,
+         |  least(avail, alloc1 + extra)::BIGINT AS alloc_final,
+         |  (least(avail, alloc1 + extra) * 1000000 // avail)::BIGINT AS fill_ppm
+         |FROM r2""".stripMargin,
+
+    "q_softdedup_weights" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |ids AS (SELECT doc_id, md5(text) AS h FROM corpus),
+        |cp AS (SELECT h, count(*)::BIGINT AS copies FROM ids GROUP BY 1)
+        |SELECT doc_id, copies, (1000000 // copies)::BIGINT AS weight_ppm
+        |FROM ids JOIN cp USING (h)""".stripMargin,
+
+    "q_curriculum_interleave" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 20 < 10 THEN 'web' WHEN doc_id % 20 < 16 THEN 'news'
+        |      WHEN doc_id % 20 < 18 THEN 'books' WHEN doc_id % 20 = 18 THEN 'code'
+        |      ELSE 'wiki' END AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (
+        |      PARTITION BY domain ORDER BY n_chars DESC, doc_id)::BIGINT AS rk
+        |  FROM d)
+        |SELECT doc_id, domain, rk,
+        |  row_number() OVER (ORDER BY rk, domain)::BIGINT AS pos
+        |FROM r""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH $dkFpsCte
          |SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS n_shared

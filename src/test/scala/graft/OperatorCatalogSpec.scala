@@ -931,6 +931,92 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("q_mixture_allocate: water-filling binds caps, redistributes, conserves budget") {
+    val out = SparkEntry.queries("q_mixture_allocate")(spark, dir).collect()
+    assert(out.length == 5)
+    val budget = out.head.getAs[Long]("budget")
+    assert(out.map(_.getAs[Long]("budget")).distinct.length == 1)
+    // recompute from parquet
+    val av = spark.read.parquet(s"$dir/documents.parquet")
+      .collect().map { r =>
+        val m = r.getAs[Long]("doc_id") % 20
+        val dom = if (m < 10) "web" else if (m < 16) "news"
+          else if (m < 18) "books" else if (m == 18) "code" else "wiki"
+        dom -> r.getAs[Long]("n_chars")
+      }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+    val w = Map("web" -> 350000L, "news" -> 150000L, "books" -> 250000L,
+      "code" -> 150000L, "wiki" -> 100000L)
+    assert(budget == av.values.sum * 60 / 100)
+    val desired = av.map { case (d, a) => d -> (budget * w(d) / 1000000L) }
+    val alloc1  = av.map { case (d, a) => d -> math.min(a, desired(d)) }
+    val capped  = av.keys.map(d => d -> (desired(d) >= av(d))).toMap
+    val leftover = budget - alloc1.values.sum
+    val wOpen = w.filter { case (d, _) => !capped(d) }.values.sum
+    out.foreach { r =>
+      val d = r.getAs[String]("domain")
+      assert(r.getAs[Long]("avail") == av(d))
+      assert(r.getAs[Long]("alloc1") == alloc1(d))
+      assert(r.getAs[Boolean]("capped") == capped(d))
+      val extra = if (!capped(d) && wOpen > 0) leftover * w(d) / wOpen else 0L
+      assert(r.getAs[Long]("alloc_final") == math.min(av(d), alloc1(d) + extra))
+    }
+    // the plant is doing its job: some domains cap, some receive extra
+    assert(capped.values.count(identity) >= 1, "no domain capped — plant broken")
+    assert(capped.values.count(!_) >= 1, "all domains capped — plant broken")
+    assert(leftover > 0, "no stranded budget to redistribute")
+    val total = out.map(_.getAs[Long]("alloc_final")).sum
+    assert(total <= budget, "over-allocated the budget")
+    assert(total > alloc1.values.sum, "redistribution never fired")
+  }
+
+  test("q_softdedup_weights: each content group carries ~1 doc of loss mass") {
+    val out = SparkEntry.queries("q_softdedup_weights")(spark, dir)
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.count() == n + n / 10) // corpus + 10% planted dups
+    // every planted dup pair (id, id+1e6) has copies>=2 and weight<=500000
+    val dups = out.filter(col("doc_id") >= 1000000L)
+    assert(dups.filter(col("copies") < 2 || col("weight_ppm") > 500000L).count() == 0)
+    // weight is exactly the integer reciprocal
+    assert(out.filter(col("weight_ppm") =!= expr("1000000 DIV copies")).count() == 0)
+    // every copies=1 doc keeps full weight — soft dedup never penalizes
+    // unique content
+    assert(out.filter(col("copies") === 1 && col("weight_ppm") =!= 1000000L).count() == 0)
+  }
+
+  test("q_curriculum_interleave: analytic position equals the true interleave") {
+    val out = SparkEntry.queries("q_curriculum_interleave")(spark, dir).collect()
+    val n = out.length
+    assert(out.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to n).toSeq,
+      "pos is not a permutation of 1..N")
+    // brute-force: per-domain rank by (n_chars desc, doc_id), then global
+    // order by (rk, domain)
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getAs[Long]("doc_id"); val m = id % 20
+        val dom = if (m < 10) "web" else if (m < 16) "news"
+          else if (m < 18) "books" else if (m == 18) "code" else "wiki"
+        (id, dom, r.getAs[Long]("n_chars"))
+      }
+    val ranked = rows.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy { case (id, _, nc) => (-nc, id) }.zipWithIndex
+        .map { case ((id, d, _), i) => (id, d, i + 1L) }.toSeq
+    }
+    val want = ranked.sortBy { case (_, d, rk) => (rk, d) }.zipWithIndex
+      .map { case ((id, d, rk), i) => id -> ((d, rk, i + 1L)) }.toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (d, rk, pos) = want(id)
+      assert(r.getAs[String]("domain") == d)
+      assert(r.getAs[Long]("rk") == rk, s"doc $id rank")
+      assert(r.getAs[Long]("pos") == pos, s"doc $id position")
+    }
+    // round-robin property: the first |domains-with-rank-1| positions are
+    // distinct domains
+    val head = out.sortBy(_.getAs[Long]("pos")).take(5).map(_.getAs[String]("domain"))
+    assert(head.distinct.length == head.length, s"head not interleaved: ${head.toSeq}")
+  }
+
   test("q_join_size_audit: totals and top contributors match a driver-side recount") {
     val out = SparkEntry.queries("q_join_size_audit")(spark, dir).collect()
     val counts = spark.read.parquet(s"$dir/events.parquet")

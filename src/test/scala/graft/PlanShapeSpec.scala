@@ -462,6 +462,77 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "SNM rank window lost its bucket key (single-partition global sort)"))
   }
 
+  test("mixture allocate: one corpus aggregation, all solver arithmetic on broadcast frames") {
+    val executed = SparkEntry.queries("q_mixture_allocate")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    // the corpus contributes exactly one partial-agged shuffle (the
+    // groupBy(domain) over the two-column scan); the water-filling rounds
+    // must not re-shuffle anything corpus-sized
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("doc_id") && !cols.contains("text") && !cols.contains("n_chars"),
+        s"mixture solver shuffles corpus rows: $cols")
+    }
+    // budget/slack frames join back via broadcast, never shuffle joins
+    assert(!root.toString.contains("SortMergeJoin"),
+      s"solver frame join degraded to SortMerge:\n${root.toString.take(2000)}")
+    // column pruning: the scan must read only (doc_id, n_chars)
+    assert(root.toString.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"mixture scan reads more than (doc_id, n_chars):\n${root.toString.take(3000)}")
+  }
+
+  test("softdedup weights: shuffles carry (doc_id, hash) and counts, never text") {
+    val executed = SparkEntry.queries("q_softdedup_weights")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("text"), s"softdedup shuffle carries full text: $cols")
+    }
+    // the copies count must partial-aggregate before its shuffle
+    assert(root.toString.contains("HashAggregate"),
+      s"no hash aggregate in softdedup plan:\n${root.toString.take(2000)}")
+  }
+
+  test("curriculum interleave: no global-order exchange; rank windows stay tie-group-keyed") {
+    val executed = SparkEntry.queries("q_curriculum_interleave")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    // the defining property: a GLOBAL training order with no rangepartitioning
+    // (global sort) of the corpus anywhere in the plan
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      val part = e.outputPartitioning.toString
+      val isRange = part.contains("rangepartitioning")
+      val corpusSized = e.output.map(_.name).contains("doc_id")
+      assert(!(isRange && corpusSized),
+        s"corpus rows range-partitioned (global sort): $part ${e.output.map(_.name)}")
+    }
+    // doc-grain windows must be keyed by (domain, tie group), never empty
+    root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.output.map(_.name).contains("doc_id") => w
+    }.foreach(w => assert(w.partitionSpec.size >= 2,
+      "interleave rank window lost its (domain, key) partition spec"))
+    // the domain-count array arrives via broadcast
+    assert(root.toString.contains("BroadcastNestedLoopJoin") ||
+      root.toString.contains("BroadcastHashJoin"),
+      s"interleave count table not broadcast:\n${root.toString.take(2000)}")
+  }
+
   test("link prediction: no cartesian product, shuffles carry hosts and longs only") {
     val executed = SparkEntry.queries("q_link_prediction")(spark, dir)
       .queryExecution.executedPlan
