@@ -92,6 +92,10 @@ object VectorKernels {
   def intDist2(q: Column, c: Seq[Long]): Column =
     aggregate(zip_with(q, typedLit(c), (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
 
+  /** [[intDist2]] between two quantized vector COLUMNS (exact int64). */
+  def intDist2c(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, x) => s + x)
+
   // --- index-size rules ----------------------------------------------------
   // Shared by Spark and the DuckDB oracle, integer-exact on purpose: fp
   // log2 could round differently across engines at power-of-two corpus

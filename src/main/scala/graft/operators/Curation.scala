@@ -676,6 +676,46 @@ object Curation {
           round(col("n_kept") / col("tk"), 4).as("share_sampled"))
     }),
 
+    // Epoch-based resampling WITH upsampling (the other half of
+    // q_domain_mix, which only downsamples): each domain gets a rate =
+    // target_weight·N / n_d in ppm — above 1e6 means the domain repeats
+    // (rare domains train for multiple epochs, the data-constrained-LM
+    // move), below 1e6 means it thins. Per doc the repeat count is
+    // floor(rate) whole epochs plus one more iff hash(doc) < frac(rate) —
+    // deterministic fractional epochs, stable under reruns and
+    // incremental arrival like the split rule. The output IS the
+    // materialized training multiset (doc_id, domain, epoch): at scale
+    // this is a per-row explode bounded by ⌈rate⌉ (a config constant,
+    // never data-dependent), zero shuffles after the 5-row rate table
+    // broadcasts back — the corpus is scanned once and never moved.
+    "q_upsample_epochs" -> ((s, dir) => {
+      val m20 = col("doc_id") % 20
+      val domain = when(m20 < 10, lit("web")).when(m20 < 16, lit("news"))
+        .when(m20 < 18, lit("books")).when(m20 === 18, lit("code"))
+        .otherwise(lit("wiki"))
+      val targetPpm = when(col("domain") === "web", lit(350000L))
+        .when(col("domain") === "news", lit(150000L))
+        .when(col("domain") === "books", lit(250000L))
+        .when(col("domain") === "code", lit(150000L))
+        .otherwise(lit(100000L))
+      val d = docs(s, dir).select(col("doc_id"), domain.as("domain"))
+      val rates = d.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("target_ppm", targetPpm)
+      val tot = rates.agg(sum(col("n_docs")).as("n_total"))
+      val rt = rates.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm", expr("n_total * target_ppm DIV n_docs"))
+        .select(col("domain"), col("rate_ppm"))
+      d.join(broadcast(rt), Seq("domain"))
+        .withColumn("kh", hex32(concat(lit("ep:"), col("doc_id").cast("string"))) % 1000000L)
+        .withColumn("repeat",
+          (expr("rate_ppm DIV 1000000") +
+            when(col("kh") < col("rate_ppm") % 1000000L, 1L).otherwise(0L)).cast("int"))
+        .filter(col("repeat") >= 1)
+        .select(col("doc_id"), col("domain"),
+          explode(sequence(lit(1), col("repeat"))).as("epoch"))
+        .select(col("doc_id"), col("domain"), col("epoch").cast("long").as("epoch"))
+    }),
+
     // Token-budget mixture allocation (the Dolma/Pile config-solving step,
     // run BEFORE sampling): given per-domain available token mass and a
     // target mixture (ppm weights), allocate a global training budget
@@ -1258,6 +1298,30 @@ object Curation {
          |SELECT domain, n_docs, round(n_docs / tn, 4) AS share_raw,
          |  weight_scaled, keep_scaled, n_kept, round(n_kept / tk, 4) AS share_sampled
          |FROM o, tot""".stripMargin,
+    "q_upsample_epochs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 20 < 10 THEN 'web' WHEN doc_id % 20 < 16 THEN 'news'
+         |      WHEN doc_id % 20 < 18 THEN 'books' WHEN doc_id % 20 = 18 THEN 'code'
+         |      ELSE 'wiki' END AS domain
+         |  FROM documents),
+         |c AS (SELECT domain, count(*)::BIGINT AS n_docs,
+         |    (CASE domain WHEN 'web' THEN 350000 WHEN 'news' THEN 150000
+         |      WHEN 'books' THEN 250000 WHEN 'code' THEN 150000
+         |      ELSE 100000 END)::BIGINT AS target_ppm
+         |  FROM d GROUP BY 1),
+         |tot AS (SELECT sum(n_docs)::BIGINT AS n_total FROM c),
+         |rt AS (SELECT domain, (n_total * target_ppm // n_docs)::BIGINT AS rate_ppm
+         |  FROM c, tot),
+         |rep AS (
+         |  SELECT d.doc_id, d.domain,
+         |    ((rate_ppm // 1000000) + (CASE WHEN
+         |      ${Dk.hex32("'ep:' || doc_id::VARCHAR")} % 1000000 < rate_ppm % 1000000
+         |      THEN 1 ELSE 0 END))::BIGINT AS rep
+         |  FROM d JOIN rt ON rt.domain = d.domain)
+         |SELECT doc_id, domain, unnest(generate_series(1, rep))::BIGINT AS epoch
+         |FROM rep WHERE rep >= 1""".stripMargin,
+
     "q_mixture_allocate" ->
       s"""WITH d AS (
          |  SELECT n_chars,

@@ -200,6 +200,35 @@ object Search {
           col("df"), expr("(tf_mass * 1000000) div ttf").as("mass_ppm"))
     }),
 
+    // Retrieval quality evaluation (MRR / hit@1 / found@k) for BOTH
+    // shipped rankers against the planted golden workload (query_id's
+    // source doc is the known-relevant answer — the marker-term
+    // construction makes that ground truth exact, not judged). All
+    // integer: reciprocal ranks are 1e6 DIV rank, the mean is a DIV by
+    // query count — the evaluator itself adds no float surface, so it is
+    // hash-exact cross-engine, which is what lets a nightly index build
+    // GATE on "MRR didn't drop" instead of eyeballing it. Scale shape:
+    // the golden table is queries-sized and the lists are queries×k; the
+    // join keys on (query_id, golden), so the whole evaluation never
+    // touches the corpus — the rankers already did.
+    "search_rank_eval" -> ((s, dir) => {
+      val g = docs(s, dir).filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 900000L).as("query_id"), col("doc_id").as("golden"))
+      def eval(name: String, lst: DataFrame): DataFrame =
+        g.join(lst.select(col("query_id"), col("doc_id").as("golden"), col("rank")),
+            Seq("query_id", "golden"), "left_outer")
+          .groupBy(col("query_id")).agg(min(col("rank")).as("grank"))
+          .agg(count(lit(1)).as("n_queries"),
+            count(when(col("grank") === 1L, 1)).as("hits_at_1"),
+            count(col("grank")).as("found_at_k"),
+            sum(when(col("grank").isNotNull, expr("1000000 DIV grank"))
+              .otherwise(0L)).as("rrsum"))
+          .select(lit(name).as("ranker"), col("n_queries"), col("hits_at_1"),
+            col("found_at_k"), expr("rrsum DIV n_queries").as("mrr_ppm"))
+      eval("bm25", bm25TopK(s, dir))
+        .unionByName(eval("hybrid", hybridRrf(s, dir)))
+    }),
+
     // Corpus-derived stopword list: terms whose document-frequency share
     // crosses 80% — the list the BM25/tiering path drops before indexing
     // and tokenizer training reserves slots for. Deriving it from the
@@ -297,6 +326,46 @@ object Search {
          |  max(df)::BIGINT AS df,
          |  (sum(tf) * 1000000 // max(total_tf))::BIGINT AS mass_ppm
          |FROM tiers GROUP BY 1, 2""".stripMargin,
+
+    "search_rank_eval" ->
+      s"""WITH bm AS ($dkBm25),
+         |$dkAnnList,
+         |u AS (
+         |  SELECT query_id, doc_id, rank FROM bm
+         |  UNION ALL
+         |  SELECT query_id, doc_id, rank FROM al),
+         |f AS (
+         |  SELECT query_id, doc_id,
+         |    sum(1000000000 // ($RrfK + rank))::BIGINT AS rrf_scaled,
+         |    count(*)::BIGINT AS n_lists
+         |  FROM u GROUP BY 1, 2),
+         |hy AS (SELECT query_id, doc_id, rank FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
+         |    FROM f) WHERE rank <= $TopK),
+         |g AS (SELECT doc_id + 900000 AS query_id, doc_id AS golden
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |evb AS (
+         |  SELECT g.query_id, min(l.rank) AS grank FROM g
+         |  LEFT JOIN bm l ON l.query_id = g.query_id AND l.doc_id = g.golden
+         |  GROUP BY 1),
+         |evh AS (
+         |  SELECT g.query_id, min(l.rank) AS grank FROM g
+         |  LEFT JOIN hy l ON l.query_id = g.query_id AND l.doc_id = g.golden
+         |  GROUP BY 1)
+         |SELECT 'bm25' AS ranker, count(*)::BIGINT AS n_queries,
+         |  count(CASE WHEN grank = 1 THEN 1 END)::BIGINT AS hits_at_1,
+         |  count(grank)::BIGINT AS found_at_k,
+         |  (sum(CASE WHEN grank IS NOT NULL THEN 1000000 // grank ELSE 0 END)
+         |    // count(*))::BIGINT AS mrr_ppm
+         |FROM evb
+         |UNION ALL
+         |SELECT 'hybrid', count(*)::BIGINT,
+         |  count(CASE WHEN grank = 1 THEN 1 END)::BIGINT,
+         |  count(grank)::BIGINT,
+         |  (sum(CASE WHEN grank IS NOT NULL THEN 1000000 // grank ELSE 0 END)
+         |    // count(*))::BIGINT
+         |FROM evh""".stripMargin,
 
     "text_stopword_derive" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

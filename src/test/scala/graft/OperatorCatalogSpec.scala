@@ -931,6 +931,196 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  // --- product quantization: driver-side re-run of the exact-integer
+  // Lloyd loop (the same arithmetic, independently coded) pins training,
+  // code assignment, and ADC search end to end ------------------------------
+
+  private def pqDriverBooks(): (Array[(Long, Array[Long])], IndexedSeq[IndexedSeq[Long]], IndexedSeq[IndexedSeq[Long]]) = {
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+          .map(x => math.floor(x.toDouble * 2000.0 + 0.5).toLong))
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def lloyd(sub: Array[(Long, Array[Long])],
+        init: IndexedSeq[IndexedSeq[Long]]): IndexedSeq[IndexedSeq[Long]] = {
+      var cents = init
+      (0 until 2).foreach { _ =>
+        val byCell = sub.map { case (_, qv) =>
+          (cents.indices.minBy(j => (d2(qv.toSeq, cents(j)), j)), qv)
+        }.groupBy(_._1)
+        cents = cents.indices.map { j =>
+          byCell.get(j) match {
+            case Some(rows) => (0 until 32).map(i =>
+              Math.floorDiv(rows.map(_._2(i)).sum, rows.length.toLong)).toIndexedSeq
+            case None => cents(j)
+          }
+        }
+      }
+      cents
+    }
+    val bookLo = lloyd(q.map { case (id, v) => (id, v.slice(0, 32)) },
+      (0 until 8).map(j => graft.functions.VectorKernels.intCentroid(100 + j, 32).toIndexedSeq))
+    val bookHi = lloyd(q.map { case (id, v) => (id, v.slice(32, 64)) },
+      (0 until 8).map(j => graft.functions.VectorKernels.intCentroid(200 + j, 32).toIndexedSeq))
+    (q, bookLo, bookHi)
+  }
+
+  private def pqD2(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  private def pqCode(qv: Seq[Long], book: IndexedSeq[IndexedSeq[Long]]): Int =
+    book.indices.minBy(j => (pqD2(qv, book(j)), j))
+
+  test("ann_pq_codes: codes match a driver-side re-run of the integer Lloyd loop") {
+    val (q, bookLo, bookHi) = pqDriverBooks()
+    val want = q.map { case (id, qv) =>
+      val (lo, hi) = (qv.slice(0, 32).toSeq, qv.slice(32, 64).toSeq)
+      val (cl, ch) = (pqCode(lo, bookLo), pqCode(hi, bookHi))
+      id -> ((cl.toLong, pqD2(lo, bookLo(cl)), ch.toLong, pqD2(hi, bookHi(ch))))
+    }.toMap
+    val out = SparkEntry.queries("ann_pq_codes")(spark, dir).collect()
+    assert(out.length == q.length)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert((r.getAs[Long]("code_lo"), r.getAs[Long]("d_lo"),
+        r.getAs[Long]("code_hi"), r.getAs[Long]("d_hi")) == want(id), s"vec $id")
+    }
+    // compression does real work: several codes in use per subspace
+    assert(out.map(_.getAs[Long]("code_lo")).distinct.length > 2)
+    assert(out.map(_.getAs[Long]("code_hi")).distinct.length > 2)
+  }
+
+  test("ann_pq_topk: ADC ranking matches an exhaustive driver recompute; recall audit consistent") {
+    val (q, bookLo, bookHi) = pqDriverBooks()
+    val codes = q.map { case (id, qv) =>
+      id -> ((pqCode(qv.slice(0, 32).toSeq, bookLo), pqCode(qv.slice(32, 64).toSeq, bookHi)))
+    }.toMap
+    val want = q.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      val (lo, hi) = (qv.slice(0, 32).toSeq, qv.slice(32, 64).toSeq)
+      q.filter(_._1 != qid).map { case (nid, _) =>
+        val (cl, ch) = codes(nid)
+        (qid, nid, pqD2(lo, bookLo(cl)) + pqD2(hi, bookHi(ch)))
+      }.sortBy { case (_, nid, adc) => (adc, nid) }.take(5).zipWithIndex
+        .map { case ((qid2, nid, adc), i) => (qid2, nid) -> ((i + 1L, adc)) }
+    }.toMap
+    val out = SparkEntry.queries("ann_pq_topk")(spark, dir).collect()
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(want.contains(key), s"unexpected pair $key")
+      assert((r.getAs[Long]("rank"), r.getAs[Long]("adc")) == want(key), s"pair $key")
+    }
+  }
+
+  test("ann_pq_rerank: planted near-neighbors retrieved at rank 1 through ADC + exact re-rank") {
+    val (q, bookLo, bookHi) = pqDriverBooks()
+    val codes = q.map { case (id, qv) =>
+      id -> ((pqCode(qv.slice(0, 32).toSeq, bookLo), pqCode(qv.slice(32, 64).toSeq, bookHi)))
+    }.toMap
+    // driver recompute: perturbed probes → ADC top-50 candidates → exact
+    // re-rank (independent implementation of the whole retrieve path)
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val want = raw.map { case (g, emb) =>
+      val pert = emb.zipWithIndex.map { case (x, i) =>
+        math.floor((x.toDouble + 0.01 * ((i % 3) - 1)) * 2000.0 + 0.5).toLong }
+      val (plo, phi) = (pert.slice(0, 32).toSeq, pert.slice(32, 64).toSeq)
+      val cand = q.map { case (nid, _) =>
+        val (cl, ch) = codes(nid)
+        (nid, pqD2(plo, bookLo(cl)) + pqD2(phi, bookHi(ch)))
+      }.sortBy { case (nid, adc) => (adc, nid) }.take(50).map(_._1)
+      val rer = cand.map(nid => (nid, pqD2(pert.toSeq, q.toMap.apply(nid).toSeq)))
+        .sortBy { case (nid, d2) => (d2, nid) }
+      val grank = rer.indexWhere(_._1 == g) match { case -1 => -1L; case i => i + 1L }
+      (g + 100000L) -> ((g, cand.contains(g), grank, grank >= 1 && grank <= 5))
+    }.toMap
+    val out = SparkEntry.queries("ann_pq_rerank")(spark, dir).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val w = want(qid)
+      assert(r.getAs[Long]("golden") == w._1)
+      assert(r.getAs[Boolean]("in_candidates") == w._2, s"query $qid in_candidates")
+      assert(r.getAs[Long]("golden_rank") == w._3, s"query $qid golden_rank")
+      assert(r.getAs[Boolean]("found_at_k") == w._4, s"query $qid found_at_k")
+    }
+    // the index does its job on real near-neighbor structure: every
+    // planted probe's source survives compression and re-ranks first
+    assert(out.forall(_.getAs[Boolean]("in_candidates")), "golden fell out of ADC candidates")
+    assert(out.forall(_.getAs[Long]("golden_rank") == 1L), "golden not rank 1 after re-rank")
+  }
+
+  test("search_rank_eval: metrics match a recount of the rankers' own lists") {
+    val out = SparkEntry.queries("search_rank_eval")(spark, dir).collect()
+      .map(r => r.getAs[String]("ranker") -> r).toMap
+    assert(out.keySet == Set("bm25", "hybrid"))
+    val goldens = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 100 === 0).select(col("doc_id")).collect()
+      .map(_.getAs[Long]("doc_id"))
+    def recount(q: String): (Long, Long, Long, Long) = {
+      val ranks = SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("rank"))
+        .toMap
+      val granks = goldens.map(g => ranks.get((g + 900000L, g)))
+      (goldens.length.toLong, granks.count(_.contains(1L)).toLong,
+        granks.count(_.isDefined).toLong,
+        granks.flatMap(_.map(1000000L / _)).sum / goldens.length)
+    }
+    Seq("bm25" -> "text_bm25_topk", "hybrid" -> "search_hybrid_rrf").foreach {
+      case (ranker, q) =>
+        val r = out(ranker)
+        val (n, h1, fk, mrr) = recount(q)
+        assert(r.getAs[Long]("n_queries") == n)
+        assert(r.getAs[Long]("hits_at_1") == h1, s"$ranker hits@1")
+        assert(r.getAs[Long]("found_at_k") == fk, s"$ranker found@k")
+        assert(r.getAs[Long]("mrr_ppm") == mrr, s"$ranker mrr")
+    }
+    // the planted marker term makes BM25 rank the source doc first, always
+    assert(out("bm25").getAs[Long]("hits_at_1") == out("bm25").getAs[Long]("n_queries"))
+    assert(out("bm25").getAs[Long]("mrr_ppm") == 1000000L)
+  }
+
+  test("q_upsample_epochs: rare domains repeat, heavy domains thin, epochs contiguous") {
+    val out = SparkEntry.queries("q_upsample_epochs")(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nByDom = docs.collect().map { r =>
+      val m = r.getAs[Long]("doc_id") % 20
+      if (m < 10) "web" else if (m < 16) "news" else if (m < 18) "books"
+      else if (m == 18) "code" else "wiki"
+    }.groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val w = Map("web" -> 350000L, "news" -> 150000L, "books" -> 250000L,
+      "code" -> 150000L, "wiki" -> 100000L)
+    val nTotal = nByDom.values.sum
+    val rate = nByDom.map { case (d, n) => d -> nTotal * w(d) / n }
+    val rows = out.collect()
+    val byDom = rows.groupBy(_.getAs[String]("domain"))
+    // per-doc epochs are 1..repeat with repeat in {floor(rate), floor+1}
+    rows.groupBy(r => r.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val eps = rs.map(_.getAs[Long]("epoch")).sorted.toSeq
+      assert(eps == (1L to eps.length).toSeq, s"doc $id epochs not contiguous")
+      val d = rs.head.getAs[String]("domain")
+      val fl = rate(d) / 1000000L
+      assert(eps.length == fl || eps.length == fl + 1, s"doc $id repeat ${eps.length}")
+    }
+    // upsampling fired: some rare-domain doc trains >1 epoch
+    assert(byDom("books").map(_.getAs[Long]("epoch")).max >= 2L)
+    assert(byDom("code").map(_.getAs[Long]("epoch")).max >= 3L)
+    // downsampling fired: web emits fewer rows than its doc count
+    assert(byDom("web").length < nByDom("web"))
+    // per-domain realized mass is near target (hash-fractional tolerance):
+    // expected rows = n_d * rate / 1e6, allow ±15% relative
+    nByDom.keys.foreach { d =>
+      val want = nByDom(d).toDouble * rate(d).toDouble / 1e6
+      val got = byDom(d).length.toDouble
+      assert(math.abs(got - want) <= math.max(5.0, 0.15 * want),
+        s"$d realized $got vs target $want")
+    }
+  }
+
   test("q_mixture_allocate: water-filling binds caps, redistributes, conserves budget") {
     val out = SparkEntry.queries("q_mixture_allocate")(spark, dir).collect()
     assert(out.length == 5)
