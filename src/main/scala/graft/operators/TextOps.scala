@@ -49,6 +49,10 @@ object TextOps {
   /** Minimum bigram count for collocation scoring (PMI low-count guard). */
   private val MinColloc = 5L
 
+  /** Bigram-LM context prune: left tokens with fewer observed
+    * continuations than this carry no usable MLE signal. */
+  private val MinLmLeft = 10L
+
   /** Per-doc quality signals + composite score (the `text_quality`
     * contract), extracted so the adaptive gate can reuse the identical
     * score computation. Narrow — one codegen'd scan, no shuffle. Any
@@ -590,6 +594,36 @@ object TextOps {
             .as("lift_ppm"))
     }),
 
+    // Count-based bigram language model (the KenLM-style artifact the
+    // CCNet/quality stack trains on the corpus it just curated): per left
+    // token, the conditional next-token distribution P(w2|w1) as exact
+    // integer ppm over the OBSERVED continuation mass, pruned to left
+    // tokens with ≥ MinLmLeft continuations (MLE on rare contexts is
+    // noise) and to the top-3 continuations (the model a completion
+    // ranker actually serves). Differs from text_collocations (global
+    // PMI lift ranking) in grain and output: this is the per-context
+    // CONDITIONAL table — the thing perplexity scoring reads. Scale
+    // shape: one map-side-combined bigram count, a vocab-sized left-
+    // margin re-aggregation of those counts (never a second corpus
+    // pass), and a per-w1 window bounded by w1's distinct-continuation
+    // count ≤ vocab — corpus growth fattens counters, not partitions.
+    "text_bigram_lm" -> ((s, dir) => {
+      val toks = docs(s, dir).select(tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bg = toks.select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+      val left = bg.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_left"))
+      bg.join(left, Seq("w1")).filter(col("c_left") >= MinLmLeft)
+        .withColumn("p_ppm", expr("c_bigram * 1000000 DIV c_left"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("w1"))
+          .orderBy(col("c_bigram").desc, col("w2"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("w1"), col("w2"), col("c_bigram"), col("c_left"),
+          col("p_ppm"), col("rank"))
+    }),
+
     // Confusion matrix for the language-ID heuristic against the corpus's
     // LABELED `lang` column — the evaluation loop every classifier in the
     // curation stack needs closed (the reference's whole eval half is
@@ -1018,6 +1052,24 @@ object TextOps {
          |  (levenshtein(golden, pred) * 1000000
          |    // greatest(length(golden), 1))::BIGINT AS cer_ppm
          |FROM p""".stripMargin,
+
+    "text_bigram_lm" ->
+      s"""WITH t AS (SELECT ${Dk.tokens("text")} AS toks FROM documents),
+         |t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+         |bgr AS (
+         |  SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM t2),
+         |bg AS (SELECT w1, w2, count(*)::BIGINT AS c_bigram FROM bgr GROUP BY 1, 2),
+         |lf AS (SELECT w1, sum(c_bigram)::BIGINT AS c_left FROM bg GROUP BY 1)
+         |SELECT w1, w2, c_bigram, c_left, p_ppm, rank::BIGINT AS rank FROM (
+         |  SELECT bg.w1, w2, c_bigram, c_left,
+         |    (c_bigram * 1000000 // c_left)::BIGINT AS p_ppm,
+         |    row_number() OVER (
+         |      PARTITION BY bg.w1 ORDER BY c_bigram DESC, w2) AS rank
+         |  FROM bg JOIN lf ON bg.w1 = lf.w1
+         |  WHERE c_left >= $MinLmLeft)
+         |WHERE rank <= 3""".stripMargin,
 
     "text_collocations" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

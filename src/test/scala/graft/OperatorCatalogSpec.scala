@@ -1054,6 +1054,35 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.forall(_.getAs[Long]("golden_rank") == 1L), "golden not rank 1 after re-rank")
   }
 
+  test("text_bigram_lm: conditional table matches a driver-side bigram recount") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("text")).collect().map(_.getAs[String]("text"))
+    val bigrams = texts.flatMap { t =>
+      val ws = t.trim.split("\\s+").toSeq
+      if (ws.length < 2) Seq.empty else ws.zip(ws.tail)
+    }
+    val cBg = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cLeft = cBg.toSeq.groupBy(_._1._1).map { case (w1, xs) => w1 -> xs.map(_._2).sum }
+    val want = cBg.toSeq.filter { case ((w1, _), _) => cLeft(w1) >= 10L }
+      .groupBy(_._1._1).flatMap { case (w1, xs) =>
+        xs.sortBy { case ((_, w2), c) => (-c, w2) }.take(3).zipWithIndex
+          .map { case (((`w1`, w2), c), i) =>
+            (w1, w2) -> ((c, cLeft(w1), c * 1000000L / cLeft(w1), i + 1L)) }
+      }
+    val out = SparkEntry.queries("text_bigram_lm")(spark, dir).collect()
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val key = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(want.contains(key), s"unexpected bigram $key")
+      assert((r.getAs[Long]("c_bigram"), r.getAs[Long]("c_left"),
+        r.getAs[Long]("p_ppm"), r.getAs[Long]("rank")) == want(key), s"bigram $key")
+    }
+    // the table is a genuine probability table: per-w1 top-3 masses ≤ 1e6
+    out.groupBy(_.getAs[String]("w1")).foreach { case (w1, rs) =>
+      assert(rs.map(_.getAs[Long]("p_ppm")).sum <= 1000000L, s"w1 $w1 over-mass")
+    }
+  }
+
   test("search_rank_eval: metrics match a recount of the rankers' own lists") {
     val out = SparkEntry.queries("search_rank_eval")(spark, dir).collect()
       .map(r => r.getAs[String]("ranker") -> r).toMap

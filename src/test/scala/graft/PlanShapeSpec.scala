@@ -533,6 +533,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"interleave count table not broadcast:\n${root.toString.take(2000)}")
   }
 
+  test("PQ search: distance tables broadcast; shuffles carry codes and distances, never vectors") {
+    val executed = SparkEntry.queries("ann_pq_topk")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"ADC distance tables not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("SortMergeJoin"),
+      "ADC lookup degraded to a shuffle join")
+    assert(!root.toString.contains("CartesianProduct"))
+    // the whole point of PQ: after encoding, nothing vector-sized moves —
+    // shuffles carry (query_id, vec_id, codes, adc) longs only
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }.foreach { cols =>
+      Seq("qf", "qlo", "qhi", "embedding").foreach(v =>
+        assert(!cols.contains(v), s"PQ shuffle carries vectors ($v): $cols"))
+    }
+  }
+
+  test("PQ rerank: candidate ids broadcast into the raw-vector fetch") {
+    val executed = SparkEntry.queries("ann_pq_rerank")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"candidate fetch not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("CartesianProduct"))
+  }
+
   test("link prediction: no cartesian product, shuffles carry hosts and longs only") {
     val executed = SparkEntry.queries("q_link_prediction")(spark, dir)
       .queryExecution.executedPlan
