@@ -143,6 +143,30 @@ object TextOps {
     "text_quality" -> ((s, dir) =>
       qualityFrame(docs(s, dir).select(col("doc_id"), col("text")))),
 
+    // Tokenizer fertility by language — tokens-per-word in exact ppm,
+    // the multilingual tokenizer-eval staple: a language whose fertility
+    // is 2× English pays 2× the context window and 2× the training
+    // compute per sentence, which is how under-served languages are
+    // detected BEFORE training (and why tokenizer vocab allocations get
+    // rebalanced). Uses the catalog's BPE-ish regex segmenter over the
+    // whitespace-word baseline; per-language CORPUS-LEVEL fertility
+    // (Σtokens·1e6 div Σwords — the ratio of sums, robust to short docs)
+    // plus the per-doc ppm mean for dispersion. One narrow two-counter
+    // scan and a |langs|-row aggregate — nothing corpus-sized moves.
+    "text_tokenizer_fertility" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("w"),
+          size(regexp_extract_all(lower(col("text")), lit(BpePat), lit(0)))
+            .cast("long").as("t"))
+        .filter(col("w") > 0)
+        .withColumn("doc_fert", expr("t * 1000000 DIV w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("t")).as("n_tokens"), sum(col("doc_fert")).as("fsum"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          expr("n_tokens * 1000000 DIV n_words").as("fertility_ppm"),
+          expr("fsum DIV n_docs").as("mean_doc_fertility_ppm"))),
+
     // MODEL-based quality filter in the fasttext/CCNet shape: tokens hash
     // into 64 feature buckets, each bucket carries an integer weight, the
     // doc's logit is the weight sum and keep = logit >= 0. Weights here
@@ -790,6 +814,19 @@ object TextOps {
          |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS logit,
          |  sum(w) >= 0 AS keep
          |FROM w GROUP BY 1""".stripMargin,
+    "text_tokenizer_fertility" ->
+      s"""WITH c AS (
+         |  SELECT lang, len(${Dk.tokens("text")})::BIGINT AS w,
+         |    len(regexp_extract_all(lower(text), '$BpePat'))::BIGINT AS t
+         |  FROM documents),
+         |f AS (SELECT lang, w, t, (t * 1000000 // w)::BIGINT AS doc_fert
+         |  FROM c WHERE w > 0)
+         |SELECT lang, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
+         |  sum(t)::BIGINT AS n_tokens,
+         |  (sum(t) * 1000000 // sum(w))::BIGINT AS fertility_ppm,
+         |  (sum(doc_fert) // count(*))::BIGINT AS mean_doc_fertility_ppm
+         |FROM f GROUP BY 1""".stripMargin,
+
     "text_tokens" ->
       s"""SELECT doc_id,
          | len(${Dk.tokens("text")})::BIGINT AS ws_tokens,

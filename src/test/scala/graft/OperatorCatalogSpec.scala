@@ -1054,6 +1054,32 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.forall(_.getAs[Long]("golden_rank") == 1L), "golden not rank 1 after re-rank")
   }
 
+  test("text_tokenizer_fertility: per-lang ratios match a driver recount") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val t = r.getAs[String]("text")
+        val w = t.trim.split("\\s+").count(_.nonEmpty).toLong
+        val bpe = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r.findAllIn(t.toLowerCase).length.toLong
+        (r.getAs[String]("lang"), w, bpe)
+      }.filter(_._2 > 0)
+    val want = rows.groupBy(_._1).map { case (lang, xs) =>
+      val (ws, ts) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val fsum = xs.map { case (_, w, t) => t * 1000000L / w }.sum
+      lang -> ((xs.length.toLong, ws, ts, ts * 1000000L / ws, fsum / xs.length))
+    }
+    val out = SparkEntry.queries("text_tokenizer_fertility")(spark, dir).collect()
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("fertility_ppm"),
+        r.getAs[Long]("mean_doc_fertility_ppm")) == want(lang), s"lang $lang")
+      // fertility ≥ 1 token per word by the segmenter's construction
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L)
+    }
+  }
+
   test("text_bigram_lm: conditional table matches a driver-side bigram recount") {
     val texts = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("text")).collect().map(_.getAs[String]("text"))
