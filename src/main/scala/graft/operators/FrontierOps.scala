@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextKernels.{tokens, Dk}
+import graft.functions.TextKernels.{hex32, tokens, Dk}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -163,6 +163,48 @@ object FrontierOps {
           scored("x") === und("a") && scored("y") === und("b"), "left_anti")
         .select(col("x").as("host_a"), col("y").as("host_b"),
           col("n_common"), col("ra_ppm"))
+    }),
+
+    // HyperBall neighborhood function (Boldi & Vigna 2013 — the algorithm
+    // that measured Facebook's four degrees): per host, an HLL sketch of
+    // the set of hosts reachable within radius r, grown by one SKETCH
+    // MERGE per round — regs_{r+1}(h) = max-merge(regs_r(h), regs_r(n)
+    // ∀ out-neighbors n). That merge is the whole trick: a round costs
+    // one edges⋈registers equi-join + a (host, reg) max-aggregation of
+    // (host, reg, rho) INTEGER triples — per-node state is M registers
+    // whatever the ball size, so the memory that exact BFS frontiers
+    // blow up (reachable sets ∝ nodes × ball) stays flat, which is why
+    // this runs on billion-node graphs where exact neighborhood counting
+    // cannot. Two rounds unrolled (production loops until the estimates
+    // stop moving — the effective-diameter stop rule); estimates use the
+    // catalog's corrected HLL estimator (linear counting engages at
+    // these ball sizes; the branch condition and the one ln() follow the
+    // hll_intersect 4dp cross-engine discipline). Radius-0 estimates
+    // ≈ 1.0 are the visible sanity row.
+    "q_hyperball" -> ((s, dir) => {
+      import Sketches.{M, WBits}
+      val e = hostEdges(s, dir)
+      val hosts = e.select(col("src").as("host"))
+        .unionByName(e.select(col("dst").as("host"))).distinct()
+      val r0 = hosts
+        .withColumn("h", hex32(concat(lit("hb:"), col("host"))))
+        .select(col("host"), (col("h") % M).as("reg"), expr(s"h DIV $M").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(WBits + 1).cast("long"))
+          .otherwise(lit(WBits + 1) - length(conv(col("w").cast("string"), 10, 2)))
+          .cast("long"))
+        .select(col("host"), col("reg"), col("rho"))
+      def ball(regs: DataFrame): DataFrame =
+        regs.unionByName(
+            e.join(regs.withColumnRenamed("host", "nb"), col("dst") === col("nb"))
+              .select(col("src").as("host"), col("reg"), col("rho")))
+          .groupBy(col("host"), col("reg")).agg(max(col("rho")).as("rho"))
+      val r1 = ball(r0)
+      val r2 = ball(r1)
+      Seq((r0, 0L), (r1, 1L), (r2, 2L)).map { case (regs, r) =>
+        Sketches.estimateCorrected(regs, Seq("host"))
+          .select(col("host"), lit(r).as("radius"), col("m_hit"),
+            col("v_zero"), col("estimate"))
+      }.reduce(_ unionByName _)
     }),
 
     // Semi-supervised label propagation (Zhu & Ghahramani's hard-label
@@ -499,6 +541,48 @@ object FrontierOps {
          |  FROM p JOIN deg ON deg.z = p.z GROUP BY 1, 2)
          |SELECT sc.x AS host_a, sc.y AS host_b, n_common, ra_ppm
          |FROM sc ANTI JOIN und ON sc.x = und.a AND sc.y = und.b""".stripMargin,
+
+    "q_hyperball" -> {
+      import Sketches.{M, WBits}
+      val est = (src: String, radius: Int) =>
+        s"""SELECT host, $radius::BIGINT AS radius, m_hit::BIGINT AS m_hit,
+           |    ($M - m_hit)::BIGINT AS v_zero,
+           |    CASE WHEN ($M - m_hit) > 0 AND raw_estimate <= ${2.5 * M}
+           |      THEN round(${M.toDouble} * ln(${M.toDouble} / ($M - m_hit)), 4)
+           |      ELSE raw_estimate END AS estimate
+           |  FROM (
+           |    SELECT host, count(*) AS m_hit,
+           |      round((0.7213 / (1.0 + 1.079 / ${M.toDouble})) * ${M.toDouble} * ${M.toDouble}
+           |        / (((sum((2.0 ^ (${WBits + 1} - rho))::BIGINT)
+           |             + ($M - count(*)) * ${1L << (WBits + 1)})::DOUBLE)
+           |           / ${(1L << (WBits + 1)).toDouble}), 4) AS raw_estimate
+           |    FROM $src GROUP BY 1)""".stripMargin
+      s"""WITH e AS ($dkHostEdges),
+         |hosts AS (SELECT DISTINCT host FROM (
+         |  SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+         |r0 AS (
+         |  SELECT host, hh % $M AS reg,
+         |    CASE WHEN hh // $M = 0 THEN ${WBits + 1}
+         |         ELSE ${WBits + 1} - length(to_base(hh // $M, 2)) END AS rho
+         |  FROM (SELECT host, ${Dk.hex32("'hb:' || host")} AS hh FROM hosts)),
+         |r1 AS (
+         |  SELECT host, reg, max(rho) AS rho FROM (
+         |    SELECT * FROM r0
+         |    UNION ALL
+         |    SELECT e.src AS host, r.reg, r.rho FROM e JOIN r0 r ON r.host = e.dst)
+         |  GROUP BY 1, 2),
+         |r2 AS (
+         |  SELECT host, reg, max(rho) AS rho FROM (
+         |    SELECT * FROM r1
+         |    UNION ALL
+         |    SELECT e.src AS host, r.reg, r.rho FROM e JOIN r1 r ON r.host = e.dst)
+         |  GROUP BY 1, 2)
+         |${est("r0", 0)}
+         |UNION ALL
+         |${est("r1", 1)}
+         |UNION ALL
+         |${est("r2", 2)}""".stripMargin
+    },
 
     "q_label_prop" ->
       s"""WITH e AS ($dkHostEdges),

@@ -88,7 +88,7 @@ object Sketches {
     * rounded raw, so both engines take the same arm; the `ln` is the one
     * float-library call in the catalog — safe under 4dp rounding on
     * deterministic inputs (≤1 ulp libm-vs-JVM drift vs a 5e-5 grid). */
-  private def estimateCorrected(regs: DataFrame, keys: Seq[String]): DataFrame =
+  private[graft] def estimateCorrected(regs: DataFrame, keys: Seq[String]): DataFrame =
     estimateOf(regs, keys)
       .withColumn("estimate",
         when(col("v_zero") > 0 && col("raw_estimate") <= lit(2.5 * M),

@@ -180,6 +180,59 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out == want, s"diff: ${(out.toSet -- want.toSet) ++ (want.toSet -- out.toSet)}")
   }
 
+  test("q_hyperball: register counts match HLL sketches of brute-force reachable sets") {
+    val out = SparkEntry.queries("q_hyperball")(spark, dir).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("radius")) ->
+        ((r.getAs[Long]("m_hit"), r.getAs[Long]("v_zero"), r.getAs[Double]("estimate")))).toMap
+    // DIRECTED edges — hostEdges keeps direction; bruteEdges() canonicalizes
+    // to undirected pairs (triangle counting), which is the wrong graph here.
+    val edges = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map { r =>
+        val (id, src) = (r.getAs[Long]("doc_id"), r.getAs[String]("source"))
+        val idx = src.drop(3).toInt
+        val dst =
+          if (id % 3 == 0 && src != "src0") "src0"
+          else s"src${(idx + 1 + (id % 19).toInt) % 20}"
+        (src, dst)
+      }.filter { case (a, b) => a != b }.toSet
+    val hosts = edges.flatMap(e => Seq(e._1, e._2))
+    def outN(h: String): Set[String] = edges.collect { case (a, b) if a == h => b }
+    // brute reachable balls by radius
+    def ball(r: Int): Map[String, Set[String]] =
+      hosts.map { h =>
+        var s = Set(h)
+        (0 until r).foreach(_ => s = s ++ s.flatMap(outN))
+        h -> s
+      }.toMap
+    // driver HLL: hex32("hb:" + x) → (reg, rho), count distinct registers
+    def hex32d(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def mHit(members: Set[String]): Long =
+      members.map(x => hex32d("hb:" + x) % 512).size.toLong
+    assert(out.size == hosts.size * 3, s"expected ${hosts.size}×3 rows, got ${out.size}")
+    (0 to 2).foreach { r =>
+      val balls = ball(r)
+      hosts.foreach { h =>
+        val (m, v, _) = out((h, r.toLong))
+        assert(m == mHit(balls(h)), s"host $h radius $r m_hit")
+        assert(v == 512L - m, s"host $h radius $r v_zero")
+      }
+    }
+    // ball growth is monotone in the estimate (max-merge can only add)
+    hosts.foreach { h =>
+      val e = (0 to 2).map(r => out((h, r.toLong))._3)
+      assert(e(0) <= e(1) + 1e-9 && e(1) <= e(2) + 1e-9, s"host $h estimates $e not monotone")
+      assert(e(0) > 0.9 && e(0) < 1.1, s"host $h radius-0 estimate ${e(0)} not ≈1")
+    }
+    // the graph actually expands: some ball grows between r1 and r2
+    assert(hosts.exists(h => out((h, 2L))._1 > out((h, 1L))._1),
+      "no ball grew from radius 1 to 2 — plant degenerate")
+  }
+
   test("q_label_prop equals a brute-force two-round majority propagation") {
     val out = SparkEntry.queries("q_label_prop")(spark, dir).collect()
       .map(r => r.getAs[String]("host") ->
