@@ -59,6 +59,83 @@ object FrontierOps {
     s"""SELECT DISTINCT source AS src, ${WebOps.dkLinkTarget} AS dst
        |  FROM documents WHERE source <> ${WebOps.dkLinkTarget}""".stripMargin
 
+  /** Oracle twin of [[hyperballEstimates]]: the r0/r1/r2 register CTEs
+    * plus `ests` = per-(host, radius) corrected estimates. Shared by the
+    * q_hyperball and q_effective_diameter oracles so the sketch math
+    * cannot drift between them. */
+  private lazy val dkHyperballCtes: String = {
+    import Sketches.{M, WBits}
+    val est = (src: String, radius: Int) =>
+      s"""SELECT host, $radius::BIGINT AS radius, m_hit::BIGINT AS m_hit,
+         |    ($M - m_hit)::BIGINT AS v_zero,
+         |    CASE WHEN ($M - m_hit) > 0 AND raw_estimate <= ${2.5 * M}
+         |      THEN round(${M.toDouble} * ln(${M.toDouble} / ($M - m_hit)), 4)
+         |      ELSE raw_estimate END AS estimate
+         |  FROM (
+         |    SELECT host, count(*) AS m_hit,
+         |      round((0.7213 / (1.0 + 1.079 / ${M.toDouble})) * ${M.toDouble} * ${M.toDouble}
+         |        / (((sum((2.0 ^ (${WBits + 1} - rho))::BIGINT)
+         |             + ($M - count(*)) * ${1L << (WBits + 1)})::DOUBLE)
+         |           / ${(1L << (WBits + 1)).toDouble}), 4) AS raw_estimate
+         |    FROM $src GROUP BY 1)""".stripMargin
+    s"""e AS ($dkHostEdges),
+       |hosts AS (SELECT DISTINCT host FROM (
+       |  SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (
+       |  SELECT host, hh % $M AS reg,
+       |    CASE WHEN hh // $M = 0 THEN ${WBits + 1}
+       |         ELSE ${WBits + 1} - length(to_base(hh // $M, 2)) END AS rho
+       |  FROM (SELECT host, ${Dk.hex32("'hb:' || host")} AS hh FROM hosts)),
+       |r1 AS (
+       |  SELECT host, reg, max(rho) AS rho FROM (
+       |    SELECT * FROM r0
+       |    UNION ALL
+       |    SELECT e.src AS host, r.reg, r.rho FROM e JOIN r0 r ON r.host = e.dst)
+       |  GROUP BY 1, 2),
+       |r2 AS (
+       |  SELECT host, reg, max(rho) AS rho FROM (
+       |    SELECT * FROM r1
+       |    UNION ALL
+       |    SELECT e.src AS host, r.reg, r.rho FROM e JOIN r1 r ON r.host = e.dst)
+       |  GROUP BY 1, 2),
+       |ests AS (
+       |${est("r0", 0)}
+       |UNION ALL
+       |${est("r1", 1)}
+       |UNION ALL
+       |${est("r2", 2)})""".stripMargin
+  }
+
+  /** Shared HyperBall rounds (q_hyperball rows, q_effective_diameter
+    * input): per (host, radius ∈ 0..2), the corrected-HLL estimate of the
+    * directed radius-r reachable set. See the q_hyperball comment for the
+    * algorithm; this is the Spark twin of the r0/r1/r2 oracle CTEs. */
+  private def hyperballEstimates(s: SparkSession, dir: String): DataFrame = {
+    import Sketches.{M, WBits}
+    val e = hostEdges(s, dir)
+    val hosts = e.select(col("src").as("host"))
+      .unionByName(e.select(col("dst").as("host"))).distinct()
+    val r0 = hosts
+      .withColumn("h", hex32(concat(lit("hb:"), col("host"))))
+      .select(col("host"), (col("h") % M).as("reg"), expr(s"h DIV $M").as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(WBits + 1).cast("long"))
+        .otherwise(lit(WBits + 1) - length(conv(col("w").cast("string"), 10, 2)))
+        .cast("long"))
+      .select(col("host"), col("reg"), col("rho"))
+    def ball(regs: DataFrame): DataFrame =
+      regs.unionByName(
+          e.join(regs.withColumnRenamed("host", "nb"), col("dst") === col("nb"))
+            .select(col("src").as("host"), col("reg"), col("rho")))
+        .groupBy(col("host"), col("reg")).agg(max(col("rho")).as("rho"))
+    val r1 = ball(r0)
+    val r2 = ball(r1)
+    Seq((r0, 0L), (r1, 1L), (r2, 2L)).map { case (regs, r) =>
+      Sketches.estimateCorrected(regs, Seq("host"))
+        .select(col("host"), lit(r).as("radius"), col("m_hit"),
+          col("v_zero"), col("estimate"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q_link_prediction: deterministic per-common-neighbor fanout cap
     * (smallest neighbors by name) — the hub-squaring guard. */
   private val MaxNeighbors = 256L
@@ -181,30 +258,50 @@ object FrontierOps {
     // these ball sizes; the branch condition and the one ln() follow the
     // hll_intersect 4dp cross-engine discipline). Radius-0 estimates
     // ≈ 1.0 are the visible sanity row.
-    "q_hyperball" -> ((s, dir) => {
-      import Sketches.{M, WBits}
-      val e = hostEdges(s, dir)
-      val hosts = e.select(col("src").as("host"))
-        .unionByName(e.select(col("dst").as("host"))).distinct()
-      val r0 = hosts
-        .withColumn("h", hex32(concat(lit("hb:"), col("host"))))
-        .select(col("host"), (col("h") % M).as("reg"), expr(s"h DIV $M").as("w"))
-        .withColumn("rho", when(col("w") === 0, lit(WBits + 1).cast("long"))
-          .otherwise(lit(WBits + 1) - length(conv(col("w").cast("string"), 10, 2)))
-          .cast("long"))
-        .select(col("host"), col("reg"), col("rho"))
-      def ball(regs: DataFrame): DataFrame =
-        regs.unionByName(
-            e.join(regs.withColumnRenamed("host", "nb"), col("dst") === col("nb"))
-              .select(col("src").as("host"), col("reg"), col("rho")))
-          .groupBy(col("host"), col("reg")).agg(max(col("rho")).as("rho"))
-      val r1 = ball(r0)
-      val r2 = ball(r1)
-      Seq((r0, 0L), (r1, 1L), (r2, 2L)).map { case (regs, r) =>
-        Sketches.estimateCorrected(regs, Seq("host"))
-          .select(col("host"), lit(r).as("radius"), col("m_hit"),
-            col("v_zero"), col("estimate"))
-      }.reduce(_ unionByName _)
+    "q_hyperball" -> ((s, dir) => hyperballEstimates(s, dir)),
+
+    // Neighborhood-function summary over the HyperBall rounds (Boldi &
+    // Vigna 2013 §5 — the numbers HyperBall exists to produce): N(r) =
+    // Σ_h |ball(h, r)| from the per-host HLL estimates, the per-radius
+    // distance mass ΔN(r), the mean finite distance, and the q=0.9
+    // effective diameter by the standard linear interpolation between
+    // the bracketing radii. Cross-engine determinism: each 4dp per-host
+    // estimate is converted to an int64 (×10⁴) BEFORE the corpus-wide
+    // sum — float addition is order-dependent and a 10⁹-host sum WILL
+    // disagree in the last ulp between engines/partitionings; integer
+    // sums are exact and order-free. All downstream math (fractions,
+    // mean, interpolation) is integer ppm floor-division. Headroom: ×10⁴
+    // fixed-point overflows int64 once Σ estimates > 9.2e14 (ANSI sum
+    // throws, loudly) — a 10⁹-host crawl drops to ×1 precision, same
+    // plan. Scale shape:
+    // the rounds are the hyperball joins; the summary collapses to ≤3
+    // (radius, int64) rows map-side — nothing else shuffles.
+    "q_effective_diameter" -> ((s, dir) => {
+      val nf = hyperballEstimates(s, dir)
+        .select(col("radius"), round(col("estimate") * 10000).cast("long").as("e4"))
+        .groupBy(col("radius")).agg(sum(col("e4")).as("nf_e4"))
+      val w = Window.orderBy(col("radius"))
+      val d = nf
+        .withColumn("delta_e4",
+          col("nf_e4") - coalesce(lag(col("nf_e4"), 1).over(w), lit(0L)))
+      val tot = nf.agg(max(struct(col("radius"), col("nf_e4"))).as("t"))
+        .select(col("t.nf_e4").as("nf_max_e4"),
+          expr("(9 * t.nf_e4) div 10").as("thr_e4"))
+      val q = d.crossJoin(broadcast(tot))
+      val avg = q.agg(sum(col("radius") * col("delta_e4")).as("mass"),
+          max(col("nf_max_e4")).as("nmax"))
+        .select(expr("(mass * 1000000) div nmax").as("avg_dist_ppm"))
+      val eff = q.filter(col("nf_e4") >= col("thr_e4"))
+        .agg(min(struct(col("radius"), col("nf_e4"), col("delta_e4"),
+          col("thr_e4"))).as("s"))
+        .select(expr(
+          """case when s.radius = 0 then cast(0 as bigint)
+            |else (s.radius - 1) * 1000000 +
+            |  ((s.thr_e4 - (s.nf_e4 - s.delta_e4)) * 1000000) div s.delta_e4
+            |end""".stripMargin).as("eff_diam_ppm"))
+      q.select(col("radius"), col("nf_e4"), col("delta_e4"),
+          expr("(nf_e4 * 1000000) div nf_max_e4").as("frac_ppm"))
+        .crossJoin(broadcast(avg)).crossJoin(broadcast(eff))
     }),
 
     // Semi-supervised label propagation (Zhu & Ghahramani's hard-label
@@ -542,47 +639,34 @@ object FrontierOps {
          |SELECT sc.x AS host_a, sc.y AS host_b, n_common, ra_ppm
          |FROM sc ANTI JOIN und ON sc.x = und.a AND sc.y = und.b""".stripMargin,
 
-    "q_hyperball" -> {
-      import Sketches.{M, WBits}
-      val est = (src: String, radius: Int) =>
-        s"""SELECT host, $radius::BIGINT AS radius, m_hit::BIGINT AS m_hit,
-           |    ($M - m_hit)::BIGINT AS v_zero,
-           |    CASE WHEN ($M - m_hit) > 0 AND raw_estimate <= ${2.5 * M}
-           |      THEN round(${M.toDouble} * ln(${M.toDouble} / ($M - m_hit)), 4)
-           |      ELSE raw_estimate END AS estimate
-           |  FROM (
-           |    SELECT host, count(*) AS m_hit,
-           |      round((0.7213 / (1.0 + 1.079 / ${M.toDouble})) * ${M.toDouble} * ${M.toDouble}
-           |        / (((sum((2.0 ^ (${WBits + 1} - rho))::BIGINT)
-           |             + ($M - count(*)) * ${1L << (WBits + 1)})::DOUBLE)
-           |           / ${(1L << (WBits + 1)).toDouble}), 4) AS raw_estimate
-           |    FROM $src GROUP BY 1)""".stripMargin
-      s"""WITH e AS ($dkHostEdges),
-         |hosts AS (SELECT DISTINCT host FROM (
-         |  SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
-         |r0 AS (
-         |  SELECT host, hh % $M AS reg,
-         |    CASE WHEN hh // $M = 0 THEN ${WBits + 1}
-         |         ELSE ${WBits + 1} - length(to_base(hh // $M, 2)) END AS rho
-         |  FROM (SELECT host, ${Dk.hex32("'hb:' || host")} AS hh FROM hosts)),
-         |r1 AS (
-         |  SELECT host, reg, max(rho) AS rho FROM (
-         |    SELECT * FROM r0
-         |    UNION ALL
-         |    SELECT e.src AS host, r.reg, r.rho FROM e JOIN r0 r ON r.host = e.dst)
-         |  GROUP BY 1, 2),
-         |r2 AS (
-         |  SELECT host, reg, max(rho) AS rho FROM (
-         |    SELECT * FROM r1
-         |    UNION ALL
-         |    SELECT e.src AS host, r.reg, r.rho FROM e JOIN r1 r ON r.host = e.dst)
-         |  GROUP BY 1, 2)
-         |${est("r0", 0)}
-         |UNION ALL
-         |${est("r1", 1)}
-         |UNION ALL
-         |${est("r2", 2)}""".stripMargin
-    },
+    "q_hyperball" ->
+      s"""WITH $dkHyperballCtes
+         |SELECT * FROM ests""".stripMargin,
+
+    "q_effective_diameter" ->
+      s"""WITH $dkHyperballCtes,
+         |nf AS (
+         |  SELECT radius, sum(CAST(round(estimate * 10000) AS BIGINT)) AS nf_e4
+         |  FROM ests GROUP BY 1),
+         |d AS (
+         |  SELECT radius, nf_e4,
+         |    nf_e4 - coalesce(lag(nf_e4) OVER (ORDER BY radius), 0) AS delta_e4
+         |  FROM nf),
+         |tot AS (
+         |  SELECT nf_e4 AS nf_max_e4, (9 * nf_e4) // 10 AS thr_e4
+         |  FROM nf ORDER BY radius DESC LIMIT 1),
+         |avg AS (
+         |  SELECT (sum(radius * delta_e4) * 1000000) // max(nf_max_e4) AS avg_dist_ppm
+         |  FROM d, tot),
+         |eff AS (
+         |  SELECT CASE WHEN radius = 0 THEN 0
+         |    ELSE (radius - 1) * 1000000 +
+         |      ((thr_e4 - (nf_e4 - delta_e4)) * 1000000) // delta_e4 END AS eff_diam_ppm
+         |  FROM d, tot WHERE nf_e4 >= thr_e4 ORDER BY radius LIMIT 1)
+         |SELECT d.radius, d.nf_e4, d.delta_e4,
+         |  (d.nf_e4 * 1000000) // tot.nf_max_e4 AS frac_ppm,
+         |  avg.avg_dist_ppm, eff.eff_diam_ppm
+         |FROM d, tot, avg, eff""".stripMargin,
 
     "q_label_prop" ->
       s"""WITH e AS ($dkHostEdges),

@@ -233,6 +233,35 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "no ball grew from radius 1 to 2 — plant degenerate")
   }
 
+  test("q_effective_diameter aggregates the hyperball estimates exactly") {
+    val hb = SparkEntry.queries("q_hyperball")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("radius"), r.getAs[Double]("estimate")))
+    val nf = hb.groupBy(_._1).view
+      .mapValues(_.map(x => math.round(x._2 * 10000)).sum).toMap
+    val radii = nf.keys.toSeq.sorted
+    val deltas = radii.map(r => r -> (nf(r) - nf.getOrElse(r - 1, 0L))).toMap
+    val nmax = nf(radii.last)
+    val thr = 9 * nmax / 10
+    val avg = radii.map(r => r * deltas(r)).sum * 1000000L / nmax
+    val rEff = radii.find(nf(_) >= thr).get
+    val eff =
+      if (rEff == 0L) 0L
+      else (rEff - 1) * 1000000L +
+        (thr - (nf(rEff) - deltas(rEff))) * 1000000L / deltas(rEff)
+    val out = SparkEntry.queries("q_effective_diameter")(spark, dir).collect()
+    assert(out.length == radii.length)
+    out.foreach { r =>
+      val rad = r.getAs[Long]("radius")
+      assert(r.getAs[Long]("nf_e4") == nf(rad), s"nf_e4 at $rad")
+      assert(r.getAs[Long]("delta_e4") == deltas(rad), s"delta_e4 at $rad")
+      assert(r.getAs[Long]("frac_ppm") == nf(rad) * 1000000L / nmax, s"frac at $rad")
+      assert(r.getAs[Long]("avg_dist_ppm") == avg, s"avg at $rad")
+      assert(r.getAs[Long]("eff_diam_ppm") == eff, s"eff at $rad")
+    }
+    // the planted graph reaches 90% coverage strictly inside the 2 rounds
+    assert(eff > 0L && eff <= 2000000L, s"eff_diam_ppm $eff out of band")
+  }
+
   test("q_label_prop equals a brute-force two-round majority propagation") {
     val out = SparkEntry.queries("q_label_prop")(spark, dir).collect()
       .map(r => r.getAs[String]("host") ->
