@@ -50,6 +50,10 @@ object Similarity {
   /** ADC candidate-list size the exact re-rank refines (production R ≈
     * 10–100× K; here 50 of a 500-vector corpus = the same 10× ratio). */
   private val PqRerank = 50
+  /** ann_matryoshka_recall truncation levels (prefix dims); the full-dim
+    * level is the recall=1.0 self-check row. */
+  private val MrlLevels = Seq(16, 32, Dims)
+
   private val BitextK         = 4        // neighborhood size for margin scoring
   private val BitextMarginPpm = 1300000L // accept: top-1 ≥ 1.3× its neighborhood
   private val BitextRecallMax = 50L      // recall audit's exact-side src subset
@@ -539,6 +543,38 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id")).withColumn("m", lit(1))
       bf.join(ap, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
+        .agg(count(col("m")).as("hits"),
+          round(count(col("m")) / lit(K.toDouble), 4).as("recall"))
+    }),
+
+    // Matryoshka truncation audit (Kusupati et al. 2022): recall@K of
+    // brute-force search over PREFIX-truncated embeddings (dims 16, 32,
+    // and full 64 as the =1.0 sanity level) against the full-dim exact
+    // top-K. The planning curve behind every "serve the first p dims"
+    // decision — MRL-trained embeddings front-load information, so a
+    // shorter prefix buys a dims/p scan-cost reduction at the recall
+    // printed here; the same audit shape prices any truncation (trained
+    // or not). Scale: per level one broadcast-probe corpus scan over
+    // sliced vectors (narrower than the full scan — slicing happens
+    // before the join), K·|probes| rows after ranking; the recall join
+    // and rollup touch (query, neighbor) ids only.
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val exact = queries("ann_bruteforce_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id")).withColumn("m", lit(1))
+      MrlLevels.map { p =>
+        val ev = e.select(col("vec_id"), slice(col("v"), 1, p).as("v"))
+          .withColumn("nrm", norm(col("v")))
+        val q = ev.filter(col("vec_id") < NQuery)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val pairs = ev.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        topk(pairs).select(col("query_id"), col("neighbor_id"))
+          .withColumn("dims_kept", lit(p.toLong))
+      }.reduce(_ unionByName _)
+        .join(exact, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"), col("dims_kept"))
         .agg(count(col("m")).as("hits"),
           round(count(col("m")) / lit(K.toDouble), 4).as("recall"))
     }),
@@ -1036,6 +1072,28 @@ object Similarity {
          |FROM bf b LEFT JOIN ap a
          |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    // Matryoshka twin: per level a truncated-cosine brute-force top-K
+    // (Dk.cosine over the first p dims — the list prefix), unioned and
+    // scored against the full-dim exact rows.
+    "ann_matryoshka_recall" -> {
+      val level = (p: Int) =>
+        s"""SELECT query_id, neighbor_id, $p::BIGINT AS dims_kept FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${Dk.cosine("q.v", "c.v", p)} DESC, c.vec_id ASC) AS rank
+           |  FROM e q JOIN e c ON q.vec_id < $NQuery AND c.vec_id <> q.vec_id)
+           |WHERE rank <= $K""".stripMargin
+      s"""WITH e AS ($dkEmb),
+         |bf AS ($dkBruteforce),
+         |tr AS (
+         |${MrlLevels.map(level).mkString("\nUNION ALL\n")})
+         |SELECT t.query_id, t.dims_kept, count(b.neighbor_id)::BIGINT AS hits,
+         |  round(count(b.neighbor_id) / $K.0, 4) AS recall
+         |FROM tr t LEFT JOIN bf b
+         |  ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     // Bitext mining twin: same collections, same corpus-scaling planes,
     // same own+hamming-1 probe set, same integer margin arithmetic.

@@ -543,6 +543,40 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     bf.unpersist()
   }
 
+  test("ann_matryoshka_recall: full-dim row is exact, levels match a driver replay") {
+    val out = SparkEntry.queries("ann_matryoshka_recall")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("dims_kept")) ->
+        ((r.getAs[Long]("hits"), r.getAs[Double]("recall")))).toMap
+    assert(out.size == 5 * 3) // 5 queries × levels {16, 32, 64}
+    // the full-dim level reproduces the exact top-k: recall ≡ 1.0
+    (0L until 5L).foreach { q =>
+      assert(out((q, 64L)) == ((5L, 1.0)), s"query $q full-dim row ${out((q, 64L))}")
+    }
+    // driver-side replay of the dims=16 level against the exact top-5
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def top5(p: Int, q: Long): Set[Long] = {
+      val qv = rows(q).take(p)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      rows.toSeq.filter(_._1 != q).map { case (id, v0) =>
+        val v = v0.take(p)
+        val c = qv.zip(v).map { case (a, b) => a * b }.sum /
+          (qn * math.sqrt(v.map(x => x * x).sum))
+        (id, c)
+      }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }
+    (0L until 5L).foreach { q =>
+      val expect = (top5(16, q) intersect top5(64, q)).size.toLong
+      assert(out((q, 16L))._1 == expect, s"query $q dims=16 hits")
+      assert(math.abs(out((q, 16L))._2 - expect / 5.0) < 1e-9, s"query $q dims=16 recall")
+    }
+    // truncation actually bites somewhere (otherwise the audit is vacuous)
+    assert((0L until 5L).exists(q => out((q, 16L))._1 < 5L),
+      "dims=16 recall is perfect everywhere — plant degenerate")
+  }
+
   test("ann_lsh_topk neighbors are a subset of brute-force candidates' scores") {
     val bf  = SparkEntry.queries("ann_bruteforce_topk")(spark, dir)
     val lsh = SparkEntry.queries("ann_lsh_topk")(spark, dir)
