@@ -51,6 +51,12 @@ object Curation {
   private val DsirBuckets = 1024L
   private val DsirScale   = 10000L
 
+  /** q_weighted_sample: cumulative-sum bucket width (the two-pass global
+    * cumsum's parallelism unit) and the sampling stride (1 point per
+    * [[SampleEvery]] docs). */
+  private val SampleBucketW = 1024L
+  private val SampleEvery   = 20L
+
   /** PageRank integer scale (rank 1.0 ≡ [[PrScale]]). */
   private val PrScale = 1000000L
 
@@ -688,6 +694,47 @@ object Curation {
     // this is a per-row explode bounded by ⌈rate⌉ (a config constant,
     // never data-dependent), zero shuffles after the 5-row rate table
     // broadcasts back — the corpus is scanned once and never moved.
+    // Exact-size weight-proportional sampling (systematic/"fixed-point"
+    // sampling — the survey-statistics workhorse): n = docs/20 sample
+    // points are placed at the midpoints of n equal slices of the total
+    // weight mass (weight = n_chars: sampling TOKENS, not docs — long
+    // docs proportionally more likely, the mixture-sampling semantics),
+    // and a doc's multiplicity is the count of points falling in its
+    // cumulative-weight interval. Everything is integer: point j (odd
+    // j = 2k+1) lands in [lo, hi) iff ceil(2n·lo/W) ≤ j ≤ (2n·hi−1)//W,
+    // so multiplicity is a closed-form odd-count — no per-point explode,
+    // no rand() (re-runs and speculative retries reproduce the exact
+    // sample), Σ multiplicities ≡ n by construction. Scale shape: the
+    // cumulative sum is the q_global_shuffle two-pass (per-bucket sums →
+    // broadcast offsets → in-bucket window) — no global single-partition
+    // window; everything else is a narrow per-row formula. Headroom:
+    // 2nW ≤ int64 bounds one pass (ANSI throws loudly past it); a 100 TB
+    // run samples per stratum (each bucket of this very shape) or drops
+    // weight resolution first.
+    "q_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+        .withColumn("bucket", expr(s"doc_id DIV $SampleBucketW"))
+      val offs = d.groupBy(col("bucket")).agg(sum(col("w")).as("bw"))
+        .withColumn("offset",
+          coalesce(sum(col("bw")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("offset"))
+      val tot = d.agg(sum(col("w")).as("tw"),
+        expr(s"count(1) DIV $SampleEvery").as("n"))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      d.join(broadcast(offs), Seq("bucket"))
+        .withColumn("hi", col("offset") + sum(col("w")).over(wIn))
+        .crossJoin(broadcast(tot))
+        .withColumn("lo", col("hi") - col("w"))
+        .withColumn("jlo", expr("(2 * n * lo + tw - 1) DIV tw"))
+        .withColumn("jhi", expr("(2 * n * hi - 1) DIV tw"))
+        .withColumn("multiplicity",
+          greatest(lit(0L), expr("(jhi + 1) DIV 2 - jlo DIV 2")))
+        .filter(col("multiplicity") >= 1L)
+        .select(col("doc_id"), col("w"), col("lo"), col("multiplicity"))
+    }),
+
     "q_upsample_epochs" -> ((s, dir) => {
       val m20 = col("doc_id") % 20
       val domain = when(m20 < 10, lit("web")).when(m20 < 16, lit("news"))
@@ -1298,6 +1345,22 @@ object Curation {
          |SELECT domain, n_docs, round(n_docs / tn, 4) AS share_raw,
          |  weight_scaled, keep_scaled, n_kept, round(n_kept / tk, 4) AS share_sampled
          |FROM o, tot""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, n_chars::BIGINT AS w FROM documents),
+         |cum AS (
+         |  SELECT doc_id, w,
+         |    sum(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hi
+         |  FROM d),
+         |tot AS (SELECT sum(w)::BIGINT AS tw, (count(*) // $SampleEvery)::BIGINT AS n FROM d),
+         |m AS (
+         |  SELECT doc_id, w, hi - w AS lo,
+         |    greatest(0::BIGINT,
+         |      (((2 * n * hi - 1) // tw) + 1) // 2
+         |        - ((2 * n * (hi - w) + tw - 1) // tw) // 2) AS multiplicity
+         |  FROM cum, tot)
+         |SELECT doc_id, w, lo, multiplicity FROM m WHERE multiplicity >= 1""".stripMargin,
+
     "q_upsample_epochs" ->
       s"""WITH d AS (
          |  SELECT doc_id,

@@ -102,6 +102,35 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q_weighted_sample: multiplicities equal a brute-force midpoint placement") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val tw = rows.map(_._2).sum
+    val n  = rows.length / 20
+    // brute force: place each midpoint p_k = (2k+1)*tw / (2n), walk the
+    // cumulative intervals
+    val points = (0 until n).map(k => (2L * k + 1) * tw / (2L * n))
+    var cum = 0L
+    val want = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    rows.foreach { case (id, w) =>
+      val lo = cum; cum += w
+      val m = points.count(p => p >= lo && p < cum).toLong
+      if (m >= 1) want(id) = (w, lo, m)
+    }
+    val out = SparkEntry.queries("q_weighted_sample")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("w"), r.getAs[Long]("lo"), r.getAs[Long]("multiplicity")))).toMap
+    assert(out == want.toMap,
+      s"diff: ${(out.keySet -- want.keySet) ++ (want.keySet -- out.keySet)}")
+    // the sample size is exact by construction
+    assert(out.values.map(_._3).sum == n.toLong)
+    // weight-proportionality: nobody exceeds its fair share by more than 1
+    out.foreach { case (id, (w, _, m)) =>
+      assert(m <= w * n / tw + 1, s"doc $id multiplicity $m vs weight share")
+    }
+  }
+
   test("text_seq_pack: every sequence is exactly full except each bucket's tail") {
     val out = SparkEntry.queries("text_seq_pack")(spark, "/root/testdata/sf0.001")
       .select("bucket", "seq", "n_tokens", "n_docs", "n_carried_in").cache()
