@@ -37,6 +37,11 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** q_reservoir_sample: per-stratum sample size and prefilter factor
+    * (threshold keeps ~Pre·k expected survivors). */
+  private val ReservoirK   = 8L
+  private val ReservoirPre = 8L
+
   /** registers = 2^P */
   val P = 9
   val M = 1 << P // 512
@@ -381,6 +386,36 @@ object Sketches {
       t(s, dir, "documents")
         .filter(roll < rateBps)
         .select(col("doc_id"), col("source"))
+    }),
+
+    // Exact-k per-stratum sampling ("distributed reservoir"): per source,
+    // the k docs with the smallest salted hash — a deterministic uniform
+    // draw that reruns/speculation/incremental arrival cannot perturb
+    // (vs q_stratified_sample's RATE-based thin, which cannot promise a
+    // size). The scale move is the PREFILTER: a hot stratum would drag
+    // its full doc list through one window task, so a per-stratum hash
+    // threshold keeping ~[[ReservoirPre]]·k expected survivors (exact
+    // for strata ≤ that bound) cuts the window input to O(k) rows first
+    // — the filter is stateless, and the window then ranks survivor
+    // hashes only. Equivalence to the unfiltered top-k holds whenever ≥k
+    // docs survive per stratum (P(fail) < 2^-40 at these factors;
+    // deterministic given the data, so the oracle agrees row-for-row
+    // regardless, and the spec pins survivor count ≥ k on every
+    // stratum).
+    "q_reservoir_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          hex32(concat(col("doc_id").cast("string"), lit("|rsv"))).as("rh"))
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("thr",
+          least(lit(1L << 32), expr(s"${ReservoirPre * ReservoirK * (1L << 32)}L DIV n")))
+        .select(col("source"), col("thr"))
+      val w = Window.partitionBy(col("source")).orderBy(col("rh"), col("doc_id"))
+      d.join(broadcast(counts), Seq("source"))
+        .filter(col("rh") < col("thr"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= ReservoirK)
+        .select(col("source"), col("doc_id"), col("rh"), col("rn"))
     }))
 
   val oracles: Map[String, String] = {
@@ -442,6 +477,22 @@ object Sketches {
         s"""SELECT doc_id, source FROM documents
            |WHERE ${Dk.hex32("doc_id::VARCHAR || '|strat'")} % 10000
            |    < 1000 + ${Dk.hex32("source")} % 3000""".stripMargin,
+
+      "q_reservoir_sample" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, source,
+           |    ${Dk.hex32("doc_id::VARCHAR || '|rsv'")} AS rh
+           |  FROM documents),
+           |c AS (
+           |  SELECT source,
+           |    least(${1L << 32}, ${ReservoirPre * ReservoirK * (1L << 32)} // count(*)) AS thr
+           |  FROM d GROUP BY 1)
+           |SELECT source, doc_id, rh, rn FROM (
+           |  SELECT d.source, d.doc_id, d.rh,
+           |    row_number() OVER (PARTITION BY d.source ORDER BY d.rh, d.doc_id)::BIGINT AS rn
+           |  FROM d JOIN c ON d.source = c.source
+           |  WHERE d.rh < c.thr)
+           |WHERE rn <= $ReservoirK""".stripMargin,
       // per-day rows computed per day; the total (day_key = -1) computed
       // INDEPENDENTLY from the global stream — if Spark's merged-register
       // total row hashes equal, the merge lost nothing

@@ -113,6 +113,38 @@ class TemporalSketchSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"range join degraded to a quadratic plan:\n${p.take(2000)}")
   }
 
+  test("q_reservoir_sample: exact k smallest-hash docs per stratum, prefilter lossless") {
+    def hex32d(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.toSeq.map { case (id, _) => (id, hex32d(s"$id|rsv")) }
+        .sortBy { case (id, h) => (h, id) }.take(8).zipWithIndex
+        .map { case ((id, h), i) => (src, id) -> ((h, i + 1L)) }
+    }
+    val wantM = want.toMap
+    val out = SparkEntry.queries("q_reservoir_sample")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("rh"), r.getAs[Long]("rn")))).toMap
+    assert(out == wantM,
+      s"diff: ${(out.keySet -- wantM.keySet) ++ (wantM.keySet -- out.keySet)}")
+    // exactly k per stratum (every sf0.001 stratum has >= 8 docs)
+    out.keySet.groupBy(_._1).foreach { case (src, ks) =>
+      assert(ks.size == 8, s"stratum $src sampled ${ks.size} docs")
+    }
+    // prefilter keeps at least k survivors per stratum (the equivalence
+    // precondition) — recomputed with the query's own threshold rule
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      val thr = math.min(1L << 32, 64L * (1L << 32) / ds.length)
+      val survivors = ds.count { case (id, _) => hex32d(s"$id|rsv") < thr }
+      assert(survivors >= 8, s"stratum $src prefilter kept only $survivors")
+    }
+  }
+
   test("HLL sketch: 512-register bound, rho range, map-side partial agg shuffle") {
     val regs = SparkEntry.queries("sketch_hll_registers")(spark, dir).cache()
     assert(regs.count() <= Sketches.M)
