@@ -567,6 +567,83 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!root.toString.contains("CartesianProduct"))
   }
 
+  private def rootOf(name: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+
+  private def shuffleCols(root: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] =
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name).toSeq
+    }
+
+  test("phrase match: query terms broadcast-prune postings; adjacency shuffles ints only") {
+    val root = rootOf("search_phrase_match")
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"query-term prune not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("CartesianProduct"))
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("toks") && !cols.contains("term"),
+        s"phrase-match shuffle carries text/terms (postings must be pruned first): $cols")
+    }
+  }
+
+  test("hyperball: register merges shuffle (host, reg, rho) triples, never text") {
+    val root = rootOf("q_hyperball")
+    assert(!root.toString.contains("CartesianProduct"))
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("toks"),
+        s"hyperball shuffle carries text: $cols")
+    }
+  }
+
+  test("effective diameter: 3-row summaries broadcast back, no cartesian blowup") {
+    val root = rootOf("q_effective_diameter")
+    assert(root.toString.contains("BroadcastNestedLoopJoin") ||
+      root.toString.contains("BroadcastHashJoin"),
+      s"summary frames not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("CartesianProduct"))
+  }
+
+  test("matryoshka recall: probes broadcast per level; raw vectors never shuffle") {
+    val root = rootOf("ann_matryoshka_recall")
+    assert(root.toString.contains("BroadcastNestedLoopJoin") ||
+      root.toString.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("CartesianProduct"))
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("v") && !cols.contains("qv"),
+        s"matryoshka shuffle carries raw vectors: $cols")
+    }
+  }
+
+  test("weighted sample: offsets broadcast; doc-grain cumsum window stays bucket-keyed") {
+    val root = rootOf("q_weighted_sample")
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"offset/total frames not broadcast:\n${root.toString.take(2000)}")
+    val docWindows = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.output.map(_.name).contains("doc_id") => w
+    }
+    assert(docWindows.nonEmpty)
+    docWindows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "doc-grain cumsum window lost its bucket key (single-partition sort at scale)"))
+  }
+
+  test("reservoir sample: thresholds broadcast; rank window keyed by stratum") {
+    val root = rootOf("q_reservoir_sample")
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"threshold table not broadcast:\n${root.toString.take(2000)}")
+    val rankWindows = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(rankWindows.nonEmpty)
+    rankWindows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "reservoir rank window lost its stratum key"))
+  }
+
   test("link prediction: no cartesian product, shuffles carry hosts and longs only") {
     val executed = SparkEntry.queries("q_link_prediction")(spark, dir)
       .queryExecution.executedPlan
