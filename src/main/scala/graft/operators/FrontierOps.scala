@@ -143,6 +143,9 @@ object FrontierOps {
   /** q_label_prop: hosts src0..src{n-1} are the labeled seed set. */
   private val LabelSeeds = 4
 
+  /** q_kcore_peel: coreness threshold (page-graph degrees < this peel). */
+  private val KCoreK = 5L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Politeness-constrained crawl scheduler: each doc is a pending fetch
     // on its source host; per host, urls are ordered by priority (higher
@@ -302,6 +305,54 @@ object FrontierOps {
       q.select(col("radius"), col("nf_e4"), col("delta_e4"),
           expr("(nf_e4 * 1000000) div nf_max_e4").as("frac_ppm"))
         .crossJoin(broadcast(avg)).crossJoin(broadcast(eff))
+    }),
+
+    // k-core decomposition by iterative peeling (Batagelj–Zaveršnik made
+    // distributed — the Matula/Beck peel as repeated degree-filter
+    // rounds): remove every node with degree < k, recompute degrees on
+    // the surviving subgraph, repeat; what survives is the k-core, the
+    // density skeleton web-graph pipelines use for spam-farm detection
+    // and crawl prioritization (link farms are dense cores; quality hubs
+    // survive deep cores). Graph = the PAGE graph (page = host/path-
+    // bucket, buckets ∝ corpus/100 so node count grows with data and
+    // the structure stays sparse where the 20-host graph saturates);
+    // two peel rounds unrolled (the catalog's iterative-op discipline —
+    // production loops until no removals, O(max-coreness) rounds).
+    // Output per page: degree trajectory and removed_round (1, 2, or 0 =
+    // still in the running core after two peels). Scale shape: a round
+    // is ONE degree aggregation (map-side combined) + two anti-joins
+    // keyed on page ids — shuffles carry (page, int64) only, the CC/
+    // label-prop discipline; removal sets stay id-frames, never
+    // collected.
+    "q_kcore_peel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p = math.max(2L, d.count() / 100L)
+      val und = d.select(
+          concat(col("source"), lit("/"), (col("doc_id") % p).cast("string")).as("src"),
+          concat(WebOps.linkTarget, lit("/"),
+            ((col("doc_id") * 7 + 3) % p).cast("string")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      def degOf(ed: DataFrame, name: String): DataFrame =
+        ed.select(col("a").as("page")).unionAll(ed.select(col("b").as("page")))
+          .groupBy(col("page")).agg(count(lit(1)).as(name))
+      def peel(ed: DataFrame, rm: DataFrame): DataFrame =
+        ed.join(rm.withColumnRenamed("page", "a"), Seq("a"), "left_anti")
+          .join(rm.withColumnRenamed("page", "b"), Seq("b"), "left_anti")
+      val d0  = degOf(und, "deg0")
+      val e1  = peel(und, d0.filter(col("deg0") < KCoreK).select(col("page")))
+      val d1  = degOf(e1, "deg1")
+      val e2  = peel(e1, d1.filter(col("deg1") < KCoreK).select(col("page")))
+      val d2  = degOf(e2, "deg2")
+      d0.join(d1, Seq("page"), "left").join(d2, Seq("page"), "left")
+        .select(col("page"), col("deg0"),
+          coalesce(col("deg1"), lit(0L)).as("deg1"),
+          coalesce(col("deg2"), lit(0L)).as("deg2"))
+        .withColumn("removed_round",
+          when(col("deg0") < KCoreK, 1L)
+            .when(col("deg1") < KCoreK, 2L).otherwise(0L))
     }),
 
     // Semi-supervised label propagation (Zhu & Ghahramani's hard-label
@@ -667,6 +718,34 @@ object FrontierOps {
          |  (d.nf_e4 * 1000000) // tot.nf_max_e4 AS frac_ppm,
          |  avg.avg_dist_ppm, eff.eff_diam_ppm
          |FROM d, tot, avg, eff""".stripMargin,
+
+    "q_kcore_peel" ->
+      s"""WITH dd AS (SELECT doc_id, source FROM documents),
+         |np AS (SELECT greatest(2, count(*) // 100) AS p FROM dd),
+         |raw AS (
+         |  SELECT source || '/' || (doc_id % p)::VARCHAR AS src,
+         |    (${WebOps.dkLinkTarget}) || '/' || ((doc_id * 7 + 3) % p)::VARCHAR AS dst
+         |  FROM dd, np),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |d0 AS (SELECT page, count(*)::BIGINT AS deg0 FROM (
+         |    SELECT a AS page FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+         |e1 AS (SELECT * FROM und
+         |  WHERE a NOT IN (SELECT page FROM d0 WHERE deg0 < $KCoreK)
+         |    AND b NOT IN (SELECT page FROM d0 WHERE deg0 < $KCoreK)),
+         |d1 AS (SELECT page, count(*)::BIGINT AS deg1 FROM (
+         |    SELECT a AS page FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+         |e2 AS (SELECT * FROM e1
+         |  WHERE a NOT IN (SELECT page FROM d1 WHERE deg1 < $KCoreK)
+         |    AND b NOT IN (SELECT page FROM d1 WHERE deg1 < $KCoreK)),
+         |d2 AS (SELECT page, count(*)::BIGINT AS deg2 FROM (
+         |    SELECT a AS page FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1)
+         |SELECT d0.page, d0.deg0, coalesce(d1.deg1, 0)::BIGINT AS deg1,
+         |  coalesce(d2.deg2, 0)::BIGINT AS deg2,
+         |  (CASE WHEN d0.deg0 < $KCoreK THEN 1
+         |    WHEN coalesce(d1.deg1, 0) < $KCoreK THEN 2 ELSE 0 END)::BIGINT AS removed_round
+         |FROM d0 LEFT JOIN d1 ON d0.page = d1.page
+         |LEFT JOIN d2 ON d0.page = d2.page""".stripMargin,
 
     "q_label_prop" ->
       s"""WITH e AS ($dkHostEdges),

@@ -262,6 +262,44 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(eff > 0L && eff <= 2000000L, s"eff_diam_ppm $eff out of band")
   }
 
+  test("q_kcore_peel equals a brute-force two-round peel of the page graph") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val p = math.max(2L, rows.length / 100L)
+    val und = rows.flatMap { case (id, src) =>
+      val idx = src.drop(3).toInt
+      val dstHost =
+        if (id % 3 == 0 && src != "src0") "src0"
+        else s"src${(idx + 1 + (id % 19).toInt) % 20}"
+      val (a, b) = (s"$src/${id % p}", s"$dstHost/${(id * 7 + 3) % p}")
+      if (a == b) None else Some(if (a < b) (a, b) else (b, a))
+    }.toSet
+    def degOf(ed: Set[(String, String)]): Map[String, Long] =
+      ed.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (h, xs) => h -> xs.size.toLong }
+    val d0 = degOf(und)
+    val rm1 = d0.filter(_._2 < 5).keySet
+    val e1 = und.filter { case (a, b) => !rm1(a) && !rm1(b) }
+    val d1 = degOf(e1)
+    val rm2 = d0.keySet.filterNot(rm1).filter(h => d1.getOrElse(h, 0L) < 5)
+    val e2 = e1.filter { case (a, b) => !rm2(a) && !rm2(b) }
+    val d2 = degOf(e2)
+    val want = d0.map { case (h, dg0) =>
+      val rr = if (dg0 < 5) 1L else if (d1.getOrElse(h, 0L) < 5) 2L else 0L
+      h -> ((dg0, d1.getOrElse(h, 0L), d2.getOrElse(h, 0L), rr))
+    }
+    val out = SparkEntry.queries("q_kcore_peel")(spark, dir).collect()
+      .map(r => r.getAs[String]("page") -> ((r.getAs[Long]("deg0"),
+        r.getAs[Long]("deg1"), r.getAs[Long]("deg2"),
+        r.getAs[Long]("removed_round")))).toMap
+    assert(out == want,
+      s"diff: ${(out.keySet -- want.keySet) ++ (want.keySet -- out.keySet)}")
+    // the plant is non-vacuous: both peel rounds remove pages, a core survives
+    assert(rm1.nonEmpty && rm2.nonEmpty, s"peel rounds (${rm1.size}, ${rm2.size})")
+    assert(want.values.exists(_._4 == 0L), "no page survived the two peels")
+  }
+
   test("q_label_prop equals a brute-force two-round majority propagation") {
     val out = SparkEntry.queries("q_label_prop")(spark, dir).collect()
       .map(r => r.getAs[String]("host") ->
