@@ -98,6 +98,30 @@ object Multimodal {
         .select(col("doc_id"), (col("frame_idx") * 10).as("frame_no"), col("width"), col("height"))
     }),
 
+    // Exact media dedup by content hash — the first dedup a multimodal
+    // corpus runs (the same image re-crawled from N mirrors is byte-
+    // identical; at 100 TB media bytes dominate storage, so this is the
+    // highest-leverage dedup in the pipeline). Hash is computed ON the
+    // binary payload — no decode needed — and the corpus plants mirror
+    // copies (every 5th payload re-ingested under doc_id + 10^6) so the
+    // dup groups are real. Scale shape: the catalog's exact-dedup shape
+    // (Dedup.dedup_exact) applied to bytes — md5 computed in the scan,
+    // groupBy(hash) with map-side partial agg, shuffles carry (hash,
+    // id, count) only, payload bytes never leave their partition; the
+    // keeper anti-join back against the media store is the production
+    // next step (corpus_curate stage 2's shape).
+    "mm_dedup_bytes" -> ((s, dir) => {
+      val p = payloads(s, dir)
+      val planted = p.unionByName(
+        p.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("payload")))
+      planted
+        .select(md5(col("payload")).as("media_hash"), col("doc_id"))
+        .groupBy(col("media_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .withColumn("dup", col("n_copies") >= 2L)
+    }),
+
     // the full media pipeline: bytes → partition-batched feature
     // extraction (stub encoder) → cosine top-3 media search. The shape a
     // multimodal training-data pipeline needs end-to-end.
@@ -156,6 +180,16 @@ object Multimodal {
          |SELECT doc_id, frame_idx * 10 AS frame_no, width, height
          |FROM meta, generate_series(0, 3) AS t(frame_idx)
          |WHERE fmt = 'video' AND frame_idx <= least((n_frames - 1) // 10, 3)""".stripMargin,
+    "mm_dedup_bytes" ->
+      s"""WITH $dkAsciiGuard,
+         |pl AS (
+         |  SELECT doc_id, text FROM documents, ascii_chk WHERE ascii_chk.ok = 1
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+         |SELECT md5(text) AS media_hash, count(*)::BIGINT AS n_copies,
+         |  min(doc_id)::BIGINT AS keeper, count(*) >= 2 AS dup
+         |FROM pl GROUP BY 1""".stripMargin,
+
     "mm_embed_ann" -> {
       val dims = MediaDecoder.EmbedDims
       val cos  = VectorKernels.Dk.cosine("q.v", "c.v", dims)

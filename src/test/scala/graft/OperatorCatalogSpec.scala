@@ -600,6 +600,31 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viol.count() == 0)
   }
 
+  test("mm_dedup_bytes: every planted mirror copy groups with its original") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val out = SparkEntry.queries("mm_dedup_bytes")(spark, dir).collect()
+      .map(r => r.getAs[String]("media_hash") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Long]("keeper"), r.getAs[Boolean]("dup"))))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    // rows == distinct payload hashes of the planted corpus
+    val planted = docs ++ docs.filter(_._1 % 5 == 0).map { case (id, t) => (id + 1000000L, t) }
+    assert(out.size == planted.map(x => md5hex(x._2)).distinct.length)
+    // every planted mirror's group has >= 2 copies and keeps the smallest id
+    docs.filter(_._1 % 5 == 0).foreach { case (id, t) =>
+      val (n, keeper, dup) = out(md5hex(t))
+      val expectKeeper = planted.filter(x => md5hex(x._2) == md5hex(t)).map(_._1).min
+      assert(n >= 2 && dup, s"doc $id mirror not grouped (n=$n)")
+      assert(keeper == expectKeeper, s"doc $id keeper $keeper != $expectKeeper")
+    }
+    // dup flag is exactly n_copies >= 2
+    out.values.foreach { case (n, _, dup) => assert(dup == (n >= 2)) }
+  }
+
   test("mm_decode_meta covers every doc with sane metadata") {
     val out = SparkEntry.queries("mm_decode_meta")(spark, dir)
     assert(out.count() == 500)
