@@ -146,6 +146,34 @@ object FrontierOps {
   /** q_kcore_peel: coreness threshold (page-graph degrees < this peel). */
   private val KCoreK = 5L
 
+  /** The derived PAGE graph (page = host/path-bucket, buckets ∝
+    * corpus/100): undirected distinct edges. Sparse where the 20-host
+    * graph saturates — the graph q_kcore_peel and q_assortativity run
+    * on. */
+  private def pageEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val p = math.max(2L, d.count() / 100L)
+    d.select(
+        concat(col("source"), lit("/"), (col("doc_id") % p).cast("string")).as("src"),
+        concat(WebOps.linkTarget, lit("/"),
+          ((col("doc_id") * 7 + 3) % p).cast("string")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+  }
+
+  /** [[pageEdges]]'s oracle twin: CTEs `np` (bucket count) and `pund`
+    * (undirected page edges). */
+  private val dkPageEdges =
+    s"""np AS (SELECT greatest(2, count(*) // 100) AS p FROM documents),
+       |praw AS (
+       |  SELECT source || '/' || (doc_id % p)::VARCHAR AS src,
+       |    (${WebOps.dkLinkTarget}) || '/' || ((doc_id * 7 + 3) % p)::VARCHAR AS dst
+       |  FROM documents, np),
+       |pund AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM praw WHERE src <> dst)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Politeness-constrained crawl scheduler: each doc is a pending fetch
     // on its source host; per host, urls are ordered by priority (higher
@@ -325,16 +353,7 @@ object FrontierOps {
     // label-prop discipline; removal sets stay id-frames, never
     // collected.
     "q_kcore_peel" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val p = math.max(2L, d.count() / 100L)
-      val und = d.select(
-          concat(col("source"), lit("/"), (col("doc_id") % p).cast("string")).as("src"),
-          concat(WebOps.linkTarget, lit("/"),
-            ((col("doc_id") * 7 + 3) % p).cast("string")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
+      val und = pageEdges(s, dir)
       def degOf(ed: DataFrame, name: String): DataFrame =
         ed.select(col("a").as("page")).unionAll(ed.select(col("b").as("page")))
           .groupBy(col("page")).agg(count(lit(1)).as(name))
@@ -353,6 +372,39 @@ object FrontierOps {
         .withColumn("removed_round",
           when(col("deg0") < KCoreK, 1L)
             .when(col("deg1") < KCoreK, 2L).otherwise(0L))
+    }),
+
+    // Degree assortativity (Newman 2002) of the page graph — the one-
+    // number structure diagnostic crawl QA watches: social/citation
+    // graphs are assortative (hubs link hubs), the web is DISassortative
+    // (hubs link leaves), and a link farm shifts it measurably. For the
+    // undirected symmetric case Pearson's r is RATIONAL — r = (M·Sxy −
+    // Sx²)/(M·Sx² − Sx²) over the ordered-endpoint-degree pairs — so the
+    // whole statistic is exact int64 (no sqrt, no float, order-free) and
+    // the ppm is a sign-correct FLOOR division (pmod emulation on the
+    // Spark side == DuckDB's `//`). Scale shape: two broadcast degree
+    // joins onto the edge list + one global aggregation of int counters
+    // (map-side combined, 4 numbers) — edges never shuffle wider than
+    // (a, b, two longs). Headroom: M·Sxy ≤ int64 bounds one pass (~10⁹
+    // edges at deg ~10³); past that production scales degrees down or
+    // goes double — ANSI throws loudly at the boundary.
+    "q_assortativity" -> ((s, dir) => {
+      val und = pageEdges(s, dir)
+      val dg = und.select(col("a").as("page")).unionAll(und.select(col("b").as("page")))
+        .groupBy(col("page")).agg(count(lit(1)).as("deg"))
+      val withDeg = und
+        .join(dg.select(col("page").as("a"), col("deg").as("da")), Seq("a"))
+        .join(dg.select(col("page").as("b"), col("deg").as("db")), Seq("b"))
+      val ordered = withDeg.select(col("da").as("x"), col("db").as("y"))
+        .unionAll(withDeg.select(col("db").as("x"), col("da").as("y")))
+      ordered.agg(count(lit(1)).as("m2"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sx2"))
+        .select(col("m2"), col("sxy"), col("sx"), col("sx2"),
+          expr("m2 * sxy - sx * sx").as("num"),
+          expr("m2 * sx2 - sx * sx").as("den"))
+        .withColumn("r_ppm",
+          when(col("den") === 0L, lit(0L)).otherwise(
+            expr("(num * 1000000 - pmod(num * 1000000, den)) div den")))
     }),
 
     // Semi-supervised label propagation (Zhu & Ghahramani's hard-label
@@ -720,17 +772,11 @@ object FrontierOps {
          |FROM d, tot, avg, eff""".stripMargin,
 
     "q_kcore_peel" ->
-      s"""WITH dd AS (SELECT doc_id, source FROM documents),
-         |np AS (SELECT greatest(2, count(*) // 100) AS p FROM dd),
-         |raw AS (
-         |  SELECT source || '/' || (doc_id % p)::VARCHAR AS src,
-         |    (${WebOps.dkLinkTarget}) || '/' || ((doc_id * 7 + 3) % p)::VARCHAR AS dst
-         |  FROM dd, np),
-         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |  FROM raw WHERE src <> dst),
+      s"""WITH $dkPageEdges,
          |d0 AS (SELECT page, count(*)::BIGINT AS deg0 FROM (
-         |    SELECT a AS page FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
-         |e1 AS (SELECT * FROM und
+         |    SELECT a AS page FROM pund UNION ALL SELECT b FROM pund) GROUP BY 1),
+         |e0 AS (SELECT a, b FROM pund),
+         |e1 AS (SELECT * FROM e0
          |  WHERE a NOT IN (SELECT page FROM d0 WHERE deg0 < $KCoreK)
          |    AND b NOT IN (SELECT page FROM d0 WHERE deg0 < $KCoreK)),
          |d1 AS (SELECT page, count(*)::BIGINT AS deg1 FROM (
@@ -746,6 +792,31 @@ object FrontierOps {
          |    WHEN coalesce(d1.deg1, 0) < $KCoreK THEN 2 ELSE 0 END)::BIGINT AS removed_round
          |FROM d0 LEFT JOIN d1 ON d0.page = d1.page
          |LEFT JOIN d2 ON d0.page = d2.page""".stripMargin,
+
+    "q_assortativity" ->
+      s"""WITH $dkPageEdges,
+         |dg AS (SELECT page, count(*)::BIGINT AS deg FROM (
+         |    SELECT a AS page FROM pund UNION ALL SELECT b FROM pund) GROUP BY 1),
+         |wd AS (
+         |  SELECT la.deg AS da, lb.deg AS db
+         |  FROM pund JOIN dg la ON pund.a = la.page JOIN dg lb ON pund.b = lb.page),
+         |o AS (SELECT da AS x, db AS y FROM wd UNION ALL SELECT db, da FROM wd),
+         |s AS (
+         |  SELECT count(*)::BIGINT AS m2, sum(x * y)::BIGINT AS sxy,
+         |    sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sx2
+         |  FROM o),
+         |s2 AS (
+         |  SELECT m2, sxy, sx, sx2,
+         |    (m2 * sxy - sx * sx)::BIGINT AS num,
+         |    (m2 * sx2 - sx * sx)::BIGINT AS den
+         |  FROM s)
+         |-- DuckDB // truncates toward zero on negatives; emulate FLOOR via
+         |-- the pmod identity so a disassortative (negative) r matches Spark
+         |SELECT m2, sxy, sx, sx2, num, den,
+         |  (CASE WHEN den = 0 THEN 0
+         |    ELSE (num * 1000000 - ((num * 1000000 % den + den) % den)) // den
+         |  END)::BIGINT AS r_ppm
+         |FROM s2""".stripMargin,
 
     "q_label_prop" ->
       s"""WITH e AS ($dkHostEdges),

@@ -300,6 +300,47 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(want.values.exists(_._4 == 0L), "no page survived the two peels")
   }
 
+  test("q_assortativity equals a brute-force exact Pearson over the page graph") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val p = math.max(2L, rows.length / 100L)
+    val und = rows.flatMap { case (id, src) =>
+      val idx = src.drop(3).toInt
+      val dstHost =
+        if (id % 3 == 0 && src != "src0") "src0"
+        else s"src${(idx + 1 + (id % 19).toInt) % 20}"
+      val (a, b) = (s"$src/${id % p}", s"$dstHost/${(id * 7 + 3) % p}")
+      if (a == b) None else Some(if (a < b) (a, b) else (b, a))
+    }.toSet
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (h, xs) => h -> xs.size.toLong }
+    val pairs = und.toSeq.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a)))
+    }
+    val m2  = pairs.size.toLong
+    val sxy = pairs.map { case (x, y) => x * y }.sum
+    val sx  = pairs.map(_._1).sum
+    val sx2 = pairs.map(x => x._1 * x._1).sum
+    val num = m2 * sxy - sx * sx
+    val den = m2 * sx2 - sx * sx
+    val rPpm = BigInt(num * 1000000L).mod(BigInt(den)) match {
+      case r => (BigInt(num) * 1000000 - r) / den
+    }
+    val out = SparkEntry.queries("q_assortativity")(spark, dir).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getAs[Long]("m2") == m2 && row.getAs[Long]("sxy") == sxy)
+    assert(row.getAs[Long]("sx") == sx && row.getAs[Long]("sx2") == sx2)
+    assert(row.getAs[Long]("num") == num && row.getAs[Long]("den") == den)
+    assert(row.getAs[Long]("r_ppm") == rPpm.toLong,
+      s"r_ppm ${row.getAs[Long]("r_ppm")} != $rPpm")
+    // r is a correlation: strictly inside [-1, 1] scaled, and the page
+    // graph is not degree-random (|r| > 0)
+    assert(math.abs(rPpm.toLong) <= 1000000L && rPpm.toLong != 0L,
+      s"degenerate r_ppm $rPpm")
+  }
+
   test("q_label_prop equals a brute-force two-round majority propagation") {
     val out = SparkEntry.queries("q_label_prop")(spark, dir).collect()
       .map(r => r.getAs[String]("host") ->
