@@ -124,6 +124,44 @@ object Relational {
         .select(col("r_name"), col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_customers"))
     }),
 
+    // Fuzzy record linkage (edit-distance join) with PROVABLY-COMPLETE
+    // blocking: dirty records (every 10th doc's 16-char title field with
+    // one substituted character, re-ingested under doc_id + 2·10⁶ — the
+    // OCR-noise / retyped-metadata case) link back to clean records iff
+    // levenshtein ≤ 1. The blocking is the classic pigeonhole split: one
+    // substitution touches ONE half of the title, so every true pair
+    // shares at least one exact (half_id, half_text) key — candidate
+    // generation is a plain equi-join on those keys, NO all-pairs
+    // comparison, and zero recall loss BY CONSTRUCTION (for distance ≤ k,
+    // split into k+1 parts — same guarantee). Verify = levenshtein on
+    // candidates only (both engines implement unit-cost Wagner–Fischer —
+    // integer, exact). Scale shape: shuffles carry (8-char half, id);
+    // the quadratic risk lives only inside a shared half-key bucket —
+    // observable, and salted/capped like any hot LSH band if a
+    // degenerate title (e.g. empty) ever floods one.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val titles = t(s, dir, "documents")
+        .select(col("doc_id"), rpad(substring(col("text"), 1, 16), 16, " ").as("title"))
+      val dirty = titles.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("""substring(title, 1, cast(doc_id % 16 as int)) || '~' ||
+                 |substring(title, cast(doc_id % 16 + 2 as int), 16)""".stripMargin)
+            .as("title"))
+      def halves(d: DataFrame, side: String): DataFrame =
+        d.select(col("doc_id").as(s"${side}_id"), col("title").as(s"${side}_title"),
+            explode(array(
+              struct(lit(0L).as("half_id"), substring(col("title"), 1, 8).as("half")),
+              struct(lit(1L).as("half_id"), substring(col("title"), 9, 8).as("half"))))
+              .as("h"))
+          .select(col(s"${side}_id"), col(s"${side}_title"),
+            col("h.half_id"), col("h.half"))
+      halves(dirty, "dirty").join(halves(titles, "clean"), Seq("half_id", "half"))
+        .select(col("dirty_id"), col("clean_id"),
+          levenshtein(col("dirty_title"), col("clean_title")).cast("long").as("dist"))
+        .distinct()
+        .filter(col("dist") <= 1L)
+    }),
+
     // Corpus snapshot diff — the table-maintenance op two corpus versions
     // need before anything downstream reruns: v2 is a planted evolution of
     // the documents table (every 10th doc removed, the next modified, the
@@ -402,6 +440,30 @@ object Relational {
         | round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_disc,
         | count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH titles AS (
+        |  SELECT doc_id, rpad(substr(text, 1, 16), 16, ' ') AS title FROM documents),
+        |dirty AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    substr(title, 1, (doc_id % 16)::INT) || '~' ||
+        |      substr(title, (doc_id % 16 + 2)::INT, 16) AS title
+        |  FROM titles WHERE doc_id % 10 = 0),
+        |dh AS (
+        |  SELECT doc_id AS dirty_id, title AS dirty_title, 0 AS half_id,
+        |    substr(title, 1, 8) AS half FROM dirty
+        |  UNION ALL
+        |  SELECT doc_id, title, 1, substr(title, 9, 8) FROM dirty),
+        |ch AS (
+        |  SELECT doc_id AS clean_id, title AS clean_title, 0 AS half_id,
+        |    substr(title, 1, 8) AS half FROM titles
+        |  UNION ALL
+        |  SELECT doc_id, title, 1, substr(title, 9, 8) FROM titles),
+        |cand AS (
+        |  SELECT DISTINCT dirty_id, clean_id,
+        |    levenshtein(dirty_title, clean_title)::BIGINT AS dist
+        |  FROM dh JOIN ch USING (half_id, half))
+        |SELECT dirty_id, clean_id, dist FROM cand WHERE dist <= 1""".stripMargin,
+
     "q_join_customer_orders" ->
       """SELECT n_name, count(*) AS n_orders,
         | sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price

@@ -600,6 +600,36 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viol.count() == 0)
   }
 
+  test("q_fuzzy_join: half-blocking finds exactly the hamming<=1 pairs (lossless)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    def title(t: String): String = t.take(16).padTo(16, ' ')
+    val clean = docs.map { case (id, t) => (id, title(t)) }
+    val dirty = docs.filter(_._1 % 10 == 0).map { case (id, t) =>
+      val p = (id % 16).toInt
+      val tt = title(t)
+      (id + 2000000L, tt.substring(0, p) + "~" + tt.substring(p + 1))
+    }
+    // equal-length strings: levenshtein <= 1 == hamming <= 1, and one
+    // substitution leaves one 8-char half intact, so blocking is lossless
+    val want = (for {
+      (di, dt) <- dirty
+      (ci, ct) <- clean
+      dist = dt.zip(ct).count { case (a, b) => a != b }
+      if dist <= 1
+    } yield (di, ci) -> dist.toLong).toMap
+    val out = SparkEntry.queries("q_fuzzy_join")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dirty_id"), r.getAs[Long]("clean_id")) ->
+        r.getAs[Long]("dist")).toMap
+    assert(out == want,
+      s"diff: ${(out.keySet -- want.keySet) ++ (want.keySet -- out.keySet)}")
+    // every planted dirty record links back to its own original
+    dirty.foreach { case (di, _) =>
+      assert(out.contains((di, di - 2000000L)), s"dirty $di missed its original")
+    }
+  }
+
   test("mm_dedup_bytes: every planted mirror copy groups with its original") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
