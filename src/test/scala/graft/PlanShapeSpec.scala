@@ -644,6 +644,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "reservoir rank window lost its stratum key"))
   }
 
+  test("fuzzy join: candidates come from the half-key equi-join, never a cartesian") {
+    val root = rootOf("q_fuzzy_join")
+    assert(!root.toString.contains("CartesianProduct"),
+      s"fuzzy linkage degraded to all-pairs:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("BroadcastNestedLoopJoin"),
+      "fuzzy linkage verify ran as a nested-loop (blocking key lost)")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text"), s"fuzzy-join shuffle carries full text: $cols")
+    }
+  }
+
+  test("keyword extract: top-3 window keyed by doc; shuffles carry term+counters only") {
+    val root = rootOf("text_keyword_extract")
+    val windows = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "keyword top-3 window lost its doc key"))
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("toks"),
+        s"keyword-extract shuffle carries text: $cols")
+    }
+  }
+
   test("link prediction: no cartesian product, shuffles carry hosts and longs only") {
     val executed = SparkEntry.queries("q_link_prediction")(spark, dir)
       .queryExecution.executedPlan
