@@ -338,8 +338,12 @@ object Dedup {
     * the candidate join has 65,536 keys per band (vs 16 for a 16-bit
     * hash), so band-bucket sizes stay ~corpus/65k instead of the
     * quadratic-shuffle corpus/16 the old width degenerated to. */
-  private def simhash64(corpus: DataFrame): DataFrame = {
-    val toks  = corpus.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+  private def simhash64(corpus: DataFrame): DataFrame =
+    simhash64From(corpus.select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
+
+  /** 64-bit simhash from any (doc_id, tok) feature frame — token features
+    * here, byte 4-grams for the media phash (`mm_phash_hamming`). */
+  private[operators] def simhash64From(toks: DataFrame): DataFrame = {
     val votes = toks
       .withColumn("d", md5(col("tok"))) // ONE digest per token, shared below
       .withColumn("hlo", hex32Of(col("d"), 1))
@@ -350,6 +354,30 @@ object Dedup {
       (0 until 32).map(j => when(col(s"$prefix$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     votes.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), pack("vh").as("simhash_hi"), pack("vl").as("simhash_lo"))
+  }
+
+  /** The 4×16-bit banded hamming-pair search over a (doc_id, simhash_hi,
+    * simhash_lo) frame (pigeonhole: hamming ≤ 3 ⇒ some band equal) —
+    * shared by dedup_simhash_pairs and the media phash. */
+  private[operators] def simhashPairsFrom(sh: DataFrame): DataFrame = {
+    val slices = Seq(
+      col("simhash_lo").bitwiseAND(lit(65535L)),
+      shiftright(col("simhash_lo"), 16).bitwiseAND(lit(65535L)),
+      col("simhash_hi").bitwiseAND(lit(65535L)),
+      shiftright(col("simhash_hi"), 16).bitwiseAND(lit(65535L)))
+    val banded = sh.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+        explode(array(slices.zipWithIndex.map { case (k, b) =>
+          struct(lit(b).as("band"), k.as("key"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"), col("b.band"), col("b.key"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        (bit_count(col("l.simhash_hi").bitwiseXOR(col("r.simhash_hi"))) +
+          bit_count(col("l.simhash_lo").bitwiseXOR(col("r.simhash_lo")))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
   }
 
   /** Incremental-ingest classification — the daily-crawl shape: a NEW
@@ -531,27 +559,8 @@ object Dedup {
     // banding loses nothing) → verify with exact hamming distance.
     // 65,536 distinct keys per band keeps bucket sizes ~corpus/65k — the
     // band join stays linear-ish at 100×, unlike the old 16-key variant.
-    "dedup_simhash_pairs" -> ((s, dir) => {
-      val sh = simhash64(dupCorpus(s, dir)).cache() // tiny: 3 longs/doc
-      val slices = Seq(
-        col("simhash_lo").bitwiseAND(lit(65535L)),
-        shiftright(col("simhash_lo"), 16).bitwiseAND(lit(65535L)),
-        col("simhash_hi").bitwiseAND(lit(65535L)),
-        shiftright(col("simhash_hi"), 16).bitwiseAND(lit(65535L)))
-      val banded = sh.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
-          explode(array(slices.zipWithIndex.map { case (k, b) =>
-            struct(lit(b).as("band"), k.as("key"))
-          }: _*)).as("b"))
-        .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"), col("b.band"), col("b.key"))
-      banded.as("l").join(banded.as("r"),
-          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-          (bit_count(col("l.simhash_hi").bitwiseXOR(col("r.simhash_hi"))) +
-            bit_count(col("l.simhash_lo").bitwiseXOR(col("r.simhash_lo")))).cast("long").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-    }),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      simhashPairsFrom(simhash64(dupCorpus(s, dir)).cache())), // cache: 3 longs/doc
 
     // Duplicate-cluster resolution: MinHash-LSH pairs over a corpus with
     // 3-member planted clusters → connected components (min-label
@@ -794,18 +803,39 @@ object Dedup {
       |  UNION ALL
       |  SELECT doc_id + 2000000 AS doc_id, text || ' zzz zzz' AS text FROM documents)""".stripMargin
 
-  private def dkSimhash(src: String): String = {
+  private def dkSimhash(src: String): String =
+    dkSimhashFrom(s"SELECT doc_id, unnest(${Dk.tokens("text")}) AS tok FROM $src")
+
+  /** [[simhash64From]]'s oracle twin over any `(doc_id, tok)` SELECT. */
+  private[operators] def dkSimhashFrom(toksSql: String): String = {
     val votes = (0 until 32).map(j => s"sum(((hlo >> $j) & 1) * 2 - 1) AS vl$j").mkString(", ") + ", " +
       (0 until 32).map(j => s"sum(((hhi >> $j) & 1) * 2 - 1) AS vh$j").mkString(", ")
     def pack(p: String) =
       (0 until 32).map(j => s"(CASE WHEN $p$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""toks AS (SELECT doc_id, unnest(${Dk.tokens("text")}) AS tok FROM $src),
+    s"""toks AS ($toksSql),
        |hashed AS (SELECT doc_id, ${Dk.hex32Of("d", 1)} AS hlo, ${Dk.hex32Of("d", 9)} AS hhi
        |  FROM (SELECT doc_id, md5(tok) AS d FROM toks)),
        |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
        |sh64 AS (SELECT doc_id, (${pack("vh")})::BIGINT AS simhash_hi,
        |  (${pack("vl")})::BIGINT AS simhash_lo FROM votes)""".stripMargin
   }
+
+  /** [[simhashPairsFrom]]'s oracle twin: banded pairs + hamming ≤ 3 over
+    * the `sh64` CTE (which [[dkSimhashFrom]] defines). */
+  private[operators] val dkSimhashPairs: String =
+    s"""banded AS (
+       |  SELECT doc_id, simhash_hi, simhash_lo, band,
+       |    (CASE band WHEN 0 THEN simhash_lo & 65535
+       |               WHEN 1 THEN (simhash_lo >> 16) & 65535
+       |               WHEN 2 THEN simhash_hi & 65535
+       |               ELSE (simhash_hi >> 16) & 65535 END) AS key
+       |  FROM sh64, (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |ph AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    (bit_count(xor(l.simhash_hi, r.simhash_hi))
+       |      + bit_count(xor(l.simhash_lo, r.simhash_lo)))::BIGINT AS hamming
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->

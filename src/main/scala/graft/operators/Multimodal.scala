@@ -98,6 +98,40 @@ object Multimodal {
         .select(col("doc_id"), (col("frame_idx") * 10).as("frame_no"), col("width"), col("height"))
     }),
 
+    // NEAR-dup media detection — the perceptual-hash pass that catches
+    // what mm_dedup_bytes cannot (re-encoded/re-compressed copies are
+    // byte-different but perceptually identical): a 64-bit simhash over
+    // overlapping byte 4-grams of the payload (the stub stands in for a
+    // DCT pHash; the pipeline — fixed-width code, banded hamming search,
+    // exact verify — is the real contract), searched with the catalog's
+    // 4×16-bit band pigeonhole (hamming ≤ 3 ⇒ some band equal, zero
+    // recall loss) and verified by exact bit_count. Corpus plants
+    // re-encodes: every 7th payload re-ingested under doc_id + 3·10⁶
+    // with ONE byte changed — most gram votes survive, so codes land
+    // within the hamming budget. Scale shape: votes collapse map-side to
+    // 64 counters per doc; the pair search shuffles (band, 16-bit key,
+    // id, two longs) — payloads never move; shared machinery with
+    // dedup_simhash_pairs (Dedup.simhash64From / simhashPairsFrom).
+    "mm_phash_hamming" -> ((s, dir) => {
+      val t = s.read.parquet(s"$dir/documents.parquet")
+        .filter(coalesce(
+          assert_true(octet_length(col("text")) === length(col("text")),
+            lit("multimodal oracle requires pure-ASCII text payloads")),
+          lit(true)))
+        .select(col("doc_id"), col("text"))
+      val planted = t.unionByName(
+        t.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            expr("""concat(substring(text, 1, cast(doc_id % 8 as int)), '~',
+                   |substring(text, cast(doc_id % 8 + 2 as int), length(text)))""".stripMargin)
+              .as("text")))
+      val grams = planted.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(1, length(text) - 3)), i -> substring(text, i, 4))"))
+          .as("tok"))
+      Dedup.simhashPairsFrom(Dedup.simhash64From(grams))
+    }),
+
     // Exact media dedup by content hash — the first dedup a multimodal
     // corpus runs (the same image re-crawled from N mirrors is byte-
     // identical; at 100 TB media bytes dominate storage, so this is the
@@ -180,6 +214,21 @@ object Multimodal {
          |SELECT doc_id, frame_idx * 10 AS frame_no, width, height
          |FROM meta, generate_series(0, 3) AS t(frame_idx)
          |WHERE fmt = 'video' AND frame_idx <= least((n_frames - 1) // 10, 3)""".stripMargin,
+    "mm_phash_hamming" ->
+      s"""WITH $dkAsciiGuard,
+         |pl AS (
+         |  SELECT doc_id, text FROM documents, ascii_chk WHERE ascii_chk.ok = 1
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    substr(text, 1, (doc_id % 8)::INT) || '~' ||
+         |      substr(text, (doc_id % 8 + 2)::INT, length(text))
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |${Dedup.dkSimhashFrom(
+           "SELECT doc_id, unnest([substr(text, i, 4) " +
+             "for i in generate_series(1, greatest(1, length(text) - 3))]) AS tok FROM pl")},
+         |${Dedup.dkSimhashPairs}
+         |SELECT doc_a, doc_b, hamming FROM ph WHERE hamming <= 3""".stripMargin,
+
     "mm_dedup_bytes" ->
       s"""WITH $dkAsciiGuard,
          |pl AS (

@@ -680,6 +680,59 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.values.foreach { case (n, _, dup) => assert(dup == (n >= 2)) }
   }
 
+  test("mm_phash_hamming equals a driver-side simhash replay; planted re-encodes found") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val planted = docs ++ docs.filter(_._1 % 7 == 0).map { case (id, t) =>
+      val p = (id % 8).toInt
+      (id + 3000000L, t.substring(0, p) + "~" + t.substring(p + 1))
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def simhash(t: String): (Long, Long) = {
+      val grams = (0 until math.max(1, t.length - 3)).map(i =>
+        t.substring(i, math.min(i + 4, t.length)))
+      val votes = Array.fill(64)(0L)
+      grams.foreach { g =>
+        val hex = md.digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val lo = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val hi = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        (0 until 32).foreach { j =>
+          votes(j) += (if (((lo >> j) & 1) == 1) 1 else -1)
+          votes(32 + j) += (if (((hi >> j) & 1) == 1) 1 else -1)
+        }
+      }
+      val pack = (off: Int) =>
+        (0 until 32).map(j => if (votes(off + j) > 0) 1L << j else 0L).sum
+      (pack(32), pack(0)) // (hi, lo)
+    }
+    val codes = planted.map { case (id, t) => id -> simhash(t) }.toMap
+    def band(c: (Long, Long), b: Int): Long = b match {
+      case 0 => c._2 & 65535L; case 1 => (c._2 >> 16) & 65535L
+      case 2 => c._1 & 65535L; case _ => (c._1 >> 16) & 65535L
+    }
+    val ids = codes.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      if (0 to 3).exists(k => band(codes(a), k) == band(codes(b), k))
+      h = java.lang.Long.bitCount(codes(a)._1 ^ codes(b)._1) +
+        java.lang.Long.bitCount(codes(a)._2 ^ codes(b)._2)
+      if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    val out = SparkEntry.queries("mm_phash_hamming")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(out == want,
+      s"diff: ${(out.keySet -- want.keySet) ++ (want.keySet -- out.keySet)}")
+    // a one-byte re-encode flips few gram votes: most planted pairs land
+    // within the hamming budget (the near-dup regime this op exists for)
+    val plantedPairs = docs.filter(_._1 % 7 == 0).map(_._1)
+    val found = plantedPairs.count(id => out.contains((id, id + 3000000L)))
+    assert(found >= plantedPairs.length * 85 / 100,
+      s"phash recall collapsed: $found of ${plantedPairs.length}")
+  }
+
   test("mm_decode_meta covers every doc with sane metadata") {
     val out = SparkEntry.queries("mm_decode_meta")(spark, dir)
     assert(out.count() == 500)
