@@ -51,6 +51,28 @@ object Curation {
   private val DsirBuckets = 1024L
   private val DsirScale   = 10000L
 
+  /** The concat-and-chunk pack layout shared by text_seq_pack and
+    * q_pack_attention_audit: per (doc × overlapped sequence), the doc's
+    * in-sequence segment length. A 0-token doc spans no sequence — and
+    * Spark's sequence() would DESCEND on (k, k-1) where DuckDB's
+    * generate_series returns empty, hence the n_tokens > 0 filter. */
+  private def packSegments(s: SparkSession, dir: String): DataFrame = {
+    val nBuckets = packBucketsFor(docs(s, dir).count())
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        (hex32(concat(lit("pack:"), col("doc_id").cast("string"))) % nBuckets).as("bucket"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start", col("cum") - col("n_tokens"))
+      .withColumn("seq",
+        explode(sequence(expr(s"start DIV $SeqLen"), expr(s"(cum - 1) DIV $SeqLen"))))
+      .withColumn("seg",
+        least(col("cum"), (col("seq") + 1) * SeqLen) -
+          greatest(col("start"), col("seq") * SeqLen))
+  }
+
   /** q_weighted_sample: cumulative-sum bucket width (the two-pass global
     * cumsum's parallelism unit) and the sampling stride (1 point per
     * [[SampleEvery]] docs). */
@@ -203,27 +225,35 @@ object Curation {
     // quantity packing curricula minimize), and the exact token fill
     // (= L everywhere except each bucket's tail sequence — asserted in
     // CurationSpec). All integer math on both engines.
-    "text_seq_pack" -> ((s, dir) => {
-      val nBuckets = packBucketsFor(docs(s, dir).count())
-      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      docs(s, dir)
-        .select(col("doc_id"),
-          (hex32(concat(lit("pack:"), col("doc_id").cast("string"))) % nBuckets).as("bucket"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
-        // a 0-token doc spans no sequence — and Spark's sequence() would
-        // DESCEND on (k, k-1) where DuckDB's generate_series returns empty
-        .filter(col("n_tokens") > 0)
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("start", col("cum") - col("n_tokens"))
-        .withColumn("seq",
-          explode(sequence(expr(s"start DIV $SeqLen"), expr(s"(cum - 1) DIV $SeqLen"))))
+    "text_seq_pack" -> ((s, dir) =>
+      packSegments(s, dir)
         .groupBy(col("bucket"), col("seq"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("start") < col("seq") * SeqLen, 1)).as("n_carried_in"),
-          sum(least(col("cum"), (col("seq") + 1) * SeqLen) -
-            greatest(col("start"), col("seq") * SeqLen)).as("n_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-    }),
+          sum(col("seg")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))),
+
+    // Packing-contamination audit over the SAME concat-and-chunk layout:
+    // without document-boundary attention masks, every causal pair whose
+    // two tokens came from DIFFERENT source docs is attention poison.
+    // Per packed sequence the count is closed-form from the per-doc
+    // segment lengths — cross = (L² − Σ len_i²)/2, total = L(L−1)/2 —
+    // the number a training-batch hygiene dashboard tracks to decide
+    // whether packing needs masks (or shorter sequences) before a run
+    // burns compute. All integer, derived from the pack assignment with
+    // ONE extra aggregation — at 100 TB it rides the packing job for
+    // free (same segs frame, same (bucket, seq) keys).
+    "q_pack_attention_audit" -> ((s, dir) =>
+      packSegments(s, dir)
+        .groupBy(col("bucket"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("seg")).as("n_tokens"),
+          sum(col("seg") * col("seg")).as("ss"))
+        .select(col("bucket"), col("seq"), col("n_docs"), col("n_tokens"),
+          expr("(n_tokens * n_tokens - ss) DIV 2").as("cross_pairs"),
+          expr("(n_tokens * (n_tokens - 1)) DIV 2").as("total_pairs"))
+        .withColumn("cross_ppm",
+          when(col("total_pairs") === 0L, lit(0L))
+            .otherwise(expr("(cross_pairs * 1000000) DIV total_pairs")))),
 
     // Benchmark decontamination: flag corpus docs sharing a WINNOWED
     // FINGERPRINT SET entry with a benchmark set. Round 2 kept ONE
@@ -1012,6 +1042,28 @@ object Curation {
        |  ((cum_tokens - n_tokens) // $ShardBudget)::BIGINT AS shard
        |FROM c""".stripMargin
 
+  /** [[packSegments]]'s oracle twin: prm/t/c/spans CTEs, spans carrying
+    * the per-(doc, seq) segment length `seg`. */
+  private def dkPackSpans: String =
+    s"""prm AS (SELECT ${dkPackBuckets("count(*)")}::BIGINT AS nb FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    ${Dk.hex32("'pack:' || doc_id::VARCHAR")} % nb AS bucket,
+       |    len(${Dk.tokens("text")})::BIGINT AS n_tokens
+       |  FROM documents, prm),
+       |c AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)::BIGINT AS cum
+       |  FROM t WHERE n_tokens > 0),
+       |spans AS (
+       |  SELECT bucket, doc_id, cum, cum - n_tokens AS strt, seq,
+       |    least(cum, (seq + 1) * $SeqLen)
+       |      - greatest(cum - n_tokens, seq * $SeqLen) AS seg
+       |  FROM (
+       |    SELECT *, unnest(generate_series((cum - n_tokens) // $SeqLen,
+       |      (cum - 1) // $SeqLen)) AS seq
+       |    FROM c))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_train_split" ->
       s"""SELECT doc_id,
@@ -1035,26 +1087,26 @@ object Curation {
          |FROM c""".stripMargin,
 
     "text_seq_pack" ->
-      s"""WITH prm AS (SELECT ${dkPackBuckets("count(*)")}::BIGINT AS nb FROM documents),
-         |t AS (
-         |  SELECT doc_id,
-         |    ${Dk.hex32("'pack:' || doc_id::VARCHAR")} % nb AS bucket,
-         |    len(${Dk.tokens("text")})::BIGINT AS n_tokens
-         |  FROM documents, prm),
-         |c AS (
-         |  SELECT doc_id, bucket, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)::BIGINT AS cum
-         |  FROM t WHERE n_tokens > 0),
-         |spans AS (
-         |  SELECT bucket, doc_id, cum, cum - n_tokens AS strt,
-         |    unnest(generate_series((cum - n_tokens) // $SeqLen, (cum - 1) // $SeqLen)) AS seq
-         |  FROM c)
+      s"""WITH $dkPackSpans
          |SELECT bucket, seq, count(*)::BIGINT AS n_docs,
          |  count(CASE WHEN strt < seq * $SeqLen THEN 1 END)::BIGINT AS n_carried_in,
-         |  sum(least(cum, (seq + 1) * $SeqLen)
-         |    - greatest(strt, seq * $SeqLen))::BIGINT AS n_tokens,
+         |  sum(seg)::BIGINT AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM spans GROUP BY 1, 2""".stripMargin,
+
+    "q_pack_attention_audit" ->
+      s"""WITH $dkPackSpans,
+         |a AS (
+         |  SELECT bucket, seq, count(*)::BIGINT AS n_docs,
+         |    sum(seg)::BIGINT AS n_tokens, sum(seg * seg)::BIGINT AS ss
+         |  FROM spans GROUP BY 1, 2)
+         |SELECT bucket, seq, n_docs, n_tokens,
+         |  ((n_tokens * n_tokens - ss) // 2)::BIGINT AS cross_pairs,
+         |  ((n_tokens * (n_tokens - 1)) // 2)::BIGINT AS total_pairs,
+         |  (CASE WHEN n_tokens <= 1 THEN 0
+         |    ELSE (((n_tokens * n_tokens - ss) // 2) * 1000000)
+         |      // ((n_tokens * (n_tokens - 1)) // 2) END)::BIGINT AS cross_ppm
+         |FROM a""".stripMargin,
     // The flagship oracle reruns the WHOLE chain in SQL: the recursive
     // transitive closure recomputes the duplicate clusters independently,
     // so the hash compare proves quality gate, exact dedup, LSH banding

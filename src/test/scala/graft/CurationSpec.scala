@@ -131,6 +131,46 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q_pack_attention_audit: closed form equals a token-level pair enumeration") {
+    def hex32d(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").trim.split("\\s+").length.toLong))
+    val nBuckets = graft.operators.Curation.packBucketsFor(raw.length.toLong)
+    val rows = raw.filter(_._2 > 0)
+    val seqLen = 256L
+    // token-level replay: per bucket, concatenate docs in id order and tag
+    // every token position with its source doc; chunk into sequences
+    val byBucket = rows.map { case (id, n) => (hex32d(s"pack:$id") % nBuckets, id, n) }
+      .groupBy(_._1)
+    val want = byBucket.toSeq.flatMap { case (bucket, ds) =>
+      val stream = ds.sortBy(_._2).flatMap { case (_, id, n) => Seq.fill(n.toInt)(id) }
+      stream.zipWithIndex.groupBy { case (_, pos) => pos / seqLen.toInt }.map {
+        case (seq, toks) =>
+          val docs = toks.map(_._1)
+          val L = docs.length.toLong
+          val cross = (for (i <- docs.indices; j <- 0 until i) yield
+            if (docs(i) != docs(j)) 1L else 0L).sum
+          val total = L * (L - 1) / 2
+          (bucket, seq.toLong) ->
+            ((docs.distinct.length.toLong, L, cross, total,
+              if (total == 0) 0L else cross * 1000000L / total))
+      }
+    }.toMap
+    val out = SparkEntry.queries("q_pack_attention_audit")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("seq")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cross_pairs"), r.getAs[Long]("total_pairs"),
+          r.getAs[Long]("cross_ppm")))).toMap
+    assert(out == want,
+      s"diff: ${(out.keySet -- want.keySet) ++ (want.keySet -- out.keySet)}")
+    // packing actually crosses docs somewhere (the audit is non-vacuous)
+    assert(out.values.exists(_._3 > 0L), "no cross-doc pairs anywhere")
+  }
+
   test("text_seq_pack: every sequence is exactly full except each bucket's tail") {
     val out = SparkEntry.queries("text_seq_pack")(spark, "/root/testdata/sf0.001")
       .select("bucket", "seq", "n_tokens", "n_docs", "n_carried_in").cache()
