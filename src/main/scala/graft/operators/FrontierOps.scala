@@ -106,6 +106,24 @@ object FrontierOps {
        |${est("r2", 2)})""".stripMargin
   }
 
+  /** The two-round peel CTE chain over [[dkPageEdges]] (q_kcore_peel and
+    * q_conductance share it). */
+  private lazy val dkPeelCtes: String =
+    s"""$dkPageEdges,
+       |d0 AS (SELECT page, count(*)::BIGINT AS deg0 FROM (
+       |    SELECT a AS page FROM pund UNION ALL SELECT b FROM pund) GROUP BY 1),
+       |e0 AS (SELECT a, b FROM pund),
+       |e1 AS (SELECT * FROM e0
+       |  WHERE a NOT IN (SELECT page FROM d0 WHERE deg0 < $KCoreK)
+       |    AND b NOT IN (SELECT page FROM d0 WHERE deg0 < $KCoreK)),
+       |d1 AS (SELECT page, count(*)::BIGINT AS deg1 FROM (
+       |    SELECT a AS page FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+       |e2 AS (SELECT * FROM e1
+       |  WHERE a NOT IN (SELECT page FROM d1 WHERE deg1 < $KCoreK)
+       |    AND b NOT IN (SELECT page FROM d1 WHERE deg1 < $KCoreK)),
+       |d2 AS (SELECT page, count(*)::BIGINT AS deg2 FROM (
+       |    SELECT a AS page FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1)""".stripMargin
+
   /** Shared HyperBall rounds (q_hyperball rows, q_effective_diameter
     * input): per (host, radius ∈ 0..2), the corrected-HLL estimate of the
     * directed radius-r reachable set. See the q_hyperball comment for the
@@ -372,6 +390,45 @@ object FrontierOps {
         .withColumn("removed_round",
           when(col("deg0") < KCoreK, 1L)
             .when(col("deg1") < KCoreK, 2L).otherwise(0L))
+    }),
+
+    // Conductance of the k-core (Kannan–Vempala–Vetta's cut quality,
+    // φ(S) = cut(S, S̄) / min(vol S, vol S̄)) — the number that says
+    // whether the surviving core is a genuine tight community (link
+    // farms score LOW: dense inside, few edges out) or just the dense
+    // end of a smooth graph. S = the pages still carrying an edge after
+    // q_kcore_peel's two rounds; every quantity is an integer edge
+    // count, so the ppm is exact. Scale shape: one broadcast
+    // membership join onto the edge list + a 3-counter aggregation —
+    // rides the peel's own frames.
+    "q_conductance" -> ((s, dir) => {
+      val und = pageEdges(s, dir)
+      def degOf(ed: DataFrame, name: String): DataFrame =
+        ed.select(col("a").as("page")).unionAll(ed.select(col("b").as("page")))
+          .groupBy(col("page")).agg(count(lit(1)).as(name))
+      def peel(ed: DataFrame, rm: DataFrame): DataFrame =
+        ed.join(rm.withColumnRenamed("page", "a"), Seq("a"), "left_anti")
+          .join(rm.withColumnRenamed("page", "b"), Seq("b"), "left_anti")
+      val d0   = degOf(und, "deg0")
+      val e1   = peel(und, d0.filter(col("deg0") < KCoreK).select(col("page")))
+      val d1   = degOf(e1, "deg1")
+      val e2   = peel(e1, d1.filter(col("deg1") < KCoreK).select(col("page")))
+      val core = degOf(e2, "deg2").select(col("page")).withColumn("in_core", lit(1))
+      val tagged = und
+        .join(broadcast(core.select(col("page").as("a"), col("in_core").as("ia"))), Seq("a"), "left")
+        .join(broadcast(core.select(col("page").as("b"), col("in_core").as("ib"))), Seq("b"), "left")
+        .select(coalesce(col("ia"), lit(0)).as("ia"), coalesce(col("ib"), lit(0)).as("ib"))
+      tagged.agg(
+          count(lit(1)).as("n_edges"),
+          sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L)).as("edges_in"),
+          sum(when(col("ia") + col("ib") === 1, 1L).otherwise(0L)).as("cut"))
+        .crossJoin(broadcast(core.agg(count(lit(1)).as("n_core"))))
+        .select(col("n_core"), col("n_edges"), col("edges_in"), col("cut"),
+          expr("2 * edges_in + cut").as("vol_core"),
+          expr("2 * (n_edges - edges_in - cut) + cut").as("vol_rest"))
+        .withColumn("phi_ppm",
+          when(least(col("vol_core"), col("vol_rest")) === 0L, lit(0L))
+            .otherwise(expr("(cut * 1000000) DIV least(vol_core, vol_rest)")))
     }),
 
     // Degree assortativity (Newman 2002) of the page graph — the one-
@@ -772,26 +829,37 @@ object FrontierOps {
          |FROM d, tot, avg, eff""".stripMargin,
 
     "q_kcore_peel" ->
-      s"""WITH $dkPageEdges,
-         |d0 AS (SELECT page, count(*)::BIGINT AS deg0 FROM (
-         |    SELECT a AS page FROM pund UNION ALL SELECT b FROM pund) GROUP BY 1),
-         |e0 AS (SELECT a, b FROM pund),
-         |e1 AS (SELECT * FROM e0
-         |  WHERE a NOT IN (SELECT page FROM d0 WHERE deg0 < $KCoreK)
-         |    AND b NOT IN (SELECT page FROM d0 WHERE deg0 < $KCoreK)),
-         |d1 AS (SELECT page, count(*)::BIGINT AS deg1 FROM (
-         |    SELECT a AS page FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
-         |e2 AS (SELECT * FROM e1
-         |  WHERE a NOT IN (SELECT page FROM d1 WHERE deg1 < $KCoreK)
-         |    AND b NOT IN (SELECT page FROM d1 WHERE deg1 < $KCoreK)),
-         |d2 AS (SELECT page, count(*)::BIGINT AS deg2 FROM (
-         |    SELECT a AS page FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1)
+      s"""WITH $dkPeelCtes
          |SELECT d0.page, d0.deg0, coalesce(d1.deg1, 0)::BIGINT AS deg1,
          |  coalesce(d2.deg2, 0)::BIGINT AS deg2,
          |  (CASE WHEN d0.deg0 < $KCoreK THEN 1
          |    WHEN coalesce(d1.deg1, 0) < $KCoreK THEN 2 ELSE 0 END)::BIGINT AS removed_round
          |FROM d0 LEFT JOIN d1 ON d0.page = d1.page
          |LEFT JOIN d2 ON d0.page = d2.page""".stripMargin,
+
+    "q_conductance" ->
+      s"""WITH $dkPeelCtes,
+         |core AS (SELECT DISTINCT page FROM (
+         |  SELECT a AS page FROM e2 UNION ALL SELECT b FROM e2)),
+         |t AS (
+         |  SELECT (CASE WHEN a IN (SELECT page FROM core) THEN 1 ELSE 0 END) AS ia,
+         |    (CASE WHEN b IN (SELECT page FROM core) THEN 1 ELSE 0 END) AS ib
+         |  FROM pund),
+         |agg AS (
+         |  SELECT count(*)::BIGINT AS n_edges,
+         |    sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)::BIGINT AS edges_in,
+         |    sum(CASE WHEN ia + ib = 1 THEN 1 ELSE 0 END)::BIGINT AS cut
+         |  FROM t),
+         |nc AS (SELECT count(*)::BIGINT AS n_core FROM core),
+         |v AS (
+         |  SELECT n_core, n_edges, edges_in, cut,
+         |    (2 * edges_in + cut)::BIGINT AS vol_core,
+         |    (2 * (n_edges - edges_in - cut) + cut)::BIGINT AS vol_rest
+         |  FROM agg, nc)
+         |SELECT n_core, n_edges, edges_in, cut, vol_core, vol_rest,
+         |  (CASE WHEN least(vol_core, vol_rest) = 0 THEN 0
+         |    ELSE (cut * 1000000) // least(vol_core, vol_rest) END)::BIGINT AS phi_ppm
+         |FROM v""".stripMargin,
 
     "q_assortativity" ->
       s"""WITH $dkPageEdges,

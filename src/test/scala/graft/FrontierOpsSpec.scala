@@ -300,6 +300,46 @@ class FrontierOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(want.values.exists(_._4 == 0L), "no page survived the two peels")
   }
 
+  test("q_conductance equals a brute-force cut count over the peeled core") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val p = math.max(2L, rows.length / 100L)
+    val und = rows.flatMap { case (id, src) =>
+      val idx = src.drop(3).toInt
+      val dstHost =
+        if (id % 3 == 0 && src != "src0") "src0"
+        else s"src${(idx + 1 + (id % 19).toInt) % 20}"
+      val (a, b) = (s"$src/${id % p}", s"$dstHost/${(id * 7 + 3) % p}")
+      if (a == b) None else Some(if (a < b) (a, b) else (b, a))
+    }.toSet
+    def degOf(ed: Set[(String, String)]): Map[String, Long] =
+      ed.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (h, xs) => h -> xs.size.toLong }
+    val rm1 = degOf(und).filter(_._2 < 5).keySet
+    val e1 = und.filter { case (a, b) => !rm1(a) && !rm1(b) }
+    val rm2 = degOf(e1).filter(_._2 < 5).keySet
+    val e2 = e1.filter { case (a, b) => !rm2(a) && !rm2(b) }
+    val core = e2.flatMap(e => Seq(e._1, e._2))
+    val nEdges = und.size.toLong
+    val edgesIn = und.count { case (a, b) => core(a) && core(b) }.toLong
+    val cut = und.count { case (a, b) => core(a) ^ core(b) }.toLong
+    val volCore = 2 * edgesIn + cut
+    val volRest = 2 * (nEdges - edgesIn - cut) + cut
+    val phi = if (math.min(volCore, volRest) == 0) 0L
+      else cut * 1000000L / math.min(volCore, volRest)
+    val out = SparkEntry.queries("q_conductance")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_core") == core.size.toLong)
+    assert(r.getAs[Long]("n_edges") == nEdges && r.getAs[Long]("edges_in") == edgesIn)
+    assert(r.getAs[Long]("cut") == cut)
+    assert(r.getAs[Long]("vol_core") == volCore && r.getAs[Long]("vol_rest") == volRest)
+    assert(r.getAs[Long]("phi_ppm") == phi, s"phi ${r.getAs[Long]("phi_ppm")} != $phi")
+    // non-vacuous at this sf: a core exists and it is not the whole graph
+    assert(core.nonEmpty && cut > 0, s"core ${core.size}, cut $cut")
+  }
+
   test("q_assortativity equals a brute-force exact Pearson over the page graph") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source")).collect()
