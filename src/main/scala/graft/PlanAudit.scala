@@ -43,7 +43,13 @@ object PlanAudit {
         // window, bucket-windowed two-pass shuffle, broadcast-probed
         // triplet mining
         "q_zorder_layout", "q_compaction_plan", "q_global_shuffle",
-        "q_hard_negatives")
+        "q_hard_negatives",
+        // round-4 final session: sketch-merge graph rounds, banded byte-
+        // gram near-dedup, pigeonhole-blocked linkage, bucketed cumsum
+        // sampling, positional phrase prune
+        "q_hyperball", "q_effective_diameter", "mm_phash_hamming",
+        "q_fuzzy_join", "q_weighted_sample", "search_phrase_match",
+        "q_kcore_peel")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
