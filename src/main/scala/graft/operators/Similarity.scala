@@ -274,6 +274,46 @@ object Similarity {
   private def corpusN(s: SparkSession, dir: String): Long =
     s.read.parquet(s"$dir/embeddings.parquet").count()
 
+  /** SQ8 codebook + codes: L2-normalize (IEEE-exact both engines),
+    * quantize to the shared ×2000 int space, then scale each dimension to
+    * an 8-bit code against the per-dimension corpus (min, range). The
+    * stats are ONE posexplode aggregation collapsing to [[Dims]] rows —
+    * collected as driver literals, the trained-codebook discipline
+    * (`kmeansTrain`): at 100 TB the stats pass is a map-side-combined
+    * 64-row rollup you run once and ship with the index. Code arithmetic
+    * is exact int64 end-to-end: the scale step divides after subtracting
+    * the remainder, so the double division is of an exactly-divisible
+    * pair (≤2^53) and both engines floor identically.
+    *
+    * Scoring uses the DECODED reconstruction `d[i] = mn[i]·255 + c[i]·rng[i]`
+    * (the quantized value held ×255 so it stays integral), NOT the raw
+    * code dot product: codes are affine-shifted all-nonnegative, so raw
+    * ⟨c_q, c_c⟩ is dominated by the per-dimension mean terms and ranks
+    * near-randomly (measured recall 0.04) — the reason FAISS ADC decodes
+    * against the codebook instead of dotting codes. Max |d| ≈ 1.5e6, so a
+    * 64-dim dot is ≤ ~1.4e14 ≪ 2^63 — exact. */
+  private def sqCodes(s: SparkSession, dir: String): DataFrame = {
+    val qz = emb(s, dir).select(col("vec_id"),
+      quantize(transform(col("v"), x => x / col("nrm"))).as("q"))
+    val st = qz.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i")).collect()
+    val mins = st.map(_.getLong(1)).toSeq
+    val rngs = st.map(r => math.max(1L, r.getLong(2) - r.getLong(1))).toSeq
+    qz.select(col("vec_id"), transform(col("q"), (x, i) => {
+      val d = (x - element_at(typedLit(mins), i + 1)) * 255L
+      val r = element_at(typedLit(rngs), i + 1)
+      ((d - d % r) / r).cast("long") // exact: numerator divisible by r
+    }).as("c"))
+      .withColumn("d", transform(col("c"), (x, i) =>
+        element_at(typedLit(mins), i + 1) * 255L +
+          x * element_at(typedLit(rngs), i + 1)))
+  }
+
+  /** Integer dot product of two decoded SQ8 lists (≤ ~1.4e14 ≪ 2^63). */
+  private def sqDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   private def topk(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w).cast("long"))
@@ -724,6 +764,60 @@ object Similarity {
       exact.join(mined, Seq("src_id"), "left")
         .select(col("src_id"), col("exact_tgt"), col("exact_s"), col("mined_tgt"),
           coalesce(col("mined_tgt") === col("exact_tgt"), lit(false)).as("hit"))
+    }),
+
+    // SQ8 (scalar-quantized) search — the OTHER classic point on the
+    // compression/recall curve next to PQ: normalize, snap every
+    // dimension to an 8-bit code against per-dimension corpus (min, max),
+    // rank by the integer dot product of the DECODED codes (see
+    // [[sqCodes]] for why raw code-dot mis-ranks). 4 bytes/dim float32 →
+    // 1 byte/dim stored, so the corpus scan reads 4× less (the reason
+    // FAISS/Lucene default to SQ8 before PQ); unlike PQ there is no
+    // codebook train and decode is per-element arithmetic against the
+    // 64-entry (min, range) table shipped as literals, so the whole path
+    // stays int64-exact cross-engine. Scale: stats = one 64-row rollup
+    // you run once with the index build; search = the broadcast-probe
+    // corpus scan over the NARROW codes column; ranking = the same
+    // per-query window as every top-k here. Normalized inputs make
+    // decoded-dot ≈ cosine, so the recall audit below is apples-to-apples
+    // against the exact baseline.
+    // The stored index itself, flattened to scalar rows so the oracle
+    // hash pins every byte: code ∈ [0, 255] by construction (the 4×
+    // compression observable), decoded = the int64 reconstruction the
+    // search ranks with.
+    "ann_sq_codes" -> ((s, dir) =>
+      sqCodes(s, dir).select(col("vec_id"),
+          posexplode(arrays_zip(col("c"), col("d"))).as(Seq("i", "cd")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          col("cd.c").as("code"), col("cd.d").as("decoded"))),
+
+    "ann_sq_topk" -> ((s, dir) => {
+      val c = sqCodes(s, dir)
+      val q = c.filter(col("vec_id") < NQuery)
+        .select(col("vec_id").as("query_id"), col("d").as("qd"))
+      val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          sqDot(col("qd"), col("d")).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      pairs.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    }),
+
+    // Recall@K of the SQ8 path against the exact cosine baseline — the
+    // observable that prices the 4× compression (ann_recall's role for
+    // the quantized index). Left join from the exact side so zero-overlap
+    // queries surface as recall 0.
+    "ann_sq_recall" -> ((s, dir) => {
+      val bf = queries("ann_bruteforce_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ap = queries("ann_sq_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id")).withColumn("m", lit(1))
+      bf.join(ap, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("m")).as("hits"),
+          round(count(col("m")) / lit(K.toDouble), 4).as("recall"))
     }))
 
   // --- DuckDB oracles -----------------------------------------------------
@@ -873,6 +967,51 @@ object Similarity {
        |  SELECT query_id, neighbor_id, adc,
        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
        |  FROM adcx)""".stripMargin
+
+  /** SQ8 chain twin ([[sqCodes]]): normalize → shared ×2000 quantize →
+    * per-dimension corpus (min, range) rollup → 8-bit codes; ends in
+    * `codes(vec_id, c)`. The scale step mirrors the Spark expression
+    * literally — subtract the remainder, then divide the now-exactly-
+    * divisible pair. The numerator is ≥ 0 (mn is the corpus minimum), so
+    * DuckDB's truncating `//` IS floor here and the codes are int64-exact
+    * in both engines. */
+  private def dkSqChain: String =
+    s"""e AS ($dkEmb),
+       |en AS (SELECT vec_id, v, ${Dk.norm("v", Dims)} AS nrm FROM e),
+       |nv AS (SELECT vec_id,
+       |    [v[i] / nrm for i in generate_series(1, $Dims)] AS w FROM en),
+       |qz AS (SELECT vec_id, ${Dk.quantize("w", Dims)} AS q FROM nv),
+       |st AS (SELECT i, min(q[i]) AS mn,
+       |    greatest(1, max(q[i]) - min(q[i])) AS rng
+       |  FROM qz, generate_series(1, $Dims) t(i) GROUP BY 1),
+       |stl AS (SELECT list(mn ORDER BY i) AS mns,
+       |    list(rng ORDER BY i) AS rngs FROM st),
+       |codes AS (SELECT vec_id,
+       |    [((q[i] - mns[i]) * 255 - ((q[i] - mns[i]) * 255) % rngs[i]) // rngs[i]
+       |     for i in generate_series(1, $Dims)] AS c
+       |  FROM qz, stl),
+       |dec AS (SELECT vec_id,
+       |    [mns[i] * 255 + c[i] * rngs[i] for i in generate_series(1, $Dims)] AS d
+       |  FROM codes, stl)""".stripMargin
+
+  /** Full SQ8 search SQL (integer decoded-code dot product, per-query
+    * top-K) — the search oracle body, reused verbatim by the recall
+    * audit. */
+  private def dkSqTopk: String =
+    s"""WITH $dkSqChain,
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [q.d[i] * n.d[i] for i in generate_series(1, $Dims)]),
+       |      (a, b) -> a + b) AS score
+       |  FROM dec q JOIN dec n ON q.vec_id < $NQuery AND n.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, score
+       |FROM ranked WHERE rank <= $K""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> dkBruteforce,
@@ -1121,7 +1260,26 @@ object Similarity {
          |  m.tgt_id AS mined_tgt,
          |  coalesce(m.tgt_id = exr.exact_tgt, false) AS hit
          |FROM exr LEFT JOIN m
-         |  ON m.src_id = exr.src_id AND m.src_id < $BitextRecallMax""".stripMargin)
+         |  ON m.src_id = exr.src_id AND m.src_id < $BitextRecallMax""".stripMargin,
+
+    "ann_sq_codes" ->
+      s"""WITH $dkSqChain
+         |SELECT codes.vec_id, i - 1 AS i, c[i] AS code, d[i] AS decoded
+         |FROM codes JOIN dec ON codes.vec_id = dec.vec_id,
+         |  generate_series(1, $Dims) t(i)""".stripMargin,
+
+    "ann_sq_topk" -> dkSqTopk,
+
+    // SQ8 recall twin — same shape as ann_recall: the two top-k SQLs
+    // verbatim as CTE bodies, left-joined from the exact side.
+    "ann_sq_recall" ->
+      s"""WITH bf AS ($dkBruteforce),
+         |ap AS ($dkSqTopk)
+         |SELECT b.query_id, count(a.neighbor_id)::BIGINT AS hits,
+         |  round(count(a.neighbor_id) / $K.0, 4) AS recall
+         |FROM bf b LEFT JOIN ap a
+         |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |GROUP BY 1""".stripMargin)
 
   /** Shared oracle CTE chain for the bitext pair: collections → planes →
     * buckets → own+hamming-1 probes → candidate scores → per-source top-k

@@ -509,6 +509,20 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viol.count() == 0)
   }
 
+  test("ann_sq: codes are true bytes, decode is the affine inverse, recall holds") {
+    val codes = SparkEntry.queries("ann_sq_codes")(spark, dir).cache()
+    // the 4x-compression claim: every stored code fits one byte
+    assert(codes.filter(col("code") < 0 || col("code") > 255).count() == 0)
+    // per dimension the full byte range is actually used (min hits 0):
+    // a constant-offset bug in the (min, range) stats would shift this
+    assert(codes.groupBy("i").agg(min("code").as("lo")).filter(col("lo") =!= 0).count() == 0)
+    codes.unpersist()
+    // quantized search still finds most true neighbors (exact at this sf)
+    val rec = SparkEntry.queries("ann_sq_recall")(spark, dir)
+    assert(rec.filter(col("recall") < 0.8).count() == 0,
+      "SQ8 recall fell below 0.8 for some query")
+  }
+
   test("ann_kmeans_cells: Lloyd iterations strictly improve the objective") {
     import graft.functions.VectorKernels
     val out = SparkEntry.queries("ann_kmeans_cells")(spark, dir).cache()

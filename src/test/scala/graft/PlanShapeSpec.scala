@@ -684,4 +684,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(!cols.contains("text"), s"link-prediction shuffle carries text: $cols")
     }
   }
+
+  test("SQ8 search: probe side broadcast; shuffles carry codes/scores, never raw vectors") {
+    val executed = SparkEntry.queries("ann_sq_topk")(spark, dir)
+      .queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    assert(root.toString.contains("BroadcastNestedLoopJoin") ||
+      root.toString.contains("BroadcastHashJoin"),
+      s"SQ8 probe set not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("CartesianProduct"))
+    // the point of SQ8: after encoding, nothing float-vector-sized moves —
+    // shuffles carry (query_id, neighbor_id, score) longs only
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }.foreach { cols =>
+      Seq("v", "w", "embedding").foreach(raw =>
+        assert(!cols.contains(raw), s"SQ8 shuffle carries raw vectors ($raw): $cols"))
+    }
+  }
 }
