@@ -106,6 +106,12 @@ object Search {
     * family's constant). */
   private val Dims = 64
 
+  /** Pseudo-relevance feedback geometry: expansion terms are mined from
+    * the top-[[FbDocs]] BM25 docs per query, and the top-[[ExpTerms]]
+    * candidates by feedback-tf mass are kept. */
+  private val FbDocs   = 3
+  private val ExpTerms = 5
+
   /** RRF constant (Cormack/Clarke/Büttcher 2009's k = 60) and the integer
     * scale: points = 10^9 // (k + rank) — exact int64 floor-division in
     * both engines, so fusion sums are order-independent and cross-engine
@@ -164,6 +170,43 @@ object Search {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk"    -> ((s, dir) => bm25TopK(s, dir)),
     "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
+
+    // Pseudo-relevance-feedback query expansion (Rocchio 1971's positive
+    // arm / RM1 with uniform feedback-doc weights, integer-exact): run
+    // the first-pass ranker, take each query's top-FbDocs docs as the
+    // feedback set, and score every term they contain by its total tf
+    // mass across the set — minus the original query terms (an expansion
+    // term is by definition NEW vocabulary). Keeping the weights as raw
+    // integer tf sums (not log-odds) is what makes the whole second-pass
+    // query model hash-checkable cross-engine; the ranking is the
+    // standard weight-desc/term-asc deterministic cut. Scale shape: the
+    // feedback set is queries×FbDocs rows → BROADCAST to both the tf
+    // join and the anti-join that strips original terms; the corpus-sized
+    // work is the per-doc tf table the index build already produces, and
+    // the candidate aggregate shuffles (query_id, term, int64) — never
+    // text bodies. Second-pass retrieval then reuses text_bm25_topk
+    // with qtoks ∪ expansion, unchanged machinery.
+    "search_query_expand" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        tokens(when(col("doc_id") % 100 === 0,
+          concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
+          .otherwise(col("text"))).as("toks"))
+      val tf = t.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val qt = queryFrame(t)
+        .select(col("query_id"), explode(col("qtoks")).as("term")).distinct()
+      val fb = bm25TopK(s, dir).filter(col("rank") <= FbDocs)
+        .select(col("query_id"), col("doc_id"))
+      val cand = tf.join(broadcast(fb), Seq("doc_id"))
+        .join(broadcast(qt), Seq("query_id", "term"), "left_anti")
+        .groupBy(col("query_id"), col("term"))
+        .agg(sum(col("tf")).as("weight"), count(lit(1)).as("n_fb_docs"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("weight").desc, col("term"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= ExpTerms)
+        .select("query_id", "rank", "term", "weight", "n_fb_docs")
+    }),
 
     // Impact-ordered index tiering (Ntoulas & Cho 2007 / WAND-era "fancy
     // lists"): each term's posting list is split into tier 0 — the top
@@ -322,6 +365,35 @@ object Search {
 
   val oracles: Map[String, String] = Map(
     "text_bm25_topk" -> dkBm25,
+
+    // The token/query CTEs are restated at top level (dkBm25's copies are
+    // scoped inside the bm subquery); values are nonnegative tf counts so
+    // the integer surface is overflow-free by construction.
+    "search_query_expand" ->
+      s"""WITH bm AS ($dkBm25),
+         |corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 100 = 0
+         |    THEN text || ' qk' || doc_id::VARCHAR ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |q AS (SELECT doc_id + 900000 AS query_id,
+         |    list_prepend('qk' || doc_id::VARCHAR, toks[5:6]) AS qtoks
+         |  FROM t WHERE doc_id % 100 = 0),
+         |qt AS (SELECT DISTINCT query_id, unnest(qtoks) AS term FROM q),
+         |fb AS (SELECT query_id, doc_id FROM bm WHERE rank <= $FbDocs),
+         |j AS (SELECT fb.query_id, tf.term, tf.tf
+         |  FROM tf JOIN fb ON tf.doc_id = fb.doc_id),
+         |cand AS (
+         |  SELECT query_id, term, sum(tf)::BIGINT AS weight,
+         |    count(*)::BIGINT AS n_fb_docs
+         |  FROM j ANTI JOIN qt ON qt.query_id = j.query_id AND qt.term = j.term
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, term, weight, n_fb_docs FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY weight DESC, term) AS rank
+         |  FROM cand) WHERE rank <= $ExpTerms""".stripMargin,
     "search_hybrid_rrf" ->
       s"""WITH bm AS ($dkBm25),
          |$dkAnnList,

@@ -53,6 +53,18 @@ object Temporal {
     * plenty of real conversions, plenty of timed-out sequences. */
   val FunnelGapUs: Long = 86400L * 1000000L
 
+  /** q_burst_detect: rate bucket width (1 h) and the burst threshold — a
+    * bucket is a burst when its count is ≥ [[BurstFactor]]× the type's
+    * mean per-bucket rate over its active span AND ≥ [[BurstMinCnt]]
+    * absolute events. The floor is load-bearing, not cosmetic: a type
+    * whose total mass is under span/3 buckets has a mean rate < 1/3, so a
+    * SINGLE event beats 3× the mean — rate-only thresholds flag every
+    * lonely event of every sparse stream (the sf corpus has hundreds of
+    * such buckets). */
+  val BurstBucketUs: Long = 3600L * 1000000L
+  val BurstFactor: Long   = 3L
+  val BurstMinCnt: Long   = 3L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: for every click, the latest view by the same user at or
     // before the click (ties at equal ts include the view — the right side
@@ -166,6 +178,43 @@ object Temporal {
         .withColumn("kept", col("gap_us").isNull || col("gap_us") > DebounceGapUs)
     }),
 
+    // Burst (rate-anomaly) detection — the monitoring primitive every
+    // ingest pipeline runs over its event firehose: bucket each event
+    // type's stream into fixed 1 h rate buckets and flag buckets whose
+    // count is ≥ BurstFactor× the type's mean per-bucket rate across its
+    // active span (max−min+1 buckets — quiet hours count, so a type that
+    // fires once a week doesn't self-flag). The comparison is the usual
+    // integer-lattice move: rate_ppm = (cnt·n_buckets·10^6) div total —
+    // exact int64, no float mean. A burst is PLANTED so the detector has
+    // a guaranteed true positive on every corpus: copies of the
+    // user_id%10==0 view events re-stamped to the stream's first bucket
+    // (~10% of view mass collapsed into one hour ≫ 3× the mean). Scale
+    // shape: one groupBy(type, bucket) count with map-side partial agg —
+    // shuffles carry (type, int64, int64); the per-type span/total rollup
+    // is ≤ |types| rows, broadcast back.
+    "q_burst_detect" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("event_type"), us(col("ts")).as("u"), col("user_id"))
+      val mn = base.agg(min(col("u")).as("mnu"))
+      val planted = base
+        .filter(col("event_type") === "view" && col("user_id") % 10 === 0)
+        .crossJoin(broadcast(mn))
+        .select(col("event_type"), col("mnu").as("u"))
+      val cnt = base.select(col("event_type"), col("u"))
+        .unionByName(planted)
+        .withColumn("bucket", expr(s"u div $BurstBucketUs"))
+        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("total"),
+          (max(col("bucket")) - min(col("bucket")) + 1).as("n_buckets"))
+      cnt.join(broadcast(tot), Seq("event_type"))
+        .withColumn("rate_ppm", expr("(cnt * n_buckets * 1000000) div total"))
+        .withColumn("is_burst",
+          col("rate_ppm") >= BurstFactor * 1000000L && col("cnt") >= BurstMinCnt)
+        .select(col("event_type"), col("bucket"), col("cnt"), col("n_buckets"),
+          col("total"), col("rate_ppm"), col("is_burst"))
+    }),
+
     "q_url_version_intervals" -> ((s, dir) => {
       val obs = t(s, dir, "events").select(
         (col("user_id") % 97L).as("url_id"), col("event_id"),
@@ -232,6 +281,27 @@ object Temporal {
          |    OR (epoch_us(ts) - lag(epoch_us(ts)) OVER w) > $DebounceGapUs AS kept
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    "q_burst_detect" ->
+      s"""WITH base AS (
+         |  SELECT event_type, epoch_us(ts) AS u, user_id FROM events),
+         |planted AS (
+         |  SELECT event_type, (SELECT min(u) FROM base) AS u
+         |  FROM base WHERE event_type = 'view' AND user_id % 10 = 0),
+         |c AS (
+         |  SELECT event_type, u // $BurstBucketUs AS bucket, count(*)::BIGINT AS cnt
+         |  FROM (SELECT event_type, u FROM base
+         |        UNION ALL SELECT event_type, u FROM planted)
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, sum(cnt)::BIGINT AS total,
+         |    (max(bucket) - min(bucket) + 1)::BIGINT AS n_buckets
+         |  FROM c GROUP BY 1)
+         |SELECT c.event_type, bucket, cnt, n_buckets, total,
+         |  ((cnt * n_buckets * 1000000) // total)::BIGINT AS rate_ppm,
+         |  ((cnt * n_buckets * 1000000) // total >= ${BurstFactor * 1000000L}
+         |   AND cnt >= $BurstMinCnt) AS is_burst
+         |FROM c JOIN t USING (event_type)""".stripMargin,
 
     "q_url_version_intervals" ->
       """WITH o AS (

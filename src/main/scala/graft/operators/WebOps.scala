@@ -58,6 +58,14 @@ object WebOps {
     * rule would let a line shared by 1 of 2 docs strip both). */
   private val BoilerPct = 60L
 
+  /** HITS fixed-point scale (score 1.0 ≡ [[HitsScale]] after each
+    * max-normalization — same integer-lattice discipline as PageRank's
+    * PrScale). Headroom: raw half-step sums are ≤ HitsScale·Σw =
+    * 1e6·|docs|, and the normalizing multiply adds another 1e6 ⇒ safe to
+    * ~9e6 docs per graph partition at int64; a 10^12-doc run normalizes
+    * with a wider div first (same plan, one extra constant). */
+  private val HitsScale = 1000000L
+
   /** Synthesized-line width in tokens (the sf corpus has no newlines —
     * same convention as TextOps' repetition rules). */
   private val LineW = 8
@@ -284,6 +292,59 @@ object WebOps {
         f = next
       }
       f.select(col("u").as("url_id"), col("p").as("terminal_id"), col("hops"))
+    }),
+
+    // HITS (Kleinberg 1999, "Authoritative sources in a hyperlinked
+    // environment") — the hub/authority DUAL to q_host_pagerank's single
+    // score, over the same synthesized host multigraph: authorities are
+    // hosts good hubs point AT (auth(v) = Σ_{u→v} hub(u)·w), hubs are
+    // hosts that point at good authorities (hub(u) = Σ_{u→v} auth(v)·w).
+    // Two mutual-reinforcement iterations (4 half-steps) unrolled in
+    // EXACT int64 arithmetic: each half-step is a weighted sum over the
+    // edge list followed by max-normalization r ← (r·SCALE) div max(r) —
+    // max is order-independent and div exact, so the whole fixpoint
+    // prefix is hash-exact cross-engine (the PageRank/k-means rule; the
+    // classic L2 normalization would drift in float summation order).
+    // Scale shape: the graph is the groupBy(u,v) count edge list
+    // (map-side partial agg — 10^12 links collapse to host-pair
+    // cardinality before shuffling); each half-step is one broadcast
+    // score-table join + one (host, int64) aggregate, the normalizing
+    // max is a 1-row agg crossJoined back, and the four unrolled levels
+    // share the edge aggregation via ReuseExchange (one docs scan at
+    // runtime despite the nested plan). Shuffles carry (host, int64)
+    // only — the CC-iteration discipline.
+    "q_hits" -> ((s, dir) => {
+      val e = docs(s, dir).select(col("source").as("u"), linkTarget.as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      val hosts = e.select(col("u").as("host"))
+        .unionByName(e.select(col("v").as("host"))).distinct()
+      def normalize(r: DataFrame): DataFrame = {
+        val m = r.agg(max(col("r")).as("m"))
+        r.crossJoin(broadcast(m))
+          .select(col("host"), expr(s"(r * $HitsScale) div m").as("r"))
+      }
+      def halfStep(score: DataFrame, from: String, to: String): DataFrame =
+        normalize(hosts.join(
+          e.join(broadcast(score.withColumnRenamed("host", from)), Seq(from))
+            .groupBy(col(to)).agg(sum(col("r") * col("w")).as("s"))
+            .select(col(to).as("host"), col("s").as("r")),
+          Seq("host"), "left")
+          .select(col("host"), coalesce(col("r"), lit(0L)).as("r")))
+      def authStep(hub: DataFrame)  = halfStep(hub, "u", "v")
+      def hubStep(auth: DataFrame)  = halfStep(auth, "v", "u")
+      val auth1 = authStep(hosts.withColumn("r", lit(HitsScale)))
+      val hub1  = hubStep(auth1)
+      val auth2 = authStep(hub1)
+      val hub2  = hubStep(auth2)
+      val wA = Window.orderBy(col("auth2").desc, col("host").asc)
+      val wH = Window.orderBy(col("hub2").desc, col("host").asc)
+      hosts
+        .join(auth1.withColumnRenamed("r", "auth1"), Seq("host"))
+        .join(hub1.withColumnRenamed("r", "hub1"), Seq("host"))
+        .join(auth2.withColumnRenamed("r", "auth2"), Seq("host"))
+        .join(hub2.withColumnRenamed("r", "hub2"), Seq("host"))
+        .withColumn("auth_rank", dense_rank().over(wA).cast("long"))
+        .withColumn("hub_rank", dense_rank().over(wH).cast("long"))
     }))
 
   /** q_redirect_resolve: doubling rounds — 2^6 = 64 ≥ the 49-hop max
@@ -302,6 +363,39 @@ object WebOps {
        |END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Four unrolled half-steps; values are nonnegative throughout so
+    // DuckDB's truncating // equals floor equals Spark's div.
+    "q_hits" ->
+      s"""WITH e AS (
+         |  SELECT source AS u, $dkLinkTarget AS v, count(*)::BIGINT AS w
+         |  FROM documents GROUP BY 1, 2),
+         |h AS (SELECT u AS host FROM e UNION SELECT v FROM e),
+         |a1r AS (SELECT h.host, coalesce(s, 0)::BIGINT AS r FROM h LEFT JOIN
+         |  (SELECT v AS host, sum($HitsScale * w) AS s FROM e GROUP BY 1) x USING (host)),
+         |a1 AS (SELECT host,
+         |  ((r * $HitsScale) // (SELECT max(r) FROM a1r))::BIGINT AS r FROM a1r),
+         |h1r AS (SELECT h.host, coalesce(s, 0)::BIGINT AS r FROM h LEFT JOIN
+         |  (SELECT e.u AS host, sum(a1.r * e.w) AS s
+         |   FROM e JOIN a1 ON a1.host = e.v GROUP BY 1) x USING (host)),
+         |h1 AS (SELECT host,
+         |  ((r * $HitsScale) // (SELECT max(r) FROM h1r))::BIGINT AS r FROM h1r),
+         |a2r AS (SELECT h.host, coalesce(s, 0)::BIGINT AS r FROM h LEFT JOIN
+         |  (SELECT e.v AS host, sum(h1.r * e.w) AS s
+         |   FROM e JOIN h1 ON h1.host = e.u GROUP BY 1) x USING (host)),
+         |a2 AS (SELECT host,
+         |  ((r * $HitsScale) // (SELECT max(r) FROM a2r))::BIGINT AS r FROM a2r),
+         |h2r AS (SELECT h.host, coalesce(s, 0)::BIGINT AS r FROM h LEFT JOIN
+         |  (SELECT e.u AS host, sum(a2.r * e.w) AS s
+         |   FROM e JOIN a2 ON a2.host = e.v GROUP BY 1) x USING (host)),
+         |h2 AS (SELECT host,
+         |  ((r * $HitsScale) // (SELECT max(r) FROM h2r))::BIGINT AS r FROM h2r)
+         |SELECT h.host, a1.r AS auth1, h1.r AS hub1, a2.r AS auth2, h2.r AS hub2,
+         |  dense_rank() OVER (ORDER BY a2.r DESC, h.host ASC)::BIGINT AS auth_rank,
+         |  dense_rank() OVER (ORDER BY h2.r DESC, h.host ASC)::BIGINT AS hub_rank
+         |FROM h
+         |JOIN a1 ON a1.host = h.host JOIN h1 ON h1.host = h.host
+         |JOIN a2 ON a2.host = h.host JOIN h2 ON h2.host = h.host""".stripMargin,
+
     "q_redirect_resolve" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id AS u,

@@ -293,6 +293,34 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("q_hits: the planted hub is the top authority, normalization is exact") {
+    val out = SparkEntry.queries("q_hits")(spark, dir).cache()
+    try {
+      assert(out.count() == 20)
+      // src0 absorbs ~1/3 of all in-links => top authority by a wide margin
+      val hub = out.filter(col("host") === "src0").head()
+      assert(hub.getAs[Long]("auth_rank") == 1L,
+        s"hub auth-ranked ${hub.getAs[Long]("auth_rank")}")
+      assert(hub.getAs[Long]("auth2") == 1000000L, "max-normalized top != SCALE")
+      val restMax = out.filter(col("host") =!= "src0")
+        .agg(max(col("auth2"))).head.getLong(0)
+      assert(restMax * 2 <= 1000000L,
+        s"runner-up auth $restMax not separated from the hub")
+      // every score sits on the integer lattice [0, SCALE]; each
+      // half-step's max lands exactly on SCALE ((m*S) div m = S)
+      Seq("auth1", "hub1", "auth2", "hub2").foreach { c =>
+        val (mn, mx) = (out.agg(min(col(c))).head.getLong(0),
+          out.agg(max(col(c))).head.getLong(0))
+        assert(mn >= 0L && mx == 1000000L, s"$c range [$mn,$mx] off-lattice")
+      }
+      // ranks are dense with the deterministic (score desc, host) tie-break
+      assert(out.select("auth_rank").distinct().count() ==
+        out.select("auth2").distinct().count())
+      assert(out.select("hub_rank").distinct().count() ==
+        out.select("hub2").distinct().count())
+    } finally { out.unpersist(); () }
+  }
+
   test("text_bpe_merges equals a sequential greedy BPE reference, doc by doc") {
     // independent reference: plain Scala — count pairs, adopt the argmax
     // (count DESC, pair ASC), rewrite each doc with a SEQUENTIAL
@@ -423,6 +451,53 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(r.getAs[Long]("n_lists") == 2L,
         s"query ${r.getAs[Long]("query_id")}: lexical and semantic lists should both rank the source")
     }
+  }
+
+  test("q_burst_detect: the planted flash-crowd bucket is flagged, mass conserved") {
+    val out = SparkEntry.queries("q_burst_detect")(spark, dir).cache()
+    try {
+      // the planted re-stamp concentrates ~10% of view mass in the first
+      // view bucket — it must flag
+      val v  = out.filter(col("event_type") === "view")
+      val b0 = v.agg(min(col("bucket"))).head.getLong(0)
+      val first = v.filter(col("bucket") === b0).head()
+      assert(first.getAs[Boolean]("is_burst"),
+        s"planted burst not flagged (rate_ppm ${first.getAs[Long]("rate_ppm")})")
+      // per type: bucket counts sum to the reported total, and the mean
+      // bucket sits at rate_ppm ~1e6 by construction (sum cnt·nb = nb·T)
+      val bad = out.groupBy(col("event_type"), col("total"))
+        .agg(sum(col("cnt")).as("s")).filter(col("s") =!= col("total"))
+      assert(bad.count() == 0, "bucket counts do not sum to the type total")
+      // the absolute floor holds: no burst bucket below BurstMinCnt...
+      assert(out.filter(col("is_burst") && col("cnt") < 3).count() == 0)
+      // ...and it is load-bearing on this corpus: sparse types DO have
+      // lonely-event buckets beating 3x their tiny mean rate that only
+      // the floor suppresses (the rate-only rule would flag them all)
+      assert(out.filter(col("rate_ppm") >= 3000000L && !col("is_burst"))
+        .count() > 0, "floor suppressed nothing — corpus lost its sparse types")
+    } finally { out.unpersist(); () }
+  }
+
+  test("search_query_expand: expansion is new vocabulary from the feedback set") {
+    val out = SparkEntry.queries("search_query_expand")(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      // per query: <= 5 terms, ranks dense from 1, feedback support <= 3 docs
+      val per = out.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+          max(col("n_fb_docs")).as("fb"))
+      assert(per.filter(col("n") > 5 || col("mx") =!= col("n") ||
+        col("fb") > 3).count() == 0)
+      // no expansion term repeats an original query term: the qk marker of
+      // the query's own source doc must never appear
+      assert(out.filter(col("term") ===
+        concat(lit("qk"), (col("query_id") - 900000L).cast("string"))).count() == 0)
+      // weights are non-increasing down each ranked list
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rank"))
+      assert(out.withColumn("prev", lag(col("weight"), 1).over(w))
+        .filter(col("prev") < col("weight")).count() == 0)
+    } finally { out.unpersist(); () }
   }
 
   test("text_quality_adaptive_gate: derived decile threshold drops the worst, conservatively") {
