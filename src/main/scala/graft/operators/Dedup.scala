@@ -67,6 +67,35 @@ object Dedup {
     * to MaxBandGroup² pairs). Mirrored bit-for-bit in the DuckDB oracle. */
   val MaxBandGroup = 256
 
+  /** Containment dedup (`dedup_containment`): discriminative-shingle df
+    * cap for candidate generation (a shingle appearing in more than
+    * [[ContainDfCap]] docs is boilerplate, not evidence of copying — its
+    * posting list is dropped, bounding any shingle's pair fan-out to
+    * DfCap²/2), the report threshold (0.8 of the smaller side, in ppm),
+    * and the planted-quote geometry: docs with doc_id % 20 == 0 and at
+    * least [[QuoteMinToks]] tokens spawn a quote doc = tokens
+    * [[QuoteFrom]]..QuoteFrom+QuoteLen−1 (1-based) under id + 3e6. */
+  val ContainDfCap   = 8L
+  val ContainMinPpm  = 800000L
+  val QuoteFrom      = 11
+  val QuoteLen       = 30
+  val QuoteMinToks   = 40
+  val QuoteIdOffset  = 3000000L
+
+  /** All-pairs cosine join (`dedup_allpairs_cosine`): threshold t = 9/10
+    * over BINARY shingle sets, carried as the integer cross-multiplication
+    * 100·|A∩B|² ≥ 81·|A|·|B| (⟺ |A∩B|/√(|A||B|) ≥ 0.9 for nonnegative
+    * counts — no float, no sqrt). Shingles, not tokens: measured on this
+    * corpus, token-set cosine ≥ 0.8 qualifies 12% of ALL pairs (shared
+    * vocabulary, quadratic blowup at scale) while shingle sets isolate
+    * true near-dups. Prefix-filter soundness needs the per-doc minimum
+    * qualifying overlap o(x) = ⌈t²·|x|⌉ = (81·|x| + 99) div 100: any
+    * partner y with |A∩B|/√(|x||y|) ≥ t has |y| ≥ t²|x| (else cos ≤
+    * √(|y|/|x|) < t), hence overlap ≥ t·√(|x||y|) ≥ t·√(|x|·t²|x|) =
+    * t²·|x|, and integrality lifts that to ⌈t²|x|⌉. */
+  val ApCosNum = 9L  // t = ApCosNum / ApCosDen
+  val ApCosDen = 10L
+
   /** doc_id + 8 minhashes. ONE digest per TOKEN, then shingle hashes by
     * integer combination ([[graft.functions.TextKernels.shingleHashes]])
     * — shingle STRINGS are never materialized, which is where ~95% of the
@@ -581,6 +610,106 @@ object Dedup {
           jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
     }),
 
+    // ASYMMETRIC containment dedup (Broder 1997's containment coefficient
+    // |A∩B|/|A|, the measure resemblance/Jaccard provably cannot see):
+    // a 30-token quote embedded in a 99-token page has J ≤ 28/97 ≈ 0.29 —
+    // invisible to every 0.8-Jaccard path in this catalog — but
+    // containment 1.0. Exactly the shape aggregators, quote-reposts and
+    // boilerplate-wrapped mirrors take in a crawl. Candidates come from a
+    // DISCRIMINATIVE-shingle inverted index: explode distinct shingle
+    // hashes, drop shingles with df > ContainDfCap (boilerplate — the
+    // winnowing trade: evidence of copying is rare shingles, and a df cap
+    // bounds any shingle's fan-out to df²/2 pairs), self-join postings.
+    // Exact verify re-joins full shingle SETS by id (the minhashLsh
+    // payload discipline) and reports integer containment ppm BOTH ways.
+    // Scale shape: postings shuffle (hash, id); the df agg is map-side
+    // partial; verify joins by id; nothing shuffles text. The planted
+    // quotes are mid-doc token slices — position-robust by construction.
+    "dedup_containment" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 20 === 0 && size(col("toks")) >= QuoteMinToks)
+          .select((col("doc_id") + QuoteIdOffset).as("doc_id"),
+            slice(col("toks"), QuoteFrom, QuoteLen).as("toks")))
+      val d = corpus
+        .withColumn("th", tokenHashes(col("toks")))
+        .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
+        .cache() // ids + int sets only; feeds postings AND both verify sides
+      val post = d.select(col("doc_id"), explode(col("sh")).as("h"))
+      val rare = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContainDfCap).select("h")
+      val rp = post.join(rare, Seq("h"))
+      val cand = rp.as("l").join(rp.as("r"),
+          col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_common"),
+          size(col("sha")).cast("long").as("size_a"),
+          size(col("shb")).cast("long").as("size_b"))
+        .withColumn("cont_a_ppm", expr("(n_common * 1000000) div size_a"))
+        .withColumn("cont_b_ppm", expr("(n_common * 1000000) div size_b"))
+        .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= ContainMinPpm)
+    }),
+
+    // Exact threshold similarity self-join via PREFIX FILTERING (Bayardo,
+    // Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search";
+    // the MapReduce spelling is Vernica et al., SIGMOD 2010): every pair
+    // with binary-cosine ≥ 0.9 over shingle sets is found WITHOUT LSH's
+    // probabilistic recall — the candidate theorem is exact. Order the
+    // feature space by (df ASC, feature ASC) — global, total; each doc
+    // indexes only its first |x| − ⌈t²|x|⌉ + 1 shingles in that order
+    // (its RAREST shingles); any qualifying pair shares ≥ ⌈t²|x|⌉
+    // features, so by pigeonhole the prefixes of BOTH sides intersect —
+    // candidates = prefix-posting self-join, complete by construction
+    // (AllPairsCosineSpec brute-force checks it). Verify is the integer
+    // cross-multiplication (no sqrt). Scale shape: df agg map-side
+    // partial; shingle dfs are tiny so prefix-posting groups stay small,
+    // with a MaxBandGroup cap bounding degenerate groups
+    // deterministically, mirrored in the oracle; shuffles carry
+    // (feature-hash, id) and (id, int) only.
+    "dedup_allpairs_cosine" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = dupCorpus(s, dir)
+        .withColumn("th", tokenHashes(tokens(col("text"))))
+        .select(col("doc_id"),
+          array_distinct(shingleHashes(col("th"))).as("ts"))
+        .cache() // ids + int sets only
+      // doc size rides along on every posting row (one long) — joining a
+      // corpus-sized size table back would be a second id shuffle
+      val post = d.select(col("doc_id"), size(col("ts")).cast("long").as("n"),
+        explode(col("ts")).as("t"))
+      val df = post.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val pref = post.join(df, Seq("t"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))).cast("long"))
+        .filter(col("pos") <=
+          col("n") - expr(s"(${ApCosNum * ApCosNum} * n + ${ApCosDen * ApCosDen - 1}) div ${ApCosDen * ApCosDen}") + 1L)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("t")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= MaxBandGroup)
+        .select(col("doc_id"), col("t"))
+      val cand = pref.as("l").join(pref.as("r"),
+          col("l.t") === col("r.t") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
+          size(col("ta")).cast("long").as("size_a"),
+          size(col("tb")).cast("long").as("size_b"))
+        .filter(col("n_common") * col("n_common") * (ApCosDen * ApCosDen) >=
+          col("size_a") * col("size_b") * (ApCosNum * ApCosNum))
+        .withColumn("cos2_ppm",
+          expr("(n_common * n_common * 1000000) div (size_a * size_b)"))
+    }),
+
     // Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD 1995): sort
     // the corpus ONCE by a blocking key — here the 32-char text prefix —
     // and compare each record only to its w−1 successors in that order.
@@ -964,6 +1093,60 @@ object Dedup {
          |d AS (SELECT doc_id, list_distinct(${Dk.shingleHashes("th")}) AS sh FROM thsrc)
          |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, $dkJaccard AS jaccard
          |FROM d l JOIN d r ON r.doc_id = l.doc_id + 1""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH base AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, toks FROM base
+         |  UNION ALL
+         |  SELECT doc_id + $QuoteIdOffset AS doc_id,
+         |    toks[$QuoteFrom:${QuoteFrom + QuoteLen - 1}] AS toks
+         |  FROM base WHERE doc_id % 20 = 0 AND len(toks) >= $QuoteMinToks),
+         |thc AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM corpus),
+         |d AS (SELECT doc_id, list_distinct(${Dk.shingleHashes("th")}) AS sh FROM thc),
+         |post AS (SELECT doc_id, unnest(sh) AS h FROM d),
+         |rare AS (SELECT h FROM post GROUP BY h HAVING count(*) <= $ContainDfCap),
+         |rp AS (SELECT doc_id, h FROM post JOIN rare USING (h)),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM rp l JOIN rp r ON l.h = r.h AND l.doc_id < r.doc_id),
+         |ver AS (SELECT doc_a, doc_b,
+         |    len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
+         |    len(a.sh)::BIGINT AS size_a, len(b.sh)::BIGINT AS size_b
+         |  FROM cand JOIN d a ON a.doc_id = cand.doc_a
+         |  JOIN d b ON b.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, n_common, size_a, size_b,
+         |  ((n_common * 1000000) // size_a)::BIGINT AS cont_a_ppm,
+         |  ((n_common * 1000000) // size_b)::BIGINT AS cont_b_ppm
+         |FROM ver
+         |WHERE greatest((n_common * 1000000) // size_a,
+         |               (n_common * 1000000) // size_b) >= $ContainMinPpm""".stripMargin,
+    "dedup_allpairs_cosine" ->
+      s"""WITH $dkCorpus,
+         |tok AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |thap AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM tok),
+         |d AS (SELECT doc_id, list_distinct(${Dk.shingleHashes("th")}) AS ts FROM thap),
+         |post AS (SELECT doc_id, len(ts)::BIGINT AS n, unnest(ts) AS t FROM d),
+         |df AS (SELECT t, count(*)::BIGINT AS df FROM post GROUP BY 1),
+         |pref AS (
+         |  SELECT doc_id, t FROM (
+         |    SELECT p.doc_id, p.t, p.n,
+         |      row_number() OVER (PARTITION BY p.doc_id ORDER BY df.df, p.t) AS pos
+         |    FROM post p JOIN df USING (t))
+         |  WHERE pos <= n - ((${ApCosNum * ApCosNum} * n + ${ApCosDen * ApCosDen - 1}) // ${ApCosDen * ApCosDen}) + 1),
+         |cap AS (SELECT doc_id, t FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+         |    FROM pref) WHERE rn <= $MaxBandGroup),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM cap l JOIN cap r ON l.t = r.t AND l.doc_id < r.doc_id),
+         |ver AS (SELECT doc_a, doc_b,
+         |    len(list_intersect(a.ts, b.ts))::BIGINT AS n_common,
+         |    len(a.ts)::BIGINT AS size_a, len(b.ts)::BIGINT AS size_b
+         |  FROM cand JOIN d a ON a.doc_id = cand.doc_a
+         |  JOIN d b ON b.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, n_common, size_a, size_b,
+         |  ((n_common * n_common * 1000000) // (size_a * size_b))::BIGINT AS cos2_ppm
+         |FROM ver
+         |WHERE n_common * n_common * ${ApCosDen * ApCosDen} >=
+         |      size_a * size_b * ${ApCosNum * ApCosNum}""".stripMargin,
     "dedup_sorted_neighborhood" ->
       s"""WITH $dkCorpus,
          |toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),

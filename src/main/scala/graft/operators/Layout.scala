@@ -67,6 +67,9 @@ object Layout {
   /** snapshot expiration: days of snapshot history to retain */
   val RetainDays = 365L
 
+  /** rendezvous sharding: shard count before the grow step (after = +1) */
+  val RdvShards = 16L
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -173,6 +176,35 @@ object Layout {
           min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
     }),
 
+    // Rendezvous (highest-random-weight) hashing churn audit (Thaler &
+    // Ravishankar 1998, the consistent-placement rule behind Iceberg/
+    // Kafka-style shard growth): doc d lives on argmax over shards s of
+    // h(d, s). THE theorem that makes it the right sharding function:
+    // growing 16 → 17 shards can only move a doc TO the new shard
+    // (argmax over a superset either stays or lands on the added
+    // element), so expected churn is N/17, not the (16/17)·N a naive
+    // mod-16 → mod-17 resharding pays. Both placements and the moved
+    // flag are emitted per doc; the theorem and the churn band are
+    // asserted in LayoutSpec, and the whole audit is one md5 pass per
+    // (doc, shard) — the assignment at 10^12 docs is a stateless
+    // map-only job (groupBy doc_id is a partial-agg of 17 rows that
+    // collapses map-side; nothing but (id, 2 longs) shuffles).
+    "q_rendezvous_shards" -> ((s, dir) => {
+      val w = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("s", explode(sequence(lit(0L), lit(RdvShards))))
+        .withColumn("h", hex32(concat(col("doc_id"), lit("#"), col("s"))))
+      // argmax via struct-max: (h, −s) orders by weight, ties to the
+      // smallest shard — the same total order the oracle's window uses
+      w.groupBy(col("doc_id")).agg(
+          max(when(col("s") < RdvShards,
+            struct(col("h"), (col("s") * -1L).as("ns")))).as("b16"),
+          max(struct(col("h"), (col("s") * -1L).as("ns"))).as("b17"))
+        .select(col("doc_id"),
+          (col("b16.ns") * -1L).as("shard_before"),
+          (col("b17.ns") * -1L).as("shard_after"))
+        .withColumn("moved", col("shard_before") =!= col("shard_after"))
+    }),
+
     // Two-pass distributed stable shuffle == global row_number proof.
     "q_global_shuffle" -> ((s, dir) => {
       val keyed = t(s, dir, "documents").select(
@@ -264,6 +296,24 @@ object Layout {
          |  count(*)::BIGINT AS n_files, sum(size_kb)::BIGINT AS kb,
          |  min(file_id) AS first_file, max(file_id) AS last_file
          |FROM inv, head GROUP BY 1""".stripMargin,
+
+    "q_rendezvous_shards" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, s,
+         |    ${graft.functions.TextKernels.Dk.hex32("doc_id || '#' || s")} AS h
+         |  FROM documents, (SELECT unnest(generate_series(0, $RdvShards)) AS s)),
+         |b17 AS (SELECT doc_id, s AS shard_after FROM (
+         |    SELECT doc_id, s,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+         |    FROM w) WHERE rn = 1),
+         |b16 AS (SELECT doc_id, s AS shard_before FROM (
+         |    SELECT doc_id, s,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+         |    FROM (SELECT * FROM w WHERE s < $RdvShards)) WHERE rn = 1)
+         |SELECT doc_id, shard_before::BIGINT AS shard_before,
+         |  shard_after::BIGINT AS shard_after,
+         |  shard_before <> shard_after AS moved
+         |FROM b16 JOIN b17 USING (doc_id)""".stripMargin,
 
     "q_global_shuffle" ->
       s"""WITH keyed AS (

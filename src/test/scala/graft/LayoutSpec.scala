@@ -61,4 +61,32 @@ class LayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val joined = got.join(naive.select(col("doc_id"), col("want")), Seq("doc_id"))
     assert(joined.filter(col("global_pos") =!= col("want")).count() == 0)
   }
+
+  test("rendezvous resharding moves docs ONLY to the new shard, at ~1/(n+1) churn") {
+    val out = SparkEntry.queries("q_rendezvous_shards")(spark, dir).cache()
+    try {
+      val n = out.count()
+      assert(n == 500)
+      // ranges: before in [0, 16), after in [0, 17)
+      assert(out.filter(col("shard_before") < 0 ||
+        col("shard_before") >= Layout.RdvShards).count() == 0)
+      assert(out.filter(col("shard_after") < 0 ||
+        col("shard_after") > Layout.RdvShards).count() == 0)
+      // THE theorem: argmax over a superset stays put or lands on the
+      // added element — a moved doc's new home is shard 16, always
+      assert(out.filter(col("moved") &&
+        col("shard_after") =!= Layout.RdvShards).count() == 0)
+      assert(out.filter(!col("moved") &&
+        col("shard_before") =!= col("shard_after")).count() == 0)
+      // churn is ~N/17 (md5 is fixed, so this is a deterministic value —
+      // the band just documents the magnitude, vs mod-resharding's 16/17)
+      val moved = out.filter(col("moved")).count()
+      assert(moved > n / 34 && moved < n / 8,
+        s"churn $moved/$n out of the N/17 band")
+      // the 16-shard placement is balanced enough to be a real placement:
+      // every shard is inhabited
+      assert(out.select(countDistinct(col("shard_before"))).head().getLong(0) ==
+        Layout.RdvShards)
+    } finally { out.unpersist(); () }
+  }
 }

@@ -705,4 +705,50 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
         assert(!cols.contains(raw), s"SQ8 shuffle carries raw vectors ($raw): $cols"))
     }
   }
+
+  test("containment + all-pairs: postings shuffle (hash, id); text never moves") {
+    Seq("dedup_containment", "dedup_allpairs_cosine").foreach { q =>
+      val root = rootOf(q)
+      assert(!root.toString.contains("CartesianProduct"), q)
+      shuffleCols(root).foreach { cols =>
+        assert(!cols.contains("text") && !cols.contains("toks"),
+          s"$q shuffle carries text: $cols")
+      }
+    }
+  }
+
+  test("rendezvous shards: stateless map + one partial-agg shuffle of (id, structs)") {
+    val root = rootOf("q_rendezvous_shards")
+    assert(!root.toString.contains("SortMergeJoin") &&
+      !root.toString.contains("BroadcastHashJoin"),
+      s"rendezvous audit should be joinless:\n${root.toString.take(2000)}")
+    // one exchange: the doc_id hash-agg (17 rows/doc collapse map-side)
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, s"expected 1 Exchange, got ${exchanges.size}")
+    assert(root.toString.contains("partial_max") || root.toString.contains("HashAggregate"),
+      "argmax lost its map-side partial aggregation")
+  }
+
+  test("HITS: four unrolled half-steps broadcast score tables, edge agg reused") {
+    val root = rootOf("q_hits")
+    assert(!root.toString.contains("CartesianProduct") ||
+      root.toString.contains("BroadcastNestedLoopJoin"),
+      s"HITS normalization degraded to a real cartesian:\n${root.toString.take(2000)}")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("toks"),
+        s"HITS shuffle carries text: $cols")
+    }
+  }
+
+  test("burst detect: one (type, bucket) count shuffle; rollup broadcast back") {
+    val root = rootOf("q_burst_detect")
+    assert(root.toString.contains("BroadcastHashJoin") ||
+      root.toString.contains("BroadcastNestedLoopJoin"),
+      s"per-type rollup not broadcast:\n${root.toString.take(2000)}")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text"), s"burst shuffle carries text: $cols")
+    }
+  }
 }
