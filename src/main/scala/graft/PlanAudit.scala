@@ -49,7 +49,14 @@ object PlanAudit {
         // sampling, positional phrase prune
         "q_hyperball", "q_effective_diameter", "mm_phash_hamming",
         "q_fuzzy_join", "q_weighted_sample", "search_phrase_match",
-        "q_kcore_peel")
+        "q_kcore_peel",
+        // this session: df-capped containment index, complete prefix-
+        // filter join, joinless rendezvous argmax, TakeOrdered priority
+        // sample, broadcast-pruned snippet windows, dual-fixpoint spam
+        // mass, PRF expansion, burst floor, weighted HITS
+        "dedup_containment", "dedup_allpairs_cosine", "q_rendezvous_shards",
+        "q_priority_sample", "search_snippet", "q_spam_mass",
+        "search_query_expand", "q_burst_detect", "q_hits")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

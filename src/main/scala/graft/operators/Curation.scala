@@ -79,12 +79,67 @@ object Curation {
   private val SampleBucketW = 1024L
   private val SampleEvery   = 20L
 
+  /** q_priority_sample: sample size k, and the fixed-point lattice for
+    * the hash-uniform priority q = w/u with u = (h+1)/2^32: q_scaled =
+    * (w·2^48) div (h+1) = q·2^16 — i.e. priorities AND the threshold
+    * live in weight-units × [[PriorityWScale]] (2^16), so the estimator
+    * max(w, τ) is the integer greatest(w·2^16, τ_scaled). Headroom:
+    * w = n_chars ≤ ~10^4 chars, so w·2^48 ≤ 2.9e18 < int64 max. */
+  private val PriorityK      = 100L
+  private val PriorityShift  = 281474976710656L // 2^48
+  private val PriorityWScale = 65536L           // 2^16 = PriorityShift / 2^32
+
   /** PageRank integer scale (rank 1.0 ≡ [[PrScale]]). */
   private val PrScale = 1000000L
 
   /** TrustRank seed whitelist — the hand-vetted hosts trust flows from.
     * src0 (the planted hub) is deliberately excluded. */
   private val TrustSeeds = Seq("src1", "src5", "src9")
+
+  /** q_spam_mass: size of the flagged review queue (the paper's usage —
+    * rank hosts by relative mass, review the top). */
+  private val SpamTopK = 3L
+
+  /** The synthesized host-multigraph EDGES shared by PageRank, TrustRank
+    * and the spam-mass estimator: every doc emits source → rotating
+    * target (never a self-loop), every third doc links the planted hub
+    * src0 instead. */
+  private def hostEdgesBase(s: SparkSession, dir: String): DataFrame = {
+    val idx = substring(col("source"), 4, 6).cast("int")
+    val rot = concat(lit("src"),
+      ((idx + 1 + (col("doc_id") % 19).cast("int")) % 20).cast("string"))
+    val v = when(col("doc_id") % 3 === 0 && col("source") =!= "src0", lit("src0"))
+      .otherwise(rot)
+    docs(s, dir).select(col("source").as("u"), v.as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+  }
+
+  /** Out-weights and vertex set of a weighted edge list. */
+  private def graphOf(e: DataFrame): (DataFrame, DataFrame) = (
+    e.groupBy(col("u")).agg(sum(col("w")).as("outw")),
+    e.select(col("u").as("host"))
+      .unionByName(e.select(col("v").as("host"))).distinct())
+
+  private def hostMultigraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = hostEdgesBase(s, dir)
+    val (outw, hosts) = graphOf(e)
+    (e, outw, hosts)
+  }
+
+  /** One exact-int64 damped-contribution half of a PageRank-family step:
+    * per host, Σ over in-edges of (85·r·w) div (100·outw), zero-filled —
+    * callers add their own teleport vector. Broadcast rank table,
+    * (host, int64) shuffle: the per-round CC-iteration discipline. */
+  private def prContrib(e: DataFrame, outw: DataFrame, hosts: DataFrame,
+      r: DataFrame): DataFrame = {
+    val contrib = e.join(outw, Seq("u"))
+      .join(broadcast(r.withColumnRenamed("host", "u")), Seq("u"))
+      .select(col("v").as("host"), expr("(85 * r * w) div (100 * outw)").as("c"))
+      .groupBy(col("host")).agg(sum(col("c")).as("cs"))
+    hosts.join(contrib, Seq("host"), "left")
+      .select(col("host"), coalesce(col("cs"), lit(0L)).as("cs"))
+  }
 
   /** Memorization-audit chunk width (tokens), the Lee-et-al granularity
     * (mirrors TextOps' chunk rule). */
@@ -545,24 +600,11 @@ object Curation {
     // one (host, contribution) aggregate — per-round shuffles carry
     // (short host key, int64), exactly the CC-iteration discipline.
     "q_host_pagerank" -> ((s, dir) => {
-      val idx = substring(col("source"), 4, 6).cast("int")
-      val rot = concat(lit("src"), ((idx + 1 + (col("doc_id") % 19).cast("int")) % 20).cast("string"))
-      val v   = when(col("doc_id") % 3 === 0 && col("source") =!= "src0", lit("src0"))
-        .otherwise(rot)
-      val e = docs(s, dir).select(col("source").as("u"), v.as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-      val outw  = e.groupBy(col("u")).agg(sum(col("w")).as("outw"))
-      val hosts = e.select(col("u").as("host"))
-        .unionByName(e.select(col("v").as("host"))).distinct()
+      val (e, outw, hosts) = hostMultigraph(s, dir)
       val teleport = 15L * PrScale / 100L
-      def step(r: DataFrame): DataFrame = {
-        val contrib = e.join(outw, Seq("u"))
-          .join(broadcast(r.withColumnRenamed("host", "u")), Seq("u"))
-          .select(col("v").as("host"), expr("(85 * r * w) div (100 * outw)").as("c"))
-          .groupBy(col("host")).agg(sum(col("c")).as("cs"))
-        hosts.join(contrib, Seq("host"), "left")
-          .select(col("host"), (lit(teleport) + coalesce(col("cs"), lit(0L))).as("r"))
-      }
+      def step(r: DataFrame): DataFrame =
+        prContrib(e, outw, hosts, r)
+          .select(col("host"), (lit(teleport) + col("cs")).as("r"))
       val r1 = step(hosts.withColumn("r", lit(PrScale)))
       val r2 = step(r1)
       val w  = Window.orderBy(col("pr2").desc, col("host").asc)
@@ -588,28 +630,14 @@ object Curation {
     // seeds link it. Scale shape identical to PageRank: host-pair edge
     // list, broadcast rank table, (host, int64) shuffles per round.
     "q_host_trustrank" -> ((s, dir) => {
-      val idx = substring(col("source"), 4, 6).cast("int")
-      val rot = concat(lit("src"), ((idx + 1 + (col("doc_id") % 19).cast("int")) % 20).cast("string"))
-      val v   = when(col("doc_id") % 3 === 0 && col("source") =!= "src0", lit("src0"))
-        .otherwise(rot)
-      val e = docs(s, dir).select(col("source").as("u"), v.as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-      val outw  = e.groupBy(col("u")).agg(sum(col("w")).as("outw"))
-      val hosts = e.select(col("u").as("host"))
-        .unionByName(e.select(col("v").as("host"))).distinct()
+      val (e, outw, hosts) = hostMultigraph(s, dir)
       val isSeed   = col("host").isin(TrustSeeds: _*)
       val seedTele = 15L * PrScale / (100L * TrustSeeds.size)
       val seedInit = PrScale / TrustSeeds.size
-      def step(r: DataFrame): DataFrame = {
-        val contrib = e.join(outw, Seq("u"))
-          .join(broadcast(r.withColumnRenamed("host", "u")), Seq("u"))
-          .select(col("v").as("host"), expr("(85 * r * w) div (100 * outw)").as("c"))
-          .groupBy(col("host")).agg(sum(col("c")).as("cs"))
-        hosts.join(contrib, Seq("host"), "left")
+      def step(r: DataFrame): DataFrame =
+        prContrib(e, outw, hosts, r)
           .select(col("host"),
-            (when(isSeed, lit(seedTele)).otherwise(lit(0L))
-              + coalesce(col("cs"), lit(0L))).as("r"))
-      }
+            (when(isSeed, lit(seedTele)).otherwise(lit(0L)) + col("cs")).as("r"))
       val r0 = hosts.select(col("host"),
         when(isSeed, lit(seedInit)).otherwise(lit(0L)).as("r"))
       val r1 = step(r0)
@@ -619,6 +647,68 @@ object Curation {
         .join(r2.withColumnRenamed("r", "tr2"), Seq("host"))
         .withColumn("trust_rank", dense_rank().over(
           Window.orderBy(col("tr2").desc, col("host").asc)).cast("long"))
+    }),
+
+    // Spam-mass estimation (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2006
+    // "Link Spam Detection Based on Mass Estimation") — the OPERATIONAL
+    // combination of the two rank priors above: a host's spam mass is
+    // the part of its PageRank NOT accounted for by trust flowing from
+    // the seed whitelist, m = pr − c·tr with c aligning the two vectors'
+    // L1 totals; relative mass m/pr measures "ranks on link structure
+    // the trusted web doesn't vouch for". The output is the paper's
+    // review QUEUE — hosts ranked by relative mass — because on a dense
+    // small-diameter graph trust reaches everything in 2 hops and
+    // absolute thresholds don't separate (measured: the planted farm
+    // sits at 0.275 rel mass, honest hosts at ≤ 0.254). A LINK FARM is
+    // planted so the detector has a guaranteed true positive: every 7th
+    // doc of every non-seed non-hub host adds an edge to 'farm0' — big
+    // rank, in-links exclusively from trust-poor hosts, no seed ever
+    // vouches — and the spec pins farm0 at spam_rank 1 with the seeds
+    // at rel_ppm 0. All on the integer lattice: tr_scaled = (tr·Σpr)
+    // div Σtt, mass floored at 0, rel_ppm = (mass·1e6) div pr (pr ≥ the
+    // teleport floor > 0; numerators nonneg so DuckDB's truncating //
+    // equals floor). Scale shape: two unrolled fixpoint prefixes over
+    // the shared host multigraph (broadcast rank tables, (host, int64)
+    // shuffles), then host-cardinality arithmetic. Headroom: tr·Σpr ≤
+    // (hosts·PrScale)² needs hosts ≲ 3e3 at int64; a web-scale host
+    // table first right-shifts both totals by the same width — same
+    // plan, two extra constants.
+    "q_spam_mass" -> ((s, dir) => {
+      val farm = docs(s, dir)
+        .filter(col("doc_id") % 7 === 0 && !col("source").isin(TrustSeeds: _*)
+          && col("source") =!= "src0")
+        .groupBy(col("source").as("u"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("u"), lit("farm0").as("v"), col("w"))
+      val e = hostEdgesBase(s, dir).unionByName(farm)
+      val (outw, hosts) = graphOf(e)
+      val teleport = 15L * PrScale / 100L
+      val isSeed   = col("host").isin(TrustSeeds: _*)
+      val seedTele = 15L * PrScale / (100L * TrustSeeds.size)
+      val seedInit = PrScale / TrustSeeds.size
+      def prStep(r: DataFrame): DataFrame =
+        prContrib(e, outw, hosts, r)
+          .select(col("host"), (lit(teleport) + col("cs")).as("r"))
+      def trStep(r: DataFrame): DataFrame =
+        prContrib(e, outw, hosts, r)
+          .select(col("host"),
+            (when(isSeed, lit(seedTele)).otherwise(lit(0L)) + col("cs")).as("r"))
+      val pr2 = prStep(prStep(hosts.withColumn("r", lit(PrScale))))
+        .withColumnRenamed("r", "pr2")
+      val tr2 = trStep(trStep(hosts.select(col("host"),
+          when(isSeed, lit(seedInit)).otherwise(lit(0L)).as("r"))))
+        .withColumnRenamed("r", "tr2")
+      val j   = pr2.join(tr2, Seq("host"))
+      val tot = j.agg(sum(col("pr2")).as("tp"), sum(col("tr2")).as("tt"))
+      j.crossJoin(broadcast(tot))
+        .withColumn("tr_scaled", expr("(tr2 * tp) div tt"))
+        .withColumn("spam_mass", greatest(lit(0L), col("pr2") - col("tr_scaled")))
+        .withColumn("rel_ppm", expr("(spam_mass * 1000000) div pr2"))
+        .withColumn("spam_rank", dense_rank().over(
+          Window.orderBy(col("rel_ppm").desc, col("host").asc)).cast("long"))
+        .withColumn("in_review_queue", col("spam_rank") <= SpamTopK)
+        .select("host", "pr2", "tr2", "tr_scaled", "spam_mass", "rel_ppm",
+          "spam_rank", "in_review_queue")
     }),
 
     // Per-source data card — the summary table a curated release SHIPS
@@ -763,6 +853,41 @@ object Curation {
           greatest(lit(0L), expr("(jhi + 1) DIV 2 - jlo DIV 2")))
         .filter(col("multiplicity") >= 1L)
         .select(col("doc_id"), col("w"), col("lo"), col("multiplicity"))
+    }),
+
+    // Priority sampling (Duffield, Lund & Thorup, JACM 2007) — the
+    // weighted-without-replacement dual to q_weighted_sample's systematic
+    // (with-multiplicity) design, and the modern bottom-k sketch behind
+    // "sample 100 docs proportional-ish to length, estimate any subset
+    // sum unbiasedly": each doc gets priority q = w/u with u uniform on
+    // (0,1]; keep the top k by q; the (k+1)-th priority τ is the
+    // estimator threshold and ŵ = max(w, τ) is unbiased for every doc's
+    // weight (their Theorem 1 — Σ ŵ over the sample estimates Σ w).
+    // Randomness is the salted doc hash (deterministic, rerun-stable —
+    // the q_train_split discipline) and the priority lives on the integer
+    // lattice q_scaled = (w·2^48) div (h+1) = q·2^16: exact in both
+    // engines, no float division, monotone in the true rational to 2^-16
+    // weight-granularity (the quantization IS the contract, identically
+    // on both sides), and τ lands in the SAME weight·2^16 units the
+    // estimator compares against.
+    // Scale shape: the top-(k+1) is TakeOrderedAndProject — no global
+    // sort of the corpus; the only window runs on the k+1 selected rows
+    // (a constant-size frame), and τ broadcasts back to k rows.
+    "q_priority_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+        .withColumn("h", hex32(concat(lit("pri:"), col("doc_id").cast("string"))))
+        .withColumn("q", expr(s"(w * $PriorityShift) div (h + 1)"))
+        .select(col("doc_id"), col("w"), col("q"))
+      val top = d.orderBy(col("q").desc, col("doc_id")).limit((PriorityK + 1).toInt)
+      val ranked = top.withColumn("rn", row_number().over(
+        Window.orderBy(col("q").desc, col("doc_id"))).cast("long"))
+      val tau = ranked.filter(col("rn") === PriorityK + 1)
+        .select(col("q").as("tau"))
+      ranked.filter(col("rn") <= PriorityK)
+        .crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("w"), col("q"), col("tau"),
+          greatest(col("w") * PriorityWScale, col("tau")).as("est_w_scaled"))
     }),
 
     "q_upsample_epochs" -> ((s, dir) => {
@@ -1335,6 +1460,68 @@ object Curation {
          |JOIN r2 ON r2.host = h.host""".stripMargin
     },
 
+    "q_spam_mass" -> {
+      val seeds    = TrustSeeds.map(s => s"'$s'").mkString("(", ", ", ")")
+      val tele     = 15L * PrScale / 100L
+      val seedTele = 15L * PrScale / (100L * TrustSeeds.size)
+      val seedInit = PrScale / TrustSeeds.size
+      s"""WITH e AS (
+         |  SELECT source AS u,
+         |    CASE WHEN doc_id % 3 = 0 AND source <> 'src0' THEN 'src0'
+         |         ELSE 'src' ||
+         |           ((CAST(substr(source, 4) AS INT) + 1 + (doc_id % 19)::INT) % 20)::VARCHAR
+         |    END AS v,
+         |    count(*)::BIGINT AS w
+         |  FROM documents GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT source AS u, 'farm0' AS v, count(*)::BIGINT AS w
+         |  FROM documents
+         |  WHERE doc_id % 7 = 0 AND source NOT IN $seeds AND source <> 'src0'
+         |  GROUP BY 1, 2),
+         |ow AS (SELECT u, sum(w)::BIGINT AS outw FROM e GROUP BY 1),
+         |h AS (SELECT u AS host FROM e UNION SELECT v FROM e),
+         |pc1 AS (
+         |  SELECT v AS host, sum((85 * $PrScale * w) // (100 * outw))::BIGINT AS cs
+         |  FROM e JOIN ow USING (u) GROUP BY 1),
+         |p1 AS (SELECT h.host, ($tele + coalesce(cs, 0))::BIGINT AS r
+         |  FROM h LEFT JOIN pc1 USING (host)),
+         |pc2 AS (
+         |  SELECT v AS host, sum((85 * r * w) // (100 * outw))::BIGINT AS cs
+         |  FROM e JOIN ow USING (u) JOIN p1 ON p1.host = e.u GROUP BY 1),
+         |p2 AS (SELECT h.host, ($tele + coalesce(cs, 0))::BIGINT AS r
+         |  FROM h LEFT JOIN pc2 USING (host)),
+         |t0 AS (SELECT host,
+         |  (CASE WHEN host IN $seeds THEN $seedInit ELSE 0 END)::BIGINT AS r FROM h),
+         |tc1 AS (
+         |  SELECT v AS host, sum((85 * r * w) // (100 * outw))::BIGINT AS cs
+         |  FROM e JOIN ow USING (u) JOIN t0 ON t0.host = e.u GROUP BY 1),
+         |t1 AS (SELECT h.host,
+         |  ((CASE WHEN h.host IN $seeds THEN $seedTele ELSE 0 END)
+         |    + coalesce(cs, 0))::BIGINT AS r
+         |  FROM h LEFT JOIN tc1 USING (host)),
+         |tc2 AS (
+         |  SELECT v AS host, sum((85 * r * w) // (100 * outw))::BIGINT AS cs
+         |  FROM e JOIN ow USING (u) JOIN t1 ON t1.host = e.u GROUP BY 1),
+         |t2 AS (SELECT h.host,
+         |  ((CASE WHEN h.host IN $seeds THEN $seedTele ELSE 0 END)
+         |    + coalesce(cs, 0))::BIGINT AS r
+         |  FROM h LEFT JOIN tc2 USING (host)),
+         |j AS (SELECT h.host, p2.r AS pr2, t2.r AS tr2 FROM h
+         |  JOIN p2 ON p2.host = h.host JOIN t2 ON t2.host = h.host),
+         |tot AS (SELECT sum(pr2)::BIGINT AS tp, sum(tr2)::BIGINT AS tt FROM j),
+         |m AS (SELECT host, pr2, tr2, ((tr2 * tp) // tt)::BIGINT AS tr_scaled
+         |  FROM j, tot),
+         |r AS (SELECT host, pr2, tr2, tr_scaled,
+         |    greatest(0, pr2 - tr_scaled)::BIGINT AS spam_mass,
+         |    ((greatest(0, pr2 - tr_scaled) * 1000000) // pr2)::BIGINT AS rel_ppm
+         |  FROM m)
+         |SELECT host, pr2, tr2, tr_scaled, spam_mass, rel_ppm,
+         |  dense_rank() OVER (ORDER BY rel_ppm DESC, host ASC)::BIGINT AS spam_rank,
+         |  dense_rank() OVER (ORDER BY rel_ppm DESC, host ASC) <= $SpamTopK
+         |    AS in_review_queue
+         |FROM r""".stripMargin
+    },
+
     "q_source_datacard" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, source, lang, n_chars, text FROM documents
@@ -1412,6 +1599,20 @@ object Curation {
          |        - ((2 * n * (hi - w) + tw - 1) // tw) // 2) AS multiplicity
          |  FROM cum, tot)
          |SELECT doc_id, w, lo, multiplicity FROM m WHERE multiplicity >= 1""".stripMargin,
+
+    "q_priority_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars::BIGINT AS w,
+         |    ${Dk.hex32("'pri:' || doc_id::VARCHAR")} AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, w,
+         |    ((w * $PriorityShift) // (h + 1))::BIGINT AS q FROM d),
+         |r AS (SELECT doc_id, w, q,
+         |    row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM p),
+         |tau AS (SELECT q AS tau FROM r WHERE rn = ${PriorityK + 1})
+         |SELECT doc_id, w, q, tau,
+         |  greatest(w * $PriorityWScale, tau)::BIGINT AS est_w_scaled
+         |FROM r, tau WHERE rn <= $PriorityK""".stripMargin,
 
     "q_upsample_epochs" ->
       s"""WITH d AS (

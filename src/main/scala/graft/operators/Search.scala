@@ -112,6 +112,9 @@ object Search {
   private val FbDocs   = 3
   private val ExpTerms = 5
 
+  /** Snippet window width in tokens (`search_snippet`). */
+  private val SnippetW = 10
+
   /** RRF constant (Cormack/Clarke/Büttcher 2009's k = 60) and the integer
     * scale: points = 10^9 // (k + rank) — exact int64 floor-division in
     * both engines, so fusion sums are order-independent and cross-engine
@@ -206,6 +209,48 @@ object Search {
       cand.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= ExpTerms)
         .select("query_id", "rank", "term", "weight", "n_fb_docs")
+    }),
+
+    // Snippet generation — the result-page half of retrieval (Turpin et
+    // al., SIGIR 2007 "Fast generation of result snippets in web
+    // search"): for each query's top-FbDocs BM25 docs, the SnippetW-token
+    // window containing the MOST query-term occurrences (ties → earliest
+    // window). Optimality needs only hit positions: a maximal window can
+    // always be shifted left until it STARTS at a hit, so candidates =
+    // hit positions and the score is a range-window count over them —
+    // never a scan of all |doc| window starts. Scale shape: the corpus
+    // joins broadcast (query, doc) pairs FIRST (only top-docs ever
+    // explode into positions), hit rows are (query, doc, pos) ints, the
+    // range window is keyed by (query, doc), and the winning window
+    // re-joins the pruned doc set by id to slice its text — whole docs
+    // never shuffle with the hits.
+    "search_snippet" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        tokens(when(col("doc_id") % 100 === 0,
+          concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
+          .otherwise(col("text"))).as("toks"))
+      val fb = bm25TopK(s, dir).filter(col("rank") <= FbDocs)
+        .select(col("query_id"), col("doc_id"))
+      val qt = queryFrame(t)
+        .select(col("query_id"), explode(col("qtoks")).as("term")).distinct()
+      val posn = t.join(broadcast(fb), Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          posexplode(col("toks")).as(Seq("p0", "term")))
+      val hits = posn.join(broadcast(qt), Seq("query_id", "term"))
+        .select(col("query_id"), col("doc_id"), (col("p0") + 1L).as("pos"))
+      val wr = Window.partitionBy(col("query_id"), col("doc_id"))
+        .orderBy(col("pos")).rangeBetween(Window.currentRow, SnippetW - 1)
+      val wb = Window.partitionBy(col("query_id"), col("doc_id"))
+        .orderBy(col("window_hits").desc, col("pos"))
+      val best = hits.withColumn("window_hits", count(lit(1)).over(wr))
+        .withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
+        .select(col("query_id"), col("doc_id"),
+          col("pos").as("start_pos"), col("window_hits"))
+      broadcast(best).join(t, Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("start_pos"),
+          col("window_hits"),
+          array_join(slice(col("toks"), col("start_pos").cast("int"),
+            lit(SnippetW)), " ").as("snippet"))
     }),
 
     // Impact-ordered index tiering (Ntoulas & Cho 2007 / WAND-era "fancy
@@ -394,6 +439,40 @@ object Search {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY weight DESC, term) AS rank
          |  FROM cand) WHERE rank <= $ExpTerms""".stripMargin,
+    "search_snippet" ->
+      s"""WITH bm AS ($dkBm25),
+         |corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 100 = 0
+         |    THEN text || ' qk' || doc_id::VARCHAR ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |q AS (SELECT doc_id + 900000 AS query_id,
+         |    list_prepend('qk' || doc_id::VARCHAR, toks[5:6]) AS qtoks
+         |  FROM t WHERE doc_id % 100 = 0),
+         |qt AS (SELECT DISTINCT query_id, unnest(qtoks) AS term FROM q),
+         |fb AS (SELECT query_id, doc_id FROM bm WHERE rank <= $FbDocs),
+         |posn AS (
+         |  SELECT fb.query_id, t.doc_id, t.toks,
+         |    unnest(generate_series(1, len(t.toks))) AS pos
+         |  FROM t JOIN fb ON fb.doc_id = t.doc_id),
+         |hits AS (
+         |  SELECT p.query_id, p.doc_id, p.pos::BIGINT AS pos
+         |  FROM posn p JOIN qt
+         |    ON qt.query_id = p.query_id AND qt.term = p.toks[p.pos]),
+         |sc AS (
+         |  SELECT query_id, doc_id, pos,
+         |    count(*) OVER (PARTITION BY query_id, doc_id ORDER BY pos
+         |      RANGE BETWEEN CURRENT ROW AND ${SnippetW - 1} FOLLOWING)::BIGINT
+         |      AS window_hits
+         |  FROM hits),
+         |best AS (SELECT query_id, doc_id, pos AS start_pos, window_hits FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+         |      ORDER BY window_hits DESC, pos) AS rn FROM sc) WHERE rn = 1)
+         |SELECT b.query_id, b.doc_id, b.start_pos, b.window_hits,
+         |  array_to_string(t.toks[b.start_pos:b.start_pos + ${SnippetW - 1}], ' ')
+         |    AS snippet
+         |FROM best b JOIN t ON t.doc_id = b.doc_id""".stripMargin,
+
     "search_hybrid_rrf" ->
       s"""WITH bm AS ($dkBm25),
          |$dkAnnList,

@@ -197,4 +197,56 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .filter(col("packed") =!= col("want")).count() == 0)
     } finally out.unpersist()
   }
+
+  test("q_spam_mass: the planted link farm tops the review queue; seeds carry zero mass") {
+    val out = SparkEntry.queries("q_spam_mass")(spark, dir).cache()
+    try {
+      val farm = out.filter(col("host") === "farm0").head()
+      assert(farm.getAs[Long]("spam_rank") == 1L,
+        s"farm0 ranked ${farm.getAs[Long]("spam_rank")}")
+      assert(farm.getAs[Boolean]("in_review_queue"))
+      assert(farm.getAs[Long]("rel_ppm") > 0L)
+      // the seed whitelist is fully vouched: zero spam mass, never queued
+      val seeds = out.filter(col("host").isin("src1", "src5", "src9"))
+      assert(seeds.filter(col("rel_ppm") =!= 0L ||
+        col("in_review_queue")).count() == 0)
+      // L1 alignment: Σ tr_scaled matches Σ pr2 up to per-host floor loss
+      val sums = out.agg(sum(col("pr2")), sum(col("tr_scaled"))).head()
+      val (tp, ts) = (sums.getLong(0), sums.getLong(1))
+      assert(tp - ts >= 0 && tp - ts <= out.count(),
+        s"alignment off: pr total $tp vs scaled-trust total $ts")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_priority_sample: true top-k by priority; threshold estimator lands near Σw") {
+    import graft.functions.TextKernels._
+    val out = SparkEntry.queries("q_priority_sample")(spark, dir).cache()
+    try {
+      assert(out.count() == 100)
+      // independent full recompute of every doc's priority: the sample
+      // must be EXACTLY the top-100 by (q desc, doc_id)
+      val all = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+        .withColumn("h", hex32(concat(lit("pri:"), col("doc_id").cast("string"))))
+        .withColumn("q", expr("(w * 281474976710656) div (h + 1)"))
+        .orderBy(col("q").desc, col("doc_id")).limit(101)
+        .collect()
+      val wantIds = all.take(100).map(_.getAs[Long]("doc_id")).toSet
+      val gotIds  = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gotIds == wantIds)
+      // τ is the 101st priority, constant across the sample
+      val tau = all.last.getAs[Long]("q")
+      assert(out.filter(col("tau") =!= tau).count() == 0)
+      // every kept priority clears τ, and ŵ = max(w, τ) on the lattice
+      assert(out.filter(col("q") < col("tau")).count() == 0)
+      assert(out.filter(col("est_w_scaled") =!=
+        greatest(col("w") * 65536L, col("tau"))).count() == 0)
+      // Duffield-Lund-Thorup unbiasedness, one fixed draw: Σŵ within
+      // ±15% of the true total mass (measured 1.073 on this corpus)
+      val est = out.agg(sum(col("est_w_scaled"))).head.getLong(0) / 65536.0
+      val tot = spark.read.parquet(s"$dir/documents.parquet")
+        .agg(sum(col("n_chars"))).head.getLong(0).toDouble
+      assert(est > 0.85 * tot && est < 1.2 * tot, s"estimate $est vs true $tot")
+    } finally { out.unpersist(); () }
+  }
 }

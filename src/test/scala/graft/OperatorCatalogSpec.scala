@@ -500,6 +500,49 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("search_snippet: each reported window is the brute-force optimum") {
+    import graft.functions.TextKernels.tokens
+    val out = SparkEntry.queries("search_snippet")(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      // independent ground truth: collect the top-docs' tokens and each
+      // query's terms, scan EVERY window start by hand
+      val t = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          tokens(when(col("doc_id") % 100 === 0,
+            concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
+            .otherwise(col("text"))).as("toks"))
+      val docToks = t.join(out.select("doc_id").distinct(), Seq("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val qTerms = t.filter(col("doc_id") % 100 === 0)
+        .collect().map { r =>
+          val toks = r.getSeq[String](1)
+          (r.getLong(0) + 900000L) ->
+            (Set(s"qk${r.getLong(0)}") ++ toks.slice(4, 6))
+        }.toMap
+      out.collect().foreach { r =>
+        val (qid, did) = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+        val toks  = docToks(did)
+        val terms = qTerms(qid)
+        // best = max hits over ALL window starts (the optimality claim);
+        // the reported start is the earliest HIT position attaining it
+        // (a maximal window shifts left only into positions that add no
+        // hits, so restricting starts to hits loses nothing)
+        val scores = (1 to toks.length).map(p =>
+          (p, toks.slice(p - 1, p - 1 + 10).count(terms.contains)))
+        val bestHits  = scores.map(_._2).max
+        val bestStart = scores.filter { case (p, sc) =>
+          sc == bestHits && terms.contains(toks(p - 1)) }.map(_._1).min
+        assert(r.getAs[Long]("window_hits") == bestHits.toLong,
+          s"q$qid d$did: hits ${r.getAs[Long]("window_hits")} vs brute $bestHits")
+        assert(r.getAs[Long]("start_pos") == bestStart.toLong,
+          s"q$qid d$did: start ${r.getAs[Long]("start_pos")} vs brute $bestStart")
+        assert(r.getAs[String]("snippet") ==
+          toks.slice(bestStart - 1, bestStart - 1 + 10).mkString(" "))
+      }
+    } finally { out.unpersist(); () }
+  }
+
   test("text_quality_adaptive_gate: derived decile threshold drops the worst, conservatively") {
     val out = SparkEntry.queries("text_quality_adaptive_gate")(spark, dir).cache()
     val n   = out.count()

@@ -742,6 +742,45 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("priority sample: top-(k+1) is TakeOrdered — no global corpus sort") {
+    val root = rootOf("q_priority_sample")
+    assert(root.toString.contains("TakeOrderedAndProject"),
+      s"corpus selection degraded to a global sort:\n${root.toString.take(2000)}")
+    // any Sort in the plan sits ABOVE the TakeOrdered (the 101-row window
+    // re-rank) — never on the corpus side below it
+    val take = root.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(take.nonEmpty)
+    take.foreach { t =>
+      assert(t.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, "a Sort crept below the TakeOrdered corpus selection")
+    }
+  }
+
+  test("snippet: top-doc pairs + query terms broadcast; hits shuffle ints only") {
+    val root = rootOf("search_snippet")
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"fb/qt prune not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("CartesianProduct"))
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text"),
+        s"snippet shuffle carries whole text: $cols")
+    }
+  }
+
+  test("spam mass: rank tables broadcast per step; shuffles carry (host, int64) only") {
+    val root = rootOf("q_spam_mass")
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"rank tables not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("CartesianProduct"))
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("toks"),
+        s"spam-mass shuffle carries text: $cols")
+    }
+  }
+
   test("burst detect: one (type, bucket) count shuffle; rollup broadcast back") {
     val root = rootOf("q_burst_detect")
     assert(root.toString.contains("BroadcastHashJoin") ||
