@@ -56,7 +56,10 @@ object PlanAudit {
         // mass, PRF expansion, burst floor, weighted HITS
         "dedup_containment", "dedup_allpairs_cosine", "q_rendezvous_shards",
         "q_priority_sample", "search_snippet", "q_spam_mass",
-        "search_query_expand", "q_burst_detect", "q_hits")
+        "search_query_expand", "q_burst_detect", "q_hits",
+        // this session, cont.: first-occurrence attribution agg, two-pass
+        // per-language terciles, dual-layout padding audit
+        "dedup_novelty", "q_ccnet_buckets", "q_batch_pad_waste")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -40,6 +40,13 @@ object Curation {
   /** Per-domain quota (the C4/RefinedWeb host-cap policy constant). */
   private val DomainCap = 10L
 
+  /** q_batch_pad_waste: batch size and the range-bucket widths of the
+    * two-pass global ranks (token-length buckets for the sorted layout,
+    * doc_id buckets for the arrival layout). */
+  private val PadBatch   = 32L
+  private val PadLenBand = 16L
+  private val PadArrBand = 1024L
+
   /** Mixture-allocation training budget as a percent of total available
     * token mass — 60% makes three of the five planted domains cap-bind
     * (their availability < budget·weight) so the water-filling
@@ -287,6 +294,48 @@ object Curation {
           count(when(col("start") < col("seq") * SeqLen, 1)).as("n_carried_in"),
           sum(col("seg")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))),
+
+    // Length-bucketed batching audit — the PADDED-batch dual of the
+    // concat-and-chunk packer: when sequences are padded to the batch max
+    // (the fine-tuning / inference-serving shape), batching by LENGTH
+    // instead of arrival order is the classic padding-waste fix. Both
+    // layouts are materialized per batch of PadBatch docs — 'sorted'
+    // (rank by token length) vs 'arrival' (rank by doc_id) — with waste =
+    // padded − Σ len as exact ppm, so the spec can assert the sort
+    // strictly dominates. Scale shape: each global rank is the
+    // q_global_shuffle TWO-PASS discipline (range-bucket, broadcast
+    // offsets frame, row_number only within bucket) — no single-partition
+    // window; the batch agg is map-side partial over (layout, batch_id).
+    "q_batch_pad_waste" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("len"))
+        .filter(col("len") >= 1)
+      def ranked(bucket: Column, ord: Seq[Column], layout: String): DataFrame = {
+        val keyed = t.withColumn("bucket", bucket)
+        val offs = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .withColumn("offset",
+            coalesce(sum(col("n")).over(
+              Window.orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val wIn = Window.partitionBy(col("bucket")).orderBy(ord: _*)
+        keyed.join(broadcast(offs), Seq("bucket"))
+          .withColumn("rank",
+            col("offset") + row_number().over(wIn).cast("long"))
+          .select(lit(layout).as("layout"),
+            expr(s"(rank - 1) div $PadBatch").as("batch_id"), col("len"))
+      }
+      ranked(expr(s"len div $PadLenBand"),
+          Seq(col("len"), col("doc_id")), "sorted")
+        .unionByName(ranked(expr(s"doc_id div $PadArrBand"),
+          Seq(col("doc_id")), "arrival"))
+        .groupBy(col("layout"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
+          sum(col("len")).as("tok_sum"))
+        .withColumn("padded", expr("n_docs * max_len"))
+        .withColumn("waste_ppm",
+          expr("((padded - tok_sum) * 1000000) div padded"))
+    }),
 
     // Packing-contamination audit over the SAME concat-and-chunk layout:
     // without document-boundary attention masks, every causal pair whose
@@ -1218,6 +1267,28 @@ object Curation {
          |  sum(seg)::BIGINT AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM spans GROUP BY 1, 2""".stripMargin,
+
+    "q_batch_pad_waste" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(${Dk.tokens("text")})::BIGINT AS len
+         |  FROM documents),
+         |tt AS (SELECT * FROM t WHERE len >= 1),
+         |srt AS (SELECT len, row_number() OVER (ORDER BY len, doc_id)::BIGINT
+         |    AS rank FROM tt),
+         |arr AS (SELECT len, row_number() OVER (ORDER BY doc_id)::BIGINT
+         |    AS rank FROM tt),
+         |u AS (
+         |  SELECT 'sorted' AS layout, (rank - 1) // $PadBatch AS batch_id, len
+         |  FROM srt
+         |  UNION ALL
+         |  SELECT 'arrival' AS layout, (rank - 1) // $PadBatch AS batch_id, len
+         |  FROM arr)
+         |SELECT layout, batch_id, count(*)::BIGINT AS n_docs,
+         |  max(len)::BIGINT AS max_len, sum(len)::BIGINT AS tok_sum,
+         |  (count(*) * max(len))::BIGINT AS padded,
+         |  (((count(*) * max(len) - sum(len)) * 1000000)
+         |    // (count(*) * max(len)))::BIGINT AS waste_ppm
+         |FROM u GROUP BY 1, 2""".stripMargin,
 
     "q_pack_attention_audit" ->
       s"""WITH $dkPackSpans,

@@ -656,6 +656,34 @@ object Dedup {
         .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= ContainMinPpm)
     }),
 
+    // Per-document NOVELTY attribution — "how much text did this doc add
+    // to the corpus?", the dedup-side dual of DSIR's importance question
+    // and the metric behind dedup-then-count data-age studies: every
+    // distinct shingle is attributed to exactly ONE document (its first
+    // occurrence = min doc_id, the same keeper rule dedup_exact uses), so
+    // novelty counts PARTITION the shingle space — Σ n_novel over docs ==
+    // corpus-wide distinct shingles, an exact conservation law the spec
+    // asserts. Planted +1e6 copies attribute ≈ nothing (their only new
+    // shingles straddle the appended token). Scale shape: postings are
+    // (hash, id) int64 pairs, the min-attribution agg is map-side
+    // partial, novelty counts are a second tiny agg keyed by doc_id, and
+    // the finisher is an id↔id left join — no window, no text shuffle,
+    // parallelism ∝ corpus shingles.
+    "dedup_novelty" -> ((s, dir) => {
+      val d = dupCorpus(s, dir)
+        .withColumn("th", tokenHashes(tokens(col("text"))))
+        .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .cache() // ids + int sets only; feeds postings AND per-doc sizes
+      val post = d.select(col("doc_id"), explode(col("sh")).as("h"))
+      val novel = post.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      d.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .join(novel, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+        .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_shingles"))
+    }),
+
     // Exact threshold similarity self-join via PREFIX FILTERING (Bayardo,
     // Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search";
     // the MapReduce spelling is Vernica et al., SIGMOD 2010): every pair
@@ -1119,6 +1147,21 @@ object Dedup {
          |FROM ver
          |WHERE greatest((n_common * 1000000) // size_a,
          |               (n_common * 1000000) // size_b) >= $ContainMinPpm""".stripMargin,
+    "dedup_novelty" ->
+      s"""WITH $dkCorpus,
+         |tok AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |thn AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM tok),
+         |d AS (SELECT doc_id, list_distinct(${Dk.shingleHashes("th")}) AS sh
+         |  FROM thn),
+         |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+         |post AS (SELECT doc_id, unnest(sh) AS h FROM dd),
+         |firsts AS (SELECT h, min(doc_id) AS doc_id FROM post GROUP BY 1),
+         |novel AS (SELECT doc_id, count(*)::BIGINT AS n_novel
+         |  FROM firsts GROUP BY 1)
+         |SELECT dd.doc_id, len(sh)::BIGINT AS n_shingles,
+         |  coalesce(n_novel, 0)::BIGINT AS n_novel,
+         |  ((coalesce(n_novel, 0) * 1000000) // len(sh))::BIGINT AS novelty_ppm
+         |FROM dd LEFT JOIN novel ON dd.doc_id = novel.doc_id""".stripMargin,
     "dedup_allpairs_cosine" ->
       s"""WITH $dkCorpus,
          |tok AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),

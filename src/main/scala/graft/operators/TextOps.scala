@@ -53,6 +53,11 @@ object TextOps {
     * continuations than this carry no usable MLE signal. */
   private val MinLmLeft = 10L
 
+  /** q_ccnet_buckets: fam_score range-bucket width for the two-pass
+    * per-language rank (fam_score ≤ 10^6 since cb ≤ cu, so ≤ 16 range
+    * buckets per language — the offsets frame stays broadcast-tiny). */
+  private val CcnetBand = 65536L
+
   /** Per-doc quality signals + composite score (the `text_quality`
     * contract), extracted so the adaptive gate can reuse the identical
     * score computation. Narrow — one codegen'd scan, no shuffle. Any
@@ -447,6 +452,47 @@ object TextOps {
         .withColumn("fam_score", expr("fam_sum div n_bigrams"))
     }),
 
+    // CCNet head/middle/tail bucketing (Wenzek et al., LREC 2020 §4.3):
+    // per LANGUAGE, rank documents by LM score and cut the ranking into
+    // exact terciles — head = the most-familiar (lowest-perplexity)
+    // third, the slice CCNet keeps for pretraining; thresholds are
+    // per-language because a global cut would just rank languages by
+    // corpus share. Rank is (3·(rank−1)) div n_lang over the total order
+    // (fam_score, doc_id) — deterministic, no percentile floats. Scale
+    // shape: the per-language rank is the q_global_shuffle TWO-PASS
+    // discipline, not a per-lang window (a single-key window would funnel
+    // corpus/|langs| rows through one task): range-bucket on
+    // fam_score div CcnetBand, broadcast the per-(lang, bucket) offsets
+    // (≤ |langs|·16 rows), row_number only within (lang, bucket).
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val fam = queries("text_lm_familiarity")(s, dir)
+        .select(col("doc_id"), col("fam_score"))
+      val scored = docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(fam, Seq("doc_id"))
+        .withColumn("bucket", expr(s"fam_score div $CcnetBand"))
+      val offs = scored.groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("offset",
+          coalesce(sum(col("n")).over(
+            Window.partitionBy(col("lang")).orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("lang"), col("bucket"), col("offset"))
+      val tot = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val wIn = Window.partitionBy(col("lang"), col("bucket"))
+        .orderBy(col("fam_score"), col("doc_id"))
+      scored.join(broadcast(offs), Seq("lang", "bucket"))
+        .withColumn("rank",
+          col("offset") + row_number().over(wIn).cast("long"))
+        .join(broadcast(tot), Seq("lang"))
+        .withColumn("bucket_id", expr("(3 * (rank - 1)) div n_lang"))
+        .withColumn("ccnet_bucket",
+          when(col("bucket_id") === 2, lit("head"))
+            .when(col("bucket_id") === 1, lit("middle"))
+            .otherwise(lit("tail")))
+        .select(col("doc_id"), col("lang"), col("fam_score"), col("rank"),
+          col("n_lang"), col("bucket_id"), col("ccnet_bucket"))
+    }),
+
     // Overlapping chunk windows — the context-window preparation step a
     // training (or RAG-indexing) pipeline runs before packing: each doc
     // splits into WinW-token windows at WinS-token stride (WinW−WinS
@@ -831,6 +877,30 @@ object TextOps {
        |          * (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.8 END)::DOUBLE, 4) AS quality
        |  FROM m)""".stripMargin
 
+  /** Shared CTE chain for the corpus-as-LM familiarity score — ends in
+    * `famagg(doc_id, n_bigrams, fam_sum, fam_score)`; text_lm_familiarity
+    * and q_ccnet_buckets both consume it, so the twins cannot drift. */
+  private val dkFam =
+    s"""t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+       |hh AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM t),
+       |uni AS (SELECT doc_id, unnest(th) AS h FROM hh),
+       |uc AS (SELECT h, count(*)::BIGINT AS cu FROM uni GROUP BY 1),
+       |big AS (
+       |  SELECT doc_id,
+       |    unnest([th[i] for i in generate_series(1, len(th) - 1)]) AS h1,
+       |    unnest([((th[i] * $ShingleC % $ShingleM) + th[i+1]) % $ShingleM
+       |            for i in generate_series(1, len(th) - 1)]) AS bh
+       |  FROM hh WHERE len(th) >= 2),
+       |bc AS (SELECT bh, count(*)::BIGINT AS cb FROM big GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id, (1000000 * cb) // cu AS fam
+       |  FROM big JOIN bc ON big.bh = bc.bh JOIN uc ON big.h1 = uc.h),
+       |famagg AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |    sum(fam)::BIGINT AS fam_sum,
+       |    (sum(fam) // count(*))::BIGINT AS fam_score
+       |  FROM sc GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_quality_classifier" ->
       s"""WITH t AS (
@@ -989,23 +1059,24 @@ object TextOps {
          |    || toks[(nch*$ChunkW+1):], ' '), '') AS rewritten
          |FROM c LEFT JOIN kp ON c.doc_id = kp.doc_id""".stripMargin,
     "text_lm_familiarity" ->
-      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
-         |hh AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM t),
-         |uni AS (SELECT doc_id, unnest(th) AS h FROM hh),
-         |uc AS (SELECT h, count(*)::BIGINT AS cu FROM uni GROUP BY 1),
-         |big AS (
-         |  SELECT doc_id,
-         |    unnest([th[i] for i in generate_series(1, len(th) - 1)]) AS h1,
-         |    unnest([((th[i] * $ShingleC % $ShingleM) + th[i+1]) % $ShingleM
-         |            for i in generate_series(1, len(th) - 1)]) AS bh
-         |  FROM hh WHERE len(th) >= 2),
-         |bc AS (SELECT bh, count(*)::BIGINT AS cb FROM big GROUP BY 1),
-         |sc AS (
-         |  SELECT doc_id, (1000000 * cb) // cu AS fam
-         |  FROM big JOIN bc ON big.bh = bc.bh JOIN uc ON big.h1 = uc.h)
-         |SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(fam)::BIGINT AS fam_sum,
-         |  (sum(fam) // count(*))::BIGINT AS fam_score
-         |FROM sc GROUP BY 1""".stripMargin,
+      s"""WITH $dkFam
+         |SELECT doc_id, n_bigrams, fam_sum, fam_score FROM famagg""".stripMargin,
+    "q_ccnet_buckets" ->
+      s"""WITH $dkFam,
+         |j AS (
+         |  SELECT f.doc_id, d.lang, f.fam_score
+         |  FROM famagg f JOIN documents d ON f.doc_id = d.doc_id),
+         |r AS (
+         |  SELECT doc_id, lang, fam_score,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY fam_score, doc_id)::BIGINT AS rank,
+         |    count(*) OVER (PARTITION BY lang)::BIGINT AS n_lang
+         |  FROM j)
+         |SELECT doc_id, lang, fam_score, rank, n_lang,
+         |  ((3 * (rank - 1)) // n_lang)::BIGINT AS bucket_id,
+         |  CASE (3 * (rank - 1)) // n_lang WHEN 2 THEN 'head'
+         |    WHEN 1 THEN 'middle' ELSE 'tail' END AS ccnet_bucket
+         |FROM r""".stripMargin,
     "text_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
          |c AS (

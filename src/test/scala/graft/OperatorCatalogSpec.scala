@@ -543,6 +543,84 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("dedup_novelty: attribution partitions the shingle space; copies add ≈ nothing") {
+    import graft.functions.TextKernels.{tokens => tks, tokenHashes, shingleHashes}
+    val out = SparkEntry.queries("dedup_novelty")(spark, dir).cache()
+    try {
+      // conservation law: every distinct shingle is attributed to exactly
+      // one doc, so Σ n_novel == corpus-wide distinct shingle count
+      val totalNovel = out.agg(sum(col("n_novel"))).head.getLong(0)
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text")))
+      val distinctShingles = corpus
+        .select(explode(shingleHashes(tokenHashes(tks(col("text"))))).as("h"))
+        .distinct().count()
+      assert(totalNovel == distinctShingles,
+        s"attribution leak: sum(n_novel)=$totalNovel vs distinct=$distinctShingles")
+      // a +1e6 copy differs from its original by ONE appended token ⇒ at
+      // most one width-3 shingle the corpus has never seen
+      val copyMax = out.filter(col("doc_id") >= 1000000L)
+        .agg(max(col("n_novel"))).head.getLong(0)
+      assert(copyMax <= 1L, s"a planted copy claimed $copyMax novel shingles")
+      // and originals dominate: every shingle an original shares with its
+      // copy is owned by the original (smaller id)
+      val origNovel = out.filter(col("doc_id") < 1000000L)
+        .agg(sum(col("n_novel"))).head.getLong(0)
+      assert(origNovel > totalNovel / 2)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_batch_pad_waste: length-sorted batching strictly dominates arrival order") {
+    val out = SparkEntry.queries("q_batch_pad_waste")(spark, dir).cache()
+    try {
+      val m = out.groupBy(col("layout"))
+        .agg(sum(col("tok_sum")).as("toks"),
+          sum(col("padded") - col("tok_sum")).as("waste"),
+          max(col("n_docs")).as("max_batch"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(m.keySet == Set("sorted", "arrival"))
+      // token conservation: both layouts batch the same corpus
+      assert(m("sorted")._1 == m("arrival")._1)
+      // the point of the operator: sorting by length cuts padding
+      assert(m("sorted")._2 < m("arrival")._2,
+        s"sorted waste ${m("sorted")._2} !< arrival ${m("arrival")._2}")
+      assert(m.values.forall(_._3 <= 32L))
+      // batches are full except at most one remainder batch per layout
+      val partial = out.filter(col("n_docs") < 32).groupBy(col("layout"))
+        .count().collect().map(_.getLong(1))
+      assert(partial.forall(_ <= 1L))
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_ccnet_buckets: per-language terciles are balanced and score-monotone") {
+    val out = SparkEntry.queries("q_ccnet_buckets")(spark, dir).cache()
+    try {
+      // tercile balance: bucket sizes within a language differ by ≤ 1
+      out.groupBy(col("lang"), col("bucket_id")).count()
+        .groupBy(col("lang"))
+        .agg(max(col("count")).as("mx"), min(col("count")).as("mn"),
+          count(lit(1)).as("nb"))
+        .collect().foreach { r =>
+          assert(r.getLong(3) == 3L, s"${r.getString(0)}: missing a tercile")
+          assert(r.getLong(1) - r.getLong(2) <= 1L,
+            s"${r.getString(0)}: unbalanced terciles")
+        }
+      // monotone: head's lowest score ≥ middle's highest ≥ tail's highest
+      val bands = out.groupBy(col("lang"), col("bucket_id"))
+        .agg(min(col("fam_score")).as("lo"), max(col("fam_score")).as("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      bands.keys.map(_._1).toSeq.distinct.foreach { l =>
+        assert(bands((l, 2L))._1 >= bands((l, 1L))._2, s"$l head < middle")
+        assert(bands((l, 1L))._1 >= bands((l, 0L))._2, s"$l middle < tail")
+      }
+    } finally { out.unpersist(); () }
+  }
+
   test("text_quality_adaptive_gate: derived decile threshold drops the worst, conservatively") {
     val out = SparkEntry.queries("text_quality_adaptive_gate")(spark, dir).cache()
     val n   = out.count()

@@ -790,4 +790,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(!cols.contains("text"), s"burst shuffle carries text: $cols")
     }
   }
+
+  test("novelty: attribution is aggs + id join; shingle SETS never shuffle") {
+    val root = rootOf("dedup_novelty")
+    assert(!root.toString.contains("CartesianProduct"))
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("sh") &&
+        !cols.contains("th"),
+        s"novelty shuffle carries text/shingle sets: $cols")
+    }
+  }
+
+  test("ccnet buckets: offsets + totals broadcast; no per-language global sort") {
+    val root = rootOf("q_ccnet_buckets")
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"offsets/totals not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("CartesianProduct"))
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("toks"),
+        s"ccnet shuffle carries text: $cols")
+    }
+  }
+
+  test("pad waste: both layout ranks broadcast their offsets frames") {
+    val root = rootOf("q_batch_pad_waste")
+    // two-pass discipline twice (sorted + arrival)
+    val bhj = root.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 2,
+      s"expected ≥2 broadcast offsets joins, got ${bhj.size}")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text"), s"pad-waste shuffle carries text: $cols")
+    }
+  }
 }
