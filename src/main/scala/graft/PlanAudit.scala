@@ -58,8 +58,10 @@ object PlanAudit {
         "q_priority_sample", "search_snippet", "q_spam_mass",
         "search_query_expand", "q_burst_detect", "q_hits",
         // this session, cont.: first-occurrence attribution agg, two-pass
-        // per-language terciles, dual-layout padding audit
-        "dedup_novelty", "q_ccnet_buckets", "q_batch_pad_waste")
+        // per-language terciles, dual-layout padding audit, broadcast
+        // MMR greedy, zero-shuffle BLEU
+        "dedup_novelty", "q_ccnet_buckets", "q_batch_pad_waste",
+        "search_mmr_rerank", "eval_bleu")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

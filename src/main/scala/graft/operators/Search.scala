@@ -115,6 +115,11 @@ object Search {
   /** Snippet window width in tokens (`search_snippet`). */
   private val SnippetW = 10
 
+  /** MMR diversification (`search_mmr_rerank`): λ as percent and the
+    * number of greedy selections out of the BM25 top-[[TopK]]. */
+  private val MmrLam = 70L
+  private val MmrM   = 3
+
   /** RRF constant (Cormack/Clarke/Büttcher 2009's k = 60) and the integer
     * scale: points = 10^9 // (k + rank) — exact int64 floor-division in
     * both engines, so fusion sums are order-independent and cross-engine
@@ -251,6 +256,78 @@ object Search {
           col("window_hits"),
           array_join(slice(col("toks"), col("start_pos").cast("int"),
             lit(SnippetW)), " ").as("snippet"))
+    }),
+
+    // MMR diversification rerank (Carbonell & Goldstein, SIGIR 1998):
+    // from each query's BM25 top-TopK, greedily select MmrM docs
+    // maximizing λ·relevance − (1−λ)·max-similarity-to-selected — the
+    // standard redundancy killer between retrieval and the result page
+    // (or between retrieval and a RAG context window). Relevance is the
+    // BM25 score normalized to ppm of the query's top score; similarity
+    // is exact shingle Jaccard in ppm; λ = MmrLam% — so the whole greedy
+    // trace is int64 and hash-exact (ties → smallest doc_id). Scale
+    // shape: everything downstream of BM25 runs on K docs per query —
+    // candidate sets and the K²-pair similarity matrix are broadcast
+    // joins; shingle sets are computed only for candidate docs (semi-join
+    // prune); the greedy loop is MmrM−1 tiny self-joins, each a window
+    // over ≤ K rows per query. The corpus is never rescanned.
+    "search_mmr_rerank" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        tokens(when(col("doc_id") % 100 === 0,
+          concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
+          .otherwise(col("text"))).as("toks"))
+      val bm = bm25TopK(s, dir)
+      val top1 = bm.filter(col("rank") === 1)
+        .select(col("query_id"), col("score_scaled").as("smax"))
+      val cands = bm.join(broadcast(top1), Seq("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          expr("(score_scaled * 1000000) div smax").as("rel_ppm"))
+        .cache() // queries × TopK rows
+      val sets = t
+        .join(broadcast(cands.select("doc_id").distinct()), Seq("doc_id"))
+        .select(col("doc_id"),
+          array_distinct(shingleHashes(tokenHashes(col("toks")))).as("sh"))
+      val sims = cands.select(col("query_id"), col("doc_id").as("a"))
+        .join(cands.select(col("query_id"), col("doc_id").as("b")),
+          Seq("query_id"))
+        .filter(col("a") =!= col("b"))
+        .join(broadcast(sets.select(col("doc_id").as("a"), col("sh").as("sha"))),
+          Seq("a"))
+        .join(broadcast(sets.select(col("doc_id").as("b"), col("sh").as("shb"))),
+          Seq("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+          size(col("sha")).cast("long").as("na"),
+          size(col("shb")).cast("long").as("nb"))
+        .select(col("query_id"), col("a"), col("b"),
+          expr("(inter * 1000000) div (na + nb - inter)").as("sim_ppm"))
+        .cache() // queries × K² rows
+      var selected = cands
+        .join(broadcast(bm.filter(col("rank") === 1)
+          .select("query_id", "doc_id")), Seq("query_id", "doc_id"))
+        .select(col("query_id"), col("doc_id"), col("rel_ppm"),
+          lit(0L).as("maxsim_ppm"),
+          expr(s"$MmrLam * rel_ppm").as("mmr_score"), lit(1L).as("round"))
+      for (r <- 2 to MmrM) {
+        val scored = cands
+          .join(selected.select(col("query_id"), col("doc_id")),
+            Seq("query_id", "doc_id"), "left_anti")
+          .join(sims.withColumnRenamed("a", "doc_id"), Seq("query_id", "doc_id"))
+          .join(selected.select(col("query_id"), col("doc_id").as("b")),
+            Seq("query_id", "b"))
+          .groupBy(col("query_id"), col("doc_id"), col("rel_ppm"))
+          .agg(max(col("sim_ppm")).as("maxsim_ppm"))
+          .withColumn("mmr_score",
+            expr(s"$MmrLam * rel_ppm - ${100 - MmrLam} * maxsim_ppm"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("mmr_score").desc, col("doc_id"))
+        selected = selected.unionByName(
+          scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("query_id"), col("doc_id"), col("rel_ppm"),
+              col("maxsim_ppm"), col("mmr_score"), lit(r.toLong).as("round")))
+      }
+      selected
     }),
 
     // Impact-ordered index tiering (Ntoulas & Cho 2007 / WAND-era "fancy
@@ -472,6 +549,66 @@ object Search {
          |  array_to_string(t.toks[b.start_pos:b.start_pos + ${SnippetW - 1}], ' ')
          |    AS snippet
          |FROM best b JOIN t ON t.doc_id = b.doc_id""".stripMargin,
+
+    // greedy rounds unrolled; sel_r CTEs are MATERIALIZED (each is
+    // referenced by the next round's anti-filter AND union — DuckDB
+    // would inline and re-evaluate the chain exponentially otherwise)
+    "search_mmr_rerank" -> {
+      val mmrExpr = s"$MmrLam * rel_ppm - ${100 - MmrLam} * maxsim_ppm"
+      val rounds = (2 to MmrM).map { r =>
+        s"""sc$r AS (
+           |  SELECT c.query_id, c.doc_id, c.rel_ppm,
+           |    max(s.sim_ppm)::BIGINT AS maxsim_ppm
+           |  FROM cand c
+           |  JOIN sims s ON s.query_id = c.query_id AND s.a = c.doc_id
+           |  JOIN sel${r - 1} p ON p.query_id = s.query_id AND p.doc_id = s.b
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} q
+           |    WHERE q.query_id = c.query_id AND q.doc_id = c.doc_id)
+           |  GROUP BY 1, 2, 3),
+           |pk$r AS (
+           |  SELECT query_id, doc_id, rel_ppm, maxsim_ppm,
+           |    ($mmrExpr)::BIGINT AS mmr_score, $r::BIGINT AS round
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY $mmrExpr DESC, doc_id) AS rn
+           |    FROM sc$r) WHERE rn = 1),
+           |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL
+           |  SELECT query_id, doc_id, rel_ppm, maxsim_ppm, mmr_score, round
+           |  FROM pk$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bm AS ($dkBm25),
+         |corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 100 = 0
+         |    THEN text || ' qk' || doc_id::VARCHAR ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |top1 AS (SELECT query_id, score_scaled AS smax FROM bm WHERE rank = 1),
+         |cand AS MATERIALIZED (
+         |  SELECT bm.query_id, bm.doc_id,
+         |    ((score_scaled * 1000000) // smax)::BIGINT AS rel_ppm
+         |  FROM bm JOIN top1 USING (query_id)),
+         |sets AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(${Dk.shingleHashes("th")}) AS sh
+         |  FROM (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM t
+         |    WHERE doc_id IN (SELECT doc_id FROM cand))),
+         |sims AS MATERIALIZED (
+         |  SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+         |    ((len(list_intersect(sa.sh, sb.sh)) * 1000000)
+         |      // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+         |      ::BIGINT AS sim_ppm
+         |  FROM cand c1
+         |  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.doc_id <> c2.doc_id
+         |  JOIN sets sa ON sa.doc_id = c1.doc_id
+         |  JOIN sets sb ON sb.doc_id = c2.doc_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT c.query_id, c.doc_id, c.rel_ppm, 0::BIGINT AS maxsim_ppm,
+         |    ($MmrLam * c.rel_ppm)::BIGINT AS mmr_score, 1::BIGINT AS round
+         |  FROM cand c JOIN bm ON bm.query_id = c.query_id
+         |    AND bm.doc_id = c.doc_id
+         |  WHERE bm.rank = 1),
+         |$rounds
+         |SELECT query_id, doc_id, rel_ppm, maxsim_ppm, mmr_score, round
+         |FROM sel$MmrM""".stripMargin
+    },
 
     "search_hybrid_rrf" ->
       s"""WITH bm AS ($dkBm25),

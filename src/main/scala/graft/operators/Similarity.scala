@@ -33,6 +33,15 @@ object Similarity {
   private val Dims      = 64
   private val K         = 5
   private val NQuery    = 5
+
+  /** q_coreset_kcenter: selection budget (centers picked). */
+  private val CoresetK = 8
+
+  /** (vec_id, quantized vector) — the integer space every exact-trace
+    * operator (k-means, coreset) runs in. */
+  private def emb2(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
   private val MaxPlanes = 12 // static ceiling the dynamic SQL is written to
   private val MaxCells  = 32
   private val KmeansK     = 8
@@ -429,6 +438,46 @@ object Similarity {
       val qdf = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       withKmeansCell(qdf, cents).select(col("vec_id"), col("cell"), col("d2"))
+    }),
+
+    // Greedy k-center coreset (Gonzalez 1985 farthest-first traversal,
+    // the 2-approximation) — the diversity-SELECTION dual of
+    // dedup_semantic's redundancy REMOVAL, and the geometric core of
+    // embedding-based data-pruning recipes: pick the doc farthest from
+    // everything picked so far, k times. All distances are exact int64
+    // in the quantized space, so the trace is hash-exact cross-engine;
+    // ties break to the smallest vec_id. Output = the selection trace
+    // (round, center, its distance-to-selected at pick time — a
+    // decreasing sequence the spec asserts) plus a final row carrying
+    // the k-center OBJECTIVE (covering radius after k centers). Scale
+    // shape: k linear scans, each a running-min column update against a
+    // BROADCAST literal center + a TakeOrdered(1) argmax — the canonical
+    // k-center schedule; the driver touches k single-row collects (like
+    // the k-means codebook, centers ARE driver-shaped data). The state
+    // chain is k chained column ops over one cached (id, q) frame — at
+    // 100 TB each round persists its mind column to storage instead.
+    "q_coreset_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      val qe = emb2(s, dir).cache()
+      val seed = qe.orderBy(col("vec_id")).limit(1).collect()(0)
+      var centerQ: Seq[Long] = seed.getSeq[Long](1)
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+        (0L, seed.getLong(0), 0L))
+      var state = qe.withColumn("mind", lit(Long.MaxValue))
+      for (r <- 1L until CoresetK) {
+        state = state.withColumn("mind",
+          least(col("mind"), intDist2c(col("q"), typedLit(centerQ))))
+        val top = state.orderBy(col("mind").desc, col("vec_id"))
+          .limit(1).collect()(0)
+        picks += ((r, top.getLong(0), top.getLong(2)))
+        centerQ = top.getSeq[Long](1)
+      }
+      val radius = state.withColumn("mind",
+          least(col("mind"), intDist2c(col("q"), typedLit(centerQ))))
+        .agg(max(col("mind"))).head().getLong(0)
+      picks += ((CoresetK.toLong, -1L, radius))
+      qe.unpersist()
+      picks.toSeq.toDF("round", "vec_id", "sel_d2")
     }),
 
     // Product-quantization index build (Jégou et al. 2011): each vector
@@ -1082,6 +1131,41 @@ object Similarity {
     "ann_kmeans_cells" ->
       s"""WITH $dkKmeansChain
          |SELECT vec_id, cell, d2 FROM ad WHERE rn = 1""".stripMargin,
+    // farthest-first traversal unrolled: round r's CTEs carry the
+    // running min-distance (m_r), the argmax pick (p_r), and the picked
+    // vector (c_r); sel_d2 is the distance AT pick time
+    "q_coreset_kcenter" -> {
+      // the 1-row center table cross-joins in (subqueries are illegal
+      // inside DuckDB lambdas; a plain column is fine); every m_r is
+      // MATERIALIZED — DuckDB inlines multiply-referenced CTEs, which
+      // makes the round chain re-evaluate exponentially otherwise
+      val rounds = (1 until CoresetK).map { r =>
+        s"""m$r AS MATERIALIZED (SELECT vec_id, q,
+           |  least(mind, ${Dk.intDist2("q", "cq", Dims)}) AS mind
+           |  FROM m${r - 1}, (SELECT q AS cq FROM c${r - 1})),
+           |p$r AS MATERIALIZED (SELECT vec_id, mind FROM m$r
+           |  ORDER BY mind DESC, vec_id LIMIT 1),
+           |c$r AS MATERIALIZED (SELECT m.q FROM m$r m JOIN p$r p ON m.vec_id = p.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val trace = (1 until CoresetK).map { r =>
+        s"SELECT $r::BIGINT AS round, (SELECT vec_id FROM p$r)::BIGINT AS vec_id, " +
+          s"(SELECT mind FROM p$r)::BIGINT AS sel_d2"
+      }.mkString("\nUNION ALL ")
+      s"""WITH qe AS (SELECT vec_id, ${Dk.quantize("embedding", Dims)} AS q
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT q FROM qe WHERE vec_id = (SELECT min(vec_id) FROM qe)),
+         |m0 AS MATERIALIZED (
+         |  SELECT vec_id, q, 9223372036854775807 AS mind FROM qe),
+         |$rounds
+         |SELECT 0::BIGINT AS round, (SELECT min(vec_id) FROM qe)::BIGINT AS vec_id,
+         |  0::BIGINT AS sel_d2
+         |UNION ALL $trace
+         |UNION ALL SELECT ${CoresetK}::BIGINT AS round, (-1)::BIGINT AS vec_id,
+         |  (SELECT max(least(mind, ${Dk.intDist2("q", "cq", Dims)}))
+         |   FROM m${CoresetK - 1},
+         |     (SELECT q AS cq FROM c${CoresetK - 1}))::BIGINT AS sel_d2""".stripMargin
+    },
     // trained codebook (the chain trains on the base corpus), then the
     // planted-perturbation corpus is ASSIGNED against c2 (mirror of the
     // Spark withKmeansCell tie-break: distance, then cell id), bucketed

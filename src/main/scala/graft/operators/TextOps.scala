@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextKernels._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -767,6 +767,53 @@ object TextOps {
           length(col("golden")).cast("long").as("n_chars"),
           levenshtein(col("golden"), col("pred")).cast("long").as("dist"))
         .withColumn("cer_ppm", expr("(dist * 1000000) DIV greatest(n_chars, 1)"))
+    }),
+
+    // BLEU-style clipped n-gram precision over the SAME corruption
+    // grid as eval_cer — the token-level MT/OCR quality evaluator
+    // (Papineni et al., ACL 2002 §2.1: a hypothesis n-gram scores only
+    // up to its count in the reference, so "the the the" can't farm
+    // matches). Integer parts only — clipped match counts, precision
+    // ppm per order, and the brevity RATIO as ppm (the geometric mean
+    // and exp() stay out: cross-engine float parity is the thing this
+    // catalog never gambles on). Scale shape: pure per-row array math
+    // inside one codegen'd projection — ZERO shuffles, the eval scans
+    // 100 TB of (golden, pred) pairs at read speed. The clipped count
+    // is O(distinct·len) per doc on ≤ ~80-token samples — bounded by
+    // CerSampleChars, not corpus size.
+    "eval_bleu" -> ((s, dir) => {
+      def bigrams(c: Column): Column =
+        when(size(c) >= 2, transform(sequence(lit(1), size(c) - 1), i =>
+          concat_ws(" ", element_at(c, i), element_at(c, i + 1))))
+          .otherwise(array().cast("array<string>"))
+      def clipped(h: Column, r: Column): Column =
+        aggregate(array_distinct(h), lit(0L), (acc, t) =>
+          acc + least(size(filter(h, x => x === t)),
+            size(filter(r, x => x === t))).cast("long"))
+      docs(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, CerSampleChars).as("golden"))
+        .withColumn("corruption", col("doc_id") % 4)
+        .withColumn("pred",
+          when(col("corruption") === 1, translate(col("golden"), "e", "3"))
+            .when(col("corruption") === 2, translate(col("golden"), "o", ""))
+            .when(col("corruption") === 3, concat(col("golden"), lit(CerTail)))
+            .otherwise(col("golden")))
+        .select(col("doc_id"), col("corruption"),
+          tokens(col("golden")).as("ref"), tokens(col("pred")).as("hyp"))
+        .withColumn("refb", bigrams(col("ref")))
+        .withColumn("hypb", bigrams(col("hyp")))
+        .select(col("doc_id"), col("corruption"),
+          size(col("ref")).cast("long").as("ref_len"),
+          size(col("hyp")).cast("long").as("hyp_len"),
+          clipped(col("hyp"), col("ref")).as("uni_match"),
+          clipped(col("hypb"), col("refb")).as("bi_match"),
+          size(col("hypb")).cast("long").as("bi_total"))
+        .withColumn("bleu1_ppm",
+          expr("(uni_match * 1000000) div greatest(hyp_len, 1)"))
+        .withColumn("bleu2_ppm",
+          expr("(bi_match * 1000000) div greatest(bi_total, 1)"))
+        .withColumn("brevity_ppm", least(lit(1000000L),
+          expr("(hyp_len * 1000000) div greatest(ref_len, 1)")))
     }))
 
   /** One BPE training round over a (doc_id, toks) frame: returns the
@@ -1201,6 +1248,51 @@ object TextOps {
          |  (levenshtein(golden, pred) * 1000000
          |    // greatest(length(golden), 1))::BIGINT AS cer_ppm
          |FROM p""".stripMargin,
+
+    "eval_bleu" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, substr(text, 1, $CerSampleChars) AS golden,
+         |    doc_id % 4 AS corruption
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, corruption, golden,
+         |    CASE corruption
+         |      WHEN 1 THEN translate(golden, 'e', '3')
+         |      WHEN 2 THEN translate(golden, 'o', '')
+         |      WHEN 3 THEN golden || '$CerTail'
+         |      ELSE golden END AS pred
+         |  FROM g),
+         |tk AS (
+         |  SELECT doc_id, corruption, ${Dk.tokens("golden")} AS ref,
+         |    ${Dk.tokens("pred")} AS hyp
+         |  FROM p),
+         |bg AS (
+         |  SELECT *,
+         |    CASE WHEN len(ref) >= 2 THEN [ref[i] || ' ' || ref[i+1]
+         |      for i in generate_series(1, len(ref) - 1)]
+         |      ELSE []::VARCHAR[] END AS refb,
+         |    CASE WHEN len(hyp) >= 2 THEN [hyp[i] || ' ' || hyp[i+1]
+         |      for i in generate_series(1, len(hyp) - 1)]
+         |      ELSE []::VARCHAR[] END AS hypb
+         |  FROM tk),
+         |m AS (
+         |  SELECT doc_id, corruption, len(ref)::BIGINT AS ref_len,
+         |    len(hyp)::BIGINT AS hyp_len,
+         |    coalesce(list_sum([least(len(list_filter(hyp, x -> x = t)),
+         |        len(list_filter(ref, x -> x = t)))
+         |      for t in list_distinct(hyp)]), 0)::BIGINT AS uni_match,
+         |    coalesce(list_sum([least(len(list_filter(hypb, x -> x = t)),
+         |        len(list_filter(refb, x -> x = t)))
+         |      for t in list_distinct(hypb)]), 0)::BIGINT AS bi_match,
+         |    len(hypb)::BIGINT AS bi_total
+         |  FROM bg)
+         |SELECT doc_id, corruption, ref_len, hyp_len, uni_match, bi_match,
+         |  bi_total,
+         |  ((uni_match * 1000000) // greatest(hyp_len, 1))::BIGINT AS bleu1_ppm,
+         |  ((bi_match * 1000000) // greatest(bi_total, 1))::BIGINT AS bleu2_ppm,
+         |  least(1000000, (hyp_len * 1000000) // greatest(ref_len, 1))::BIGINT
+         |    AS brevity_ppm
+         |FROM m""".stripMargin,
 
     "text_bigram_lm" ->
       s"""WITH t AS (SELECT ${Dk.tokens("text")} AS toks FROM documents),

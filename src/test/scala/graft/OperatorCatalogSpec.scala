@@ -621,6 +621,104 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("q_coreset_kcenter: the trace IS farthest-first (full Scala replay)") {
+    import graft.functions.VectorKernels.quantize
+    val out = SparkEntry.queries("q_coreset_kcenter")(spark, dir)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent replay: collect the quantized corpus, run greedy
+    // k-center by hand, compare every (round, center, distance)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = Seq(vecs.keys.min)
+    val mind = scala.collection.mutable.Map[Long, Long]() ++
+      vecs.keys.map(_ -> Long.MaxValue)
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+      (0L, centers.head, 0L))
+    for (r <- 1L until 8L) {
+      vecs.foreach { case (id, q) =>
+        mind(id) = math.min(mind(id), d2(q, vecs(centers.last)))
+      }
+      val (pick, pd) = mind.toSeq.sortBy { case (id, d) => (-d, id) }.head
+      expect += ((r, pick, pd))
+      centers = centers :+ pick
+    }
+    vecs.foreach { case (id, q) =>
+      mind(id) = math.min(mind(id), d2(q, vecs(centers.last)))
+    }
+    expect += ((8L, -1L, mind.values.max))
+    assert(out.toSeq == expect.toSeq)
+    // farthest-first: pick distances never increase
+    val ds = out.filter(r => r._1 >= 1 && r._1 <= 7).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("search_mmr_rerank: greedy trace matches a by-hand MMR replay") {
+    import graft.functions.TextKernels.{tokens => tks, tokenHashes, shingleHashes}
+    val out = SparkEntry.queries("search_mmr_rerank")(spark, dir).cache()
+    try {
+      val bm = SparkEntry.queries("text_bm25_topk")(spark, dir)
+        .select("query_id", "rank", "doc_id", "score_scaled").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val byQ = bm.groupBy(_._1)
+      // candidate shingle sets via the shared kernels (the greedy LOOP is
+      // what this test replays independently)
+      val candDocs = bm.map(_._3).toSet
+      val sets = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id").isin(candDocs.toSeq: _*))
+        .select(col("doc_id"), array_distinct(shingleHashes(tokenHashes(
+          tks(when(col("doc_id") % 100 === 0,
+            concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
+            .otherwise(col("text")))))).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      def jac(a: Long, b: Long): Long = {
+        val (sa, sb) = (sets(a), sets(b))
+        val i = (sa & sb).size.toLong
+        (i * 1000000L) / (sa.size + sb.size - i)
+      }
+      val expect = byQ.flatMap { case (q, rows) =>
+        val smax = rows.find(_._2 == 1L).get._4
+        val rel = rows.map(r => r._3 -> (r._4 * 1000000L) / smax).toMap
+        var sel = Seq(rows.find(_._2 == 1L).get._3)
+        val first = (q, sel.head, rel(sel.head), 0L, 70L * rel(sel.head), 1L)
+        first +: (2L to 3L).map { r =>
+          val cands = rel.keys.filterNot(sel.contains)
+          val scored = cands.map { c =>
+            val ms = sel.map(jac(c, _)).max
+            (c, ms, 70L * rel(c) - 30L * ms)
+          }
+          val (c, ms, sc) = scored.toSeq.sortBy(x => (-x._3, x._1)).head
+          sel = sel :+ c
+          (q, c, rel(c), ms, sc, r)
+        }
+      }.toSet
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(got == expect)
+    } finally { out.unpersist(); () }
+  }
+
+  test("eval_bleu: identity scores perfect; tail corruption inflates length only") {
+    val out = SparkEntry.queries("eval_bleu")(spark, dir).cache()
+    try {
+      val id = out.filter(col("corruption") === 0)
+      assert(id.count() > 0)
+      assert(id.filter(col("bleu1_ppm") =!= 1000000L ||
+        col("bleu2_ppm") =!= 1000000L ||
+        col("brevity_ppm") =!= 1000000L).count() == 0)
+      // tail append: +3 tokens, every ref n-gram still matched, no
+      // brevity penalty (hypothesis is LONGER), precision strictly < 1
+      val tl = out.filter(col("corruption") === 3)
+      assert(tl.filter(col("hyp_len") =!= col("ref_len") + 3).count() == 0)
+      assert(tl.filter(col("uni_match") < col("ref_len")).count() == 0)
+      assert(tl.filter(col("brevity_ppm") =!= 1000000L).count() == 0)
+      assert(tl.filter(col("bleu1_ppm") >= 1000000L).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("text_quality_adaptive_gate: derived decile threshold drops the worst, conservatively") {
     val out = SparkEntry.queries("text_quality_adaptive_gate")(spark, dir).cache()
     val n   = out.count()

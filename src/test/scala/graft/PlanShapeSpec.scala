@@ -812,6 +812,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("eval_bleu: scan-only evaluator — zero shuffles, one codegen span") {
+    val p = plan("eval_bleu")
+    assert(count(p, "Exchange") == 0,
+      s"per-row eval introduced a shuffle:\n${p.take(2000)}")
+    assert(p.contains("*("), s"no WholeStageCodegen span:\n${p.take(2000)}")
+  }
+
+  test("mmr rerank: candidate/sims joins broadcast; no cartesian, no text shuffle") {
+    val root = rootOf("search_mmr_rerank")
+    assert(root.toString.contains("BroadcastHashJoin"),
+      s"candidate-side joins not broadcast:\n${root.toString.take(2000)}")
+    assert(!root.toString.contains("CartesianProduct"))
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text"), s"mmr shuffle carries text: $cols")
+    }
+  }
+
   test("pad waste: both layout ranks broadcast their offsets frames") {
     val root = rootOf("q_batch_pad_waste")
     // two-pass discipline twice (sorted + arrival)
