@@ -61,7 +61,10 @@ object PlanAudit {
         // per-language terciles, dual-layout padding audit, broadcast
         // MMR greedy, zero-shuffle BLEU
         "dedup_novelty", "q_ccnet_buckets", "q_batch_pad_waste",
-        "search_mmr_rerank", "eval_bleu")
+        "search_mmr_rerank", "eval_bleu",
+        // this session, cont.: frontier-join walk hops, scan-only LIX,
+        // unpivot profiler
+        "q_random_walks", "text_readability", "q_data_profiler")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

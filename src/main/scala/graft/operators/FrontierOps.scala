@@ -43,6 +43,9 @@ object FrontierOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** q_random_walks: hops per walk. */
+  private val RwLen = 4
+
   /** Per-host politeness delay (ms): hosts declare different crawl-delays
     * (robots Crawl-delay analog) — 500ms base, +250ms per (idx mod 4). */
   private def delayMs(hostIdx: org.apache.spark.sql.Column) =
@@ -543,6 +546,36 @@ object FrontierOps {
         .unionByName(d2.select(col("host"), lit(2L).as("depth")))
     }),
 
+    // Deterministic random-walk corpus over the host graph — the
+    // DeepWalk/node2vec TRAINING-DATA generator (Perozzi et al., KDD
+    // 2014): one walk per start host, RwLen hops, next hop = the
+    // out-neighbor minimizing a (node, step, neighbor)-keyed hash — a
+    // hash-seeded "random" choice both engines replay bit-exactly, the
+    // same trick q_train_split uses instead of rand(). A walk ending at
+    // a sink host stops early (no self-loop padding — mirrored). Scale
+    // shape: each hop is one frontier⋈edges equi-join on ids + a
+    // struct-min partial agg per walk (argmin without a window); the
+    // frontier never exceeds one row per walk, so RwLen hops cost RwLen
+    // joins over (walk, node) pairs — hosts × L, not edges × L.
+    "q_random_walks" -> ((s, dir) => {
+      val e = hostEdges(s, dir).cache()
+      var cur = e.select(col("src").as("walk")).distinct()
+        .select(col("walk"), col("walk").as("node"))
+      var out = cur.select(col("walk"), col("node"), lit(0L).as("step"))
+      for (t <- 1 to RwLen) {
+        cur = cur.join(e, cur("node") === e("src"))
+          .select(col("walk"),
+            hex32(concat(col("node"), lit(s"|$t|"), col("dst"))).as("h"),
+            col("dst"))
+          .groupBy(col("walk"))
+          .agg(min(struct(col("h"), col("dst"))).as("m"))
+          .select(col("walk"), col("m.dst").as("node"))
+        out = out.unionByName(
+          cur.select(col("walk"), col("node"), lit(t.toLong).as("step")))
+      }
+      out
+    }),
+
     // Posting-list compression accounting: per term, the exact encoded
     // size of the doc-gap stream under Elias-gamma and LEB128-varint vs
     // fixed 64-bit — the index-capacity planning numbers. Values are
@@ -931,6 +964,26 @@ object FrontierOps {
          |SELECT 'src0' AS host, 0::BIGINT AS depth
          |UNION ALL SELECT host, 1::BIGINT FROM d1
          |UNION ALL SELECT host, 2::BIGINT FROM d2""".stripMargin,
+
+    // hops unrolled; each w_t picks per walk the out-neighbor with the
+    // smallest (node, t, dst)-keyed hash, ties to the smallest dst
+    "q_random_walks" -> {
+      val hops = (1 to RwLen).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT walk, dst AS node FROM (
+           |    SELECT w.walk, e.dst, row_number() OVER (PARTITION BY w.walk
+           |      ORDER BY ${Dk.hex32(s"w.node || '|$t|' || e.dst")}, e.dst) AS rn
+           |    FROM w${t - 1} w JOIN e ON e.src = w.node) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val trace = (0 to RwLen).map { t =>
+        s"SELECT walk, node, $t::BIGINT AS step FROM w$t"
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS MATERIALIZED ($dkHostEdges),
+         |w0 AS (SELECT DISTINCT src AS walk, src AS node FROM e),
+         |$hops
+         |$trace""".stripMargin
+    },
 
     "search_gamma_bits" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Kernels
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -377,6 +377,39 @@ object Relational {
     // union a naive rollup reimplementation would cost at 100 TB). The
     // subtotal marker is a coalesced sentinel label, not grouping_id():
     // the label is engine-neutral, while grouping_id bit orders are not.
+    // Column-level data profiling (the Deequ/Great-Expectations "profile
+    // before you trust it" pass a pipeline runs on every new source
+    // drop): per column — row count, null count, exact distinct count,
+    // lexicographic min/max — over a deterministic canonical string
+    // representation per type (ints verbatim, doubles floored to BIGINT,
+    // timestamps as yyyy-MM-dd: the formats both engines render
+    // identically; raw double/timestamp casts are engine-formatted and
+    // NOT hash-safe). Nulls are planted in o_custkey (every 50th order)
+    // so the null-rate path is exercised. Scale shape: one unpivoting
+    // explode (rows × |columns|, values only) + a partial-aggregated
+    // groupBy per column; exact countDistinct is the second shuffle —
+    // at 100 TB the profiler swaps in the HLL sketch from `Sketches`,
+    // same plan otherwise.
+    "q_data_profiler" -> ((s, dir) => {
+      val reprs: Seq[(String, Column)] = Seq(
+        "o_orderkey" -> col("o_orderkey").cast("string"),
+        "o_custkey" -> when(col("o_orderkey") % 50 === 0, lit(null))
+          .otherwise(col("o_custkey")).cast("string"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice" -> floor(col("o_totalprice")).cast("long").cast("string"),
+        "o_orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        "o_orderpriority" -> col("o_orderpriority"))
+      t(s, dir, "orders")
+        .select(explode(array(reprs.map { case (n, c) =>
+          struct(lit(n).as("col_name"), c.as("val")) }: _*)).as("kv"))
+        .select(col("kv.col_name").as("col_name"), col("kv.val").as("val"))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+    }),
+
     "q_cube_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -618,6 +651,28 @@ object Relational {
         |  (pairs * 1000000 // total_pairs)::BIGINT AS share_ppm
         |FROM cnt, tot
         |ORDER BY pairs DESC, user_id LIMIT 10""".stripMargin,
+
+    "q_data_profiler" ->
+      s"""WITH u AS (
+         |  SELECT 'o_orderkey' AS col_name, o_orderkey::VARCHAR AS val
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'o_custkey', (CASE WHEN o_orderkey % 50 = 0 THEN NULL
+         |    ELSE o_custkey END)::VARCHAR FROM orders
+         |  UNION ALL
+         |  SELECT 'o_orderstatus', o_orderstatus FROM orders
+         |  UNION ALL
+         |  SELECT 'o_totalprice', floor(o_totalprice)::BIGINT::VARCHAR
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+         |  UNION ALL
+         |  SELECT 'o_orderpriority', o_orderpriority FROM orders)
+         |SELECT col_name, count(*)::BIGINT AS n_rows,
+         |  sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  count(DISTINCT val)::BIGINT AS n_distinct,
+         |  min(val) AS min_val, max(val) AS max_val
+         |FROM u GROUP BY 1""".stripMargin,
 
     "q_cube_agg" ->
       """SELECT coalesce(l_returnflag, '(all)') AS returnflag,

@@ -654,6 +654,35 @@ object TextOps {
           expr("(top_cf * 1000000) div n_tokens").as("top_share_ppm"))
     }),
 
+    // LIX readability (Björnsson 1968): words/sentence + 100·longwords/
+    // words — the grade-level quality signal curation stacks use next to
+    // stopword/punct ratios. The synthetic corpus carries no sentence
+    // punctuation, so a '.' is PLANTED after every 8th token and the
+    // operator parses the punctuated text back like a real document:
+    // sentences = [.!?]-separator count, long word = > 6 chars after
+    // stripping the terminator. Both LIX terms are exact ppm (×10⁶), and
+    // the grade bands are the published LIX thresholds (25/35/45) scaled
+    // the same way. Zero shuffles — one codegen'd projection.
+    "text_readability" -> ((s, dir) => {
+      val planted = array_join(transform(tokens(col("text")), (t, i) =>
+        when((i + 1) % 8 === 0, concat(t, lit("."))).otherwise(t)), " ")
+      docs(s, dir).select(col("doc_id"), planted.as("ptext"))
+        .withColumn("toks", tokens(col("ptext")))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          (size(split(col("ptext"), "[.!?]")) - 1).cast("long").as("n_sents"),
+          size(filter(col("toks"), t =>
+            length(rtrim(t, ".")) >= 7)).cast("long").as("n_long"))
+        .withColumn("lix_ppm",
+          expr("(n_words * 1000000) div greatest(n_sents, 1) + " +
+            "(n_long * 100000000) div greatest(n_words, 1)"))
+        .withColumn("lix_band",
+          when(col("lix_ppm") < 25000000L, lit("easy"))
+            .when(col("lix_ppm") < 35000000L, lit("medium"))
+            .when(col("lix_ppm") < 45000000L, lit("hard"))
+            .otherwise(lit("very_hard")))
+    }),
+
     // PMI-lift bigram collocation mining (Church & Hanks 1990) — the
     // vocabulary-curation query behind multi-word tokenizer entries and
     // stop-phrase lists: adjacent token pairs scored by observed/expected
@@ -1218,6 +1247,34 @@ object TextOps {
          |  (n_hapax * 1000000 // n_types)::BIGINT AS hapax_ppm,
          |  (top_cf * 1000000 // n_tokens)::BIGINT AS top_share_ppm
          |FROM d""".stripMargin,
+
+    "text_readability" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id, array_to_string(
+         |    [CASE WHEN i % 8 = 0 THEN toks[i] || '.' ELSE toks[i] END
+         |     for i in generate_series(1, len(toks))], ' ') AS ptext
+         |  FROM t),
+         |k AS (SELECT doc_id, ptext, ${Dk.tokens("ptext")} AS toks FROM p),
+         |m AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n_words,
+         |    (len(string_split_regex(ptext, '[.!?]')) - 1)::BIGINT AS n_sents,
+         |    len(list_filter(toks, x -> length(rtrim(x, '.')) >= 7))::BIGINT
+         |      AS n_long
+         |  FROM k)
+         |SELECT doc_id, n_words, n_sents, n_long,
+         |  ((n_words * 1000000) // greatest(n_sents, 1)
+         |    + (n_long * 100000000) // greatest(n_words, 1))::BIGINT AS lix_ppm,
+         |  CASE WHEN (n_words * 1000000) // greatest(n_sents, 1)
+         |      + (n_long * 100000000) // greatest(n_words, 1) < 25000000
+         |    THEN 'easy'
+         |    WHEN (n_words * 1000000) // greatest(n_sents, 1)
+         |      + (n_long * 100000000) // greatest(n_words, 1) < 35000000
+         |    THEN 'medium'
+         |    WHEN (n_words * 1000000) // greatest(n_sents, 1)
+         |      + (n_long * 100000000) // greatest(n_words, 1) < 45000000
+         |    THEN 'hard' ELSE 'very_hard' END AS lix_band
+         |FROM m""".stripMargin,
 
     "eval_langid_confusion" ->
       s"""WITH li AS ($dkLangidSql)

@@ -89,7 +89,7 @@ object WebOps {
   /** The `q_host_pagerank` link rotation (same edge model — one doc links
     * its source host to a rotated target, every 3rd doc links to the hub
     * src0), reused here as the anchor-text edge set. */
-  private[operators] def linkTarget = {
+  private[graft] def linkTarget = {
     val idx = substring(col("source"), 4, 6).cast("int")
     val rot = concat(lit("src"),
       ((idx + 1 + (col("doc_id") % 19).cast("int")) % 20).cast("string"))

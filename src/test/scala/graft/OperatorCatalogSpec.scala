@@ -719,6 +719,73 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("q_random_walks: every hop follows a real edge; one walk per source host") {
+    import graft.operators.WebOps
+    val out = SparkEntry.queries("q_random_walks")(spark, dir).cache()
+    try {
+      val edges = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("source").as("src"), WebOps.linkTarget.as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val walks = out.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._1)
+      assert(walks.keySet == edges.map(_._1))
+      walks.values.foreach { rows =>
+        val byStep = rows.sortBy(_._3)
+        // steps contiguous from 0 (a sink host ends the walk early)
+        assert(byStep.map(_._3).toSeq == (0L until byStep.length).toSeq)
+        assert(byStep.head._2 == byStep.head._1) // starts at the source
+        byStep.sliding(2).foreach {
+          case Array(a, b) => assert(edges.contains((a._2, b._2)),
+            s"walk ${a._1}: hop ${a._2}->${b._2} is not an edge")
+          case _ =>
+        }
+      }
+    } finally { out.unpersist(); () }
+  }
+
+  test("text_readability: planted sentence grid parses back; bands match thresholds") {
+    import graft.functions.TextKernels.{tokens => tks}
+    val out = SparkEntry.queries("text_readability")(spark, dir).cache()
+    try {
+      val orig = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), size(tks(col("text"))).cast("long").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out.collect().foreach { r =>
+        val (id, w, s2) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_sents"))
+        assert(w == orig(id), s"doc $id: token count changed by planting")
+        assert(s2 == w / 8, s"doc $id: expected ${w / 8} sentences, got $s2")
+        val lix  = r.getAs[Long]("lix_ppm")
+        val band = r.getAs[String]("lix_band")
+        val want = if (lix < 25000000L) "easy" else if (lix < 35000000L) "medium"
+          else if (lix < 45000000L) "hard" else "very_hard"
+        assert(band == want)
+      }
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_data_profiler: planted nulls counted; key column fully distinct") {
+    val out = SparkEntry.queries("q_data_profiler")(spark, dir).cache()
+    try {
+      val m = out.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(m.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"))
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val nRows = orders.count()
+      assert(m.values.forall(_._1 == nRows))
+      val planted = orders.filter(col("o_orderkey") % 50 === 0).count()
+      assert(m("o_custkey")._2 == planted, "planted null count wrong")
+      assert(m("o_orderkey")._2 == 0 && m("o_orderkey")._3 == nRows,
+        "key column must be non-null and fully distinct")
+      // distinct counts exclude nulls
+      assert(m("o_custkey")._3 <=
+        orders.select(col("o_custkey")).distinct().count())
+    } finally { out.unpersist(); () }
+  }
+
   test("text_quality_adaptive_gate: derived decile threshold drops the worst, conservatively") {
     val out = SparkEntry.queries("text_quality_adaptive_gate")(spark, dir).cache()
     val n   = out.count()

@@ -829,6 +829,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("random walks: hops are equi-joins + struct-min aggs — no cartesian") {
+    val root = rootOf("q_random_walks")
+    assert(!root.toString.contains("CartesianProduct"))
+    // argmin per walk is an AGGREGATE (partial min of (hash, dst)
+    // structs), not a window sort over the neighbor lists
+    assert(root.toString.contains("HashAggregate") ||
+      root.toString.contains("SortAggregate"),
+      s"hop argmin lost its agg shape:\n${root.toString.take(2000)}")
+  }
+
+  test("readability: zero-shuffle scan; profiler: unpivot + two agg shuffles") {
+    val p1 = plan("text_readability")
+    assert(count(p1, "Exchange") == 0,
+      s"readability introduced a shuffle:\n${p1.take(2000)}")
+    assert(p1.contains("*("), "no codegen span")
+    val p2 = plan("q_data_profiler")
+    // partial per-column agg + the exact countDistinct second phase
+    assert(count(p2, "Exchange") == 2,
+      s"profiler expected exactly 2 Exchanges:\n${p2.take(3000)}")
+  }
+
   test("pad waste: both layout ranks broadcast their offsets frames") {
     val root = rootOf("q_batch_pad_waste")
     // two-pass discipline twice (sorted + arrival)
