@@ -64,7 +64,8 @@ object PlanAudit {
         "search_mmr_rerank", "eval_bleu",
         // this session, cont.: frontier-join walk hops, scan-only LIX,
         // unpivot profiler
-        "q_random_walks", "text_readability", "q_data_profiler")
+        "q_random_walks", "text_readability", "q_data_profiler",
+        "q_context_fit", "q_shard_balance", "q_schema_drift")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -47,6 +47,9 @@ object Curation {
   private val PadLenBand = 16L
   private val PadArrBand = 1024L
 
+  /** q_context_fit: candidate max_seq_len values to audit. */
+  private val CtxLengths = Seq(32L, 64L, 128L)
+
   /** Mixture-allocation training budget as a percent of total available
     * token mass — 60% makes three of the five planted domains cap-bind
     * (their availability < budget·weight) so the water-filling
@@ -294,6 +297,30 @@ object Curation {
           count(when(col("start") < col("seq") * SeqLen, 1)).as("n_carried_in"),
           sum(col("seg")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))),
+
+    // Context-length fit audit — the "which max_seq_len do we train at"
+    // table: for each candidate context length, how many documents fit
+    // whole, and what fraction of corpus tokens a HARD TRUNCATION at
+    // that length would discard (the complement of what packing
+    // recovers; read next to text_chunk_windows/text_seq_pack when
+    // choosing truncate-vs-chunk-vs-pack). One narrow scan, a 3-way
+    // explode of the candidate lengths, one partial-agg shuffle of four
+    // int64 counters per ctx — corpus-size work is the token count
+    // itself.
+    "q_context_fit" -> ((s, dir) => {
+      docs(s, dir)
+        .select(size(tokens(col("text"))).cast("long").as("n"))
+        .select(col("n"),
+          explode(typedLit(CtxLengths)).as("ctx"))
+        .groupBy(col("ctx"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") <= col("ctx"), 1L).otherwise(0L)).as("docs_fit"),
+          sum(col("n")).as("tokens_total"),
+          sum(least(col("n"), col("ctx"))).as("tokens_kept"))
+        .withColumn("fit_ppm", expr("(docs_fit * 1000000) div n_docs"))
+        .withColumn("trunc_loss_ppm",
+          expr("((tokens_total - tokens_kept) * 1000000) div tokens_total"))
+    }),
 
     // Length-bucketed batching audit — the PADDED-batch dual of the
     // concat-and-chunk packer: when sequences are padded to the batch max
@@ -1267,6 +1294,22 @@ object Curation {
          |  sum(seg)::BIGINT AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM spans GROUP BY 1, 2""".stripMargin,
+
+    "q_context_fit" ->
+      s"""WITH t AS (
+         |  SELECT len(${Dk.tokens("text")})::BIGINT AS n FROM documents),
+         |x AS (
+         |  SELECT n, unnest([${CtxLengths.mkString(", ")}]::BIGINT[]) AS ctx
+         |  FROM t)
+         |SELECT ctx, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN n <= ctx THEN 1 ELSE 0 END)::BIGINT AS docs_fit,
+         |  sum(n)::BIGINT AS tokens_total,
+         |  sum(least(n, ctx))::BIGINT AS tokens_kept,
+         |  ((sum(CASE WHEN n <= ctx THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*))::BIGINT AS fit_ppm,
+         |  (((sum(n) - sum(least(n, ctx))) * 1000000) // sum(n))::BIGINT
+         |    AS trunc_loss_ppm
+         |FROM x GROUP BY 1""".stripMargin,
 
     "q_batch_pad_waste" ->
       s"""WITH t AS (

@@ -189,6 +189,31 @@ object Layout {
     // (doc, shard) — the assignment at 10^12 docs is a stateless
     // map-only job (groupBy doc_id is a partial-agg of 17 rows that
     // collapses map-side; nothing but (id, 2 longs) shuffles).
+    // Shard-balance audit — the skew dashboard number for any host-/
+    // key-partitioned layout: exact integer Gini over per-host document
+    // counts (Gini·10⁶ = ((2·Σ rank·c − (n+1)·Σc)·10⁶) div (n·Σc) on
+    // counts sorted ascending with host tie-break), plus the min/max/
+    // imbalance-ratio extremes an operator alarms on. Scale shape: the
+    // corpus pass is ONE partial-agg count per host; the Gini math runs
+    // on the shard-count frame (one row per shard — window over ~|hosts|
+    // rows, broadcast-sized by definition), and the final reduce is a
+    // single-row agg.
+    "q_shard_balance" -> ((s, dir) => {
+      val c = t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c"), col("source"))
+      c.withColumn("rank", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("c")).as("n_docs"),
+          min(col("c")).as("min_docs"), max(col("c")).as("max_docs"),
+          sum(col("rank") * col("c")).as("rc"))
+        .withColumn("gini_ppm",
+          expr("((2 * rc - (n_shards + 1) * n_docs) * 1000000) " +
+            "div (n_shards * n_docs)"))
+        .withColumn("imbalance_ppm", expr("(max_docs * 1000000) div min_docs"))
+        .drop("rc")
+    }),
+
     "q_rendezvous_shards" -> ((s, dir) => {
       val w = t(s, dir, "documents").select(col("doc_id"))
         .withColumn("s", explode(sequence(lit(0L), lit(RdvShards))))
@@ -296,6 +321,23 @@ object Layout {
          |  count(*)::BIGINT AS n_files, sum(size_kb)::BIGINT AS kb,
          |  min(file_id) AS first_file, max(file_id) AS last_file
          |FROM inv, head GROUP BY 1""".stripMargin,
+
+    "q_shard_balance" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+         |r AS (
+         |  SELECT c, row_number() OVER (ORDER BY c, source)::BIGINT AS rank
+         |  FROM c),
+         |a AS (
+         |  SELECT count(*)::BIGINT AS n_shards, sum(c)::BIGINT AS n_docs,
+         |    min(c)::BIGINT AS min_docs, max(c)::BIGINT AS max_docs,
+         |    sum(rank * c)::BIGINT AS rc
+         |  FROM r)
+         |SELECT n_shards, n_docs, min_docs, max_docs,
+         |  (((2 * rc - (n_shards + 1) * n_docs) * 1000000)
+         |    // (n_shards * n_docs))::BIGINT AS gini_ppm,
+         |  ((max_docs * 1000000) // min_docs)::BIGINT AS imbalance_ppm
+         |FROM a""".stripMargin,
 
     "q_rendezvous_shards" ->
       s"""WITH w AS (

@@ -410,6 +410,58 @@ object Relational {
           min(col("val")).as("min_val"), max(col("val")).as("max_val"))
     }),
 
+    // Schema/profile drift between two snapshot versions of a feed — the
+    // monitoring query a pipeline runs on every new source drop before
+    // pointing training at it: which columns appeared, disappeared, or
+    // changed null behavior. v2 is a planted evolution of orders
+    // (o_orderpriority dropped, o_channel added, the o_custkey null rate
+    // doubled). Per column: presence in each version, null rate in exact
+    // ppm (−1 when the column is absent), and the triage status. Scale
+    // shape: one boolean-unpivot partial-agg pass per version (the rows
+    // shuffled are (col_name, 2 counters) — |columns| groups), then a
+    // |columns|-row full-outer diff.
+    "q_schema_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def profile(cols: Seq[(String, Column)], tag: String): DataFrame =
+        o.select(explode(array(cols.map { case (n, c) =>
+            struct(lit(n).as("col_name"), c.isNull.as("is_null")) }: _*)).as("kv"))
+          .select(col("kv.col_name").as("col_name"), col("kv.is_null").as("is_null"))
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as(s"n_rows_$tag"),
+            sum(when(col("is_null"), 1L).otherwise(0L)).as(s"n_null_$tag"))
+      val v1: Seq[(String, Column)] = Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> when(col("o_orderkey") % 50 === 0, lit(null))
+          .otherwise(col("o_custkey")),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice" -> col("o_totalprice"),
+        "o_orderdate" -> col("o_orderdate"),
+        "o_orderpriority" -> col("o_orderpriority"))
+      val v2: Seq[(String, Column)] = Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> when(col("o_orderkey") % 25 === 0, lit(null))
+          .otherwise(col("o_custkey")),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice" -> col("o_totalprice"),
+        "o_orderdate" -> col("o_orderdate"),
+        "o_channel" -> when(col("o_orderkey") % 2 === 0, lit("web"))
+          .otherwise(lit("store")))
+      profile(v1, "v1").join(profile(v2, "v2"), Seq("col_name"), "full_outer")
+        .select(col("col_name"),
+          col("n_rows_v1").isNotNull.as("in_v1"),
+          col("n_rows_v2").isNotNull.as("in_v2"),
+          coalesce(expr("(n_null_v1 * 1000000) div n_rows_v1"), lit(-1L))
+            .as("null_ppm_v1"),
+          coalesce(expr("(n_null_v2 * 1000000) div n_rows_v2"), lit(-1L))
+            .as("null_ppm_v2"))
+        .withColumn("status",
+          when(!col("in_v1"), lit("new"))
+            .when(!col("in_v2"), lit("dropped"))
+            .when(col("null_ppm_v1") =!= col("null_ppm_v2"),
+              lit("null_rate_changed"))
+            .otherwise(lit("stable")))
+    }),
+
     "q_cube_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -651,6 +703,51 @@ object Relational {
         |  (pairs * 1000000 // total_pairs)::BIGINT AS share_ppm
         |FROM cnt, tot
         |ORDER BY pairs DESC, user_id LIMIT 10""".stripMargin,
+
+    "q_schema_drift" ->
+      s"""WITH v1 AS (
+         |  SELECT col_name, count(*)::BIGINT AS n_rows,
+         |    sum(CASE WHEN is_null THEN 1 ELSE 0 END)::BIGINT AS n_null
+         |  FROM (
+         |    SELECT 'o_orderkey' AS col_name, o_orderkey IS NULL AS is_null
+         |    FROM orders
+         |    UNION ALL SELECT 'o_custkey',
+         |      (CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_custkey END)
+         |      IS NULL FROM orders
+         |    UNION ALL SELECT 'o_orderstatus', o_orderstatus IS NULL FROM orders
+         |    UNION ALL SELECT 'o_totalprice', o_totalprice IS NULL FROM orders
+         |    UNION ALL SELECT 'o_orderdate', o_orderdate IS NULL FROM orders
+         |    UNION ALL SELECT 'o_orderpriority', o_orderpriority IS NULL
+         |    FROM orders)
+         |  GROUP BY 1),
+         |v2 AS (
+         |  SELECT col_name, count(*)::BIGINT AS n_rows,
+         |    sum(CASE WHEN is_null THEN 1 ELSE 0 END)::BIGINT AS n_null
+         |  FROM (
+         |    SELECT 'o_orderkey' AS col_name, o_orderkey IS NULL AS is_null
+         |    FROM orders
+         |    UNION ALL SELECT 'o_custkey',
+         |      (CASE WHEN o_orderkey % 25 = 0 THEN NULL ELSE o_custkey END)
+         |      IS NULL FROM orders
+         |    UNION ALL SELECT 'o_orderstatus', o_orderstatus IS NULL FROM orders
+         |    UNION ALL SELECT 'o_totalprice', o_totalprice IS NULL FROM orders
+         |    UNION ALL SELECT 'o_orderdate', o_orderdate IS NULL FROM orders
+         |    UNION ALL SELECT 'o_channel', FALSE FROM orders)
+         |  GROUP BY 1),
+         |j AS (
+         |  SELECT col_name,
+         |    v1.n_rows IS NOT NULL AS in_v1, v2.n_rows IS NOT NULL AS in_v2,
+         |    coalesce((v1.n_null * 1000000) // v1.n_rows, -1)::BIGINT
+         |      AS null_ppm_v1,
+         |    coalesce((v2.n_null * 1000000) // v2.n_rows, -1)::BIGINT
+         |      AS null_ppm_v2
+         |  FROM v1 FULL OUTER JOIN v2 USING (col_name))
+         |SELECT col_name, in_v1, in_v2, null_ppm_v1, null_ppm_v2,
+         |  CASE WHEN NOT in_v1 THEN 'new'
+         |    WHEN NOT in_v2 THEN 'dropped'
+         |    WHEN null_ppm_v1 <> null_ppm_v2 THEN 'null_rate_changed'
+         |    ELSE 'stable' END AS status
+         |FROM j""".stripMargin,
 
     "q_data_profiler" ->
       s"""WITH u AS (

@@ -786,6 +786,53 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("q_context_fit: fit and kept are monotone in ctx; loss vanishes at max") {
+    // (ctx, n_docs, docs_fit, tokens_kept, trunc_loss_ppm); tokens_total
+    // checked for invariance separately
+    val out = SparkEntry.queries("q_context_fit")(spark, dir)
+      .orderBy(col("ctx")).collect()
+    val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(4), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == Seq(32L, 64L, 128L))
+    assert(out.map(_.getLong(3)).distinct.length == 1,
+      "tokens_total must not vary with ctx")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 <= b._3 && a._4 <= b._4 && a._5 >= b._5,
+          s"monotonicity broke between ctx ${a._1} and ${b._1}")
+      case _ =>
+    }
+    // the corpus maxes out under 128 tokens: nothing truncated, all fit
+    assert(rows.last._5 == 0L && rows.last._3 == rows.last._2)
+  }
+
+  test("q_shard_balance: Gini matches a by-hand computation") {
+    val r = SparkEntry.queries("q_shard_balance")(spark, dir).collect()(0)
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("source")).count()
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .sortBy(x => (x._2, x._1)).map(_._2)
+    val n = counts.length.toLong
+    val tot = counts.sum
+    val rc = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    assert(r.getAs[Long]("n_shards") == n)
+    assert(r.getAs[Long]("n_docs") == tot)
+    assert(r.getAs[Long]("gini_ppm") ==
+      ((2 * rc - (n + 1) * tot) * 1000000L) / (n * tot))
+    assert(r.getAs[Long]("imbalance_ppm") ==
+      (counts.max * 1000000L) / counts.min)
+  }
+
+  test("q_schema_drift: planted evolution triaged correctly") {
+    val m = SparkEntry.queries("q_schema_drift")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("status")).toMap
+    assert(m("o_channel") == "new")
+    assert(m("o_orderpriority") == "dropped")
+    assert(m("o_custkey") == "null_rate_changed")
+    assert(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .forall(m(_) == "stable"))
+  }
+
   test("text_quality_adaptive_gate: derived decile threshold drops the worst, conservatively") {
     val out = SparkEntry.queries("text_quality_adaptive_gate")(spark, dir).cache()
     val n   = out.count()

@@ -850,6 +850,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"profiler expected exactly 2 Exchanges:\n${p2.take(3000)}")
   }
 
+  test("context fit / shard balance / schema drift: counter shuffles only") {
+    val p = plan("q_context_fit")
+    assert(count(p, "Exchange") == 1,
+      s"context fit expected exactly 1 Exchange:\n${p.take(2000)}")
+    Seq("q_shard_balance", "q_schema_drift").foreach { q =>
+      val root = rootOf(q)
+      assert(!root.toString.contains("CartesianProduct"), q)
+      shuffleCols(root).foreach { cols =>
+        assert(!cols.contains("text"), s"$q shuffle carries text: $cols")
+      }
+    }
+  }
+
   test("pad waste: both layout ranks broadcast their offsets frames") {
     val root = rootOf("q_batch_pad_waste")
     // two-pass discipline twice (sorted + arrival)
