@@ -599,6 +599,31 @@ object Dedup {
       connectedComponents(
         minhashLsh(dupCorpus3(s, dir), Some(s"$dir#dup3")).select("doc_a", "doc_b"))),
 
+    // Cluster-size distribution — the dedup REPORT a storage owner reads
+    // before approving the run ("how many docs do we actually delete"):
+    // per cluster size, the cluster count and the doc mass it covers,
+    // including the singleton row (docs no pair touched). Shares the
+    // memoized banded signatures and the CC machinery with
+    // dedup_cc_labels — on top of an existing clustering run this is two
+    // tiny aggregations (cluster→size, size→count) plus a two-scalar
+    // subtraction for singletons; nothing corpus-sized moves.
+    "dedup_cluster_histogram" -> ((s, dir) => {
+      val labels = connectedComponents(
+        minhashLsh(dupCorpus3(s, dir), Some(s"$dir#dup3"))
+          .select("doc_a", "doc_b"))
+      val hist = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", expr("cluster_size * n_clusters"))
+      val singles = dupCorpus3(s, dir).agg(count(lit(1)).as("total"))
+        .crossJoin(labels.agg(count(lit(1)).as("clustered")))
+        .select(lit(1L).as("cluster_size"),
+          (col("total") - col("clustered")).as("n_clusters"))
+        .withColumn("n_docs", col("n_clusters"))
+        .filter(col("n_clusters") > 0)
+      hist.unionByName(singles)
+    }),
+
     // Direct n-gram Jaccard on adjacent-id pairs (the exact-verify kernel
     // in isolation, linear in corpus size).
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -1115,6 +1140,27 @@ object Dedup {
          |$dkLshCcBlock
          |SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
          |FROM closure GROUP BY a""".stripMargin,
+    "dedup_cluster_histogram" ->
+      s"""WITH RECURSIVE $dkCorpus3,
+         |${dkSig("corpus")},
+         |$dkLshCcBlock,
+         |labels AS (
+         |  SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+         |  FROM closure GROUP BY a),
+         |sizes AS (SELECT cluster_id, count(*)::BIGINT AS sz
+         |  FROM labels GROUP BY 1),
+         |hist AS (
+         |  SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+         |    (sz * count(*))::BIGINT AS n_docs
+         |  FROM sizes GROUP BY 1),
+         |singles AS (
+         |  SELECT 1::BIGINT AS cluster_size,
+         |    ((SELECT count(*) FROM corpus)
+         |      - (SELECT count(*) FROM labels))::BIGINT AS n_clusters)
+         |SELECT cluster_size, n_clusters, n_docs FROM hist
+         |UNION ALL
+         |SELECT cluster_size, n_clusters, n_clusters AS n_docs
+         |FROM singles WHERE n_clusters > 0""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH toksrc AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
          |thsrc AS (SELECT doc_id, ${Dk.tokenHashes("toks")} AS th FROM toksrc),

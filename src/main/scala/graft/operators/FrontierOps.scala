@@ -43,8 +43,31 @@ object FrontierOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** q_random_walks: hops per walk. */
+  /** q_random_walks: hops per walk; q_walk_skipgrams: context radius. */
   private val RwLen = 4
+  private val SkipW = 2
+
+  /** Oracle twin of the walk hops (w0..w[RwLen] CTEs over an `e` edge
+    * CTE the caller opens) — shared by the q_random_walks and
+    * q_walk_skipgrams oracles so the hash-hop rule cannot drift. */
+  private lazy val dkWalkHops: String = {
+    val hops = (1 to RwLen).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT walk, dst AS node FROM (
+         |    SELECT w.walk, e.dst, row_number() OVER (PARTITION BY w.walk
+         |      ORDER BY ${Dk.hex32(s"w.node || '|$t|' || e.dst")}, e.dst) AS rn
+         |    FROM w${t - 1} w JOIN e ON e.src = w.node) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT DISTINCT src AS walk, src AS node FROM e),
+       |$hops""".stripMargin
+  }
+
+  /** The (walk, node, step) trace union over [[dkWalkHops]]'s CTEs. */
+  private lazy val dkWalkTrace: String =
+    (0 to RwLen).map { t =>
+      s"SELECT walk, node, $t::BIGINT AS step FROM w$t"
+    }.mkString("\nUNION ALL ")
 
   /** Per-host politeness delay (ms): hosts declare different crawl-delays
     * (robots Crawl-delay analog) — 500ms base, +250ms per (idx mod 4). */
@@ -576,6 +599,24 @@ object FrontierOps {
       out
     }),
 
+    // Skip-gram pair extraction from the walk corpus — the second half
+    // of the DeepWalk recipe: every (center, context) host pair within
+    // SkipW steps on the same walk, with its corpus frequency. This is
+    // the actual training-pair table a graph-embedding job feeds to its
+    // skip-gram trainer. Scale shape: a self-equi-join of the walk trace
+    // on walk id (each side ≤ RwLen+1 rows per walk — the fan-out is the
+    // window width, not a degree), then one partial-agg count keyed by
+    // the (center, context) host pair.
+    "q_walk_skipgrams" -> ((s, dir) => {
+      val w = queries("q_random_walks")(s, dir)
+      w.as("a").join(w.as("b"),
+          col("a.walk") === col("b.walk") &&
+            col("a.step") =!= col("b.step") &&
+            abs(col("a.step") - col("b.step")) <= SkipW)
+        .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Posting-list compression accounting: per term, the exact encoded
     // size of the doc-gap stream under Elias-gamma and LEB128-varint vs
     // fixed 64-bit — the index-capacity planning numbers. Values are
@@ -967,23 +1008,20 @@ object FrontierOps {
 
     // hops unrolled; each w_t picks per walk the out-neighbor with the
     // smallest (node, t, dst)-keyed hash, ties to the smallest dst
-    "q_random_walks" -> {
-      val hops = (1 to RwLen).map { t =>
-        s"""w$t AS MATERIALIZED (
-           |  SELECT walk, dst AS node FROM (
-           |    SELECT w.walk, e.dst, row_number() OVER (PARTITION BY w.walk
-           |      ORDER BY ${Dk.hex32(s"w.node || '|$t|' || e.dst")}, e.dst) AS rn
-           |    FROM w${t - 1} w JOIN e ON e.src = w.node) WHERE rn = 1)"""
-          .stripMargin
-      }.mkString(",\n")
-      val trace = (0 to RwLen).map { t =>
-        s"SELECT walk, node, $t::BIGINT AS step FROM w$t"
-      }.mkString("\nUNION ALL ")
+    "q_random_walks" ->
       s"""WITH e AS MATERIALIZED ($dkHostEdges),
-         |w0 AS (SELECT DISTINCT src AS walk, src AS node FROM e),
-         |$hops
-         |$trace""".stripMargin
-    },
+         |$dkWalkHops
+         |$dkWalkTrace""".stripMargin,
+
+    "q_walk_skipgrams" ->
+      s"""WITH e AS MATERIALIZED ($dkHostEdges),
+         |$dkWalkHops,
+         |walks AS MATERIALIZED ($dkWalkTrace)
+         |SELECT a.node AS center, b.node AS context,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM walks a JOIN walks b ON a.walk = b.walk
+         |  AND a.step <> b.step AND abs(a.step - b.step) <= $SkipW
+         |GROUP BY 1, 2""".stripMargin,
 
     "search_gamma_bits" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

@@ -53,6 +53,13 @@ object TextOps {
     * continuations than this carry no usable MLE signal. */
   private val MinLmLeft = 10L
 
+  /** text_code_detect: planted code tail, detector keywords, and the
+    * structural-char density gate (ppm of chars in "{}();="). */
+  private val CodeTail =
+    " def f(x) { return x ; } if (y) { z = x + 1 ; }"
+  private val CodeKeywords = Seq("def", "return", "if", "else", "for", "while")
+  private val CodeSymPpm   = 10000L
+
   /** q_ccnet_buckets: fam_score range-bucket width for the two-pass
     * per-language rank (fam_score ≤ 10^6 since cb ≤ cu, so ≤ 16 range
     * buckets per language — the offsets frame stays broadcast-tiny). */
@@ -683,6 +690,31 @@ object TextOps {
             .otherwise(lit("very_hard")))
     }),
 
+    // Code-vs-prose detection — the corpus-splitting filter every
+    // LLM-data pipeline runs before routing documents to the code or
+    // natural-language branch (symbol-density + keyword heuristics, the
+    // deterministic core of what a fasttext code classifier learns).
+    // A code tail is PLANTED on every 10th doc; detection needs BOTH
+    // signals (≥ CodeSymPpm structural chars per char AND ≥ 2 language
+    // keywords), so a prose doc that happens to contain 'if' stays
+    // prose. Zero shuffles — one codegen'd scan of length/translate/
+    // token-filter kernels.
+    "text_code_detect" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(CodeTail))).otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"), planted.as("ptext"))
+        .select(col("doc_id"),
+          length(col("ptext")).cast("long").as("n_chars"),
+          (length(col("ptext")) -
+            length(translate(col("ptext"), "{}();=", ""))).cast("long")
+            .as("n_sym"),
+          size(filter(tokens(col("ptext")), t =>
+            t.isin(CodeKeywords.map(lit(_)): _*))).cast("long").as("n_kw"))
+        .withColumn("sym_ppm", expr("(n_sym * 1000000) div n_chars"))
+        .withColumn("is_code",
+          col("sym_ppm") >= CodeSymPpm && col("n_kw") >= 2)
+    }),
+
     // PMI-lift bigram collocation mining (Church & Hanks 1990) — the
     // vocabulary-curation query behind multi-word tokenizer entries and
     // stop-phrase lists: adjacent token pairs scored by observed/expected
@@ -1247,6 +1279,25 @@ object TextOps {
          |  (n_hapax * 1000000 // n_types)::BIGINT AS hapax_ppm,
          |  (top_cf * 1000000 // n_tokens)::BIGINT AS top_share_ppm
          |FROM d""".stripMargin,
+
+    "text_code_detect" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+         |    THEN text || '$CodeTail' ELSE text END AS ptext
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, length(ptext)::BIGINT AS n_chars,
+         |    (length(ptext) - length(translate(ptext, '{}();=', '')))::BIGINT
+         |      AS n_sym,
+         |    len(list_filter(${Dk.tokens("ptext")}, t -> t IN
+         |      (${CodeKeywords.map("'" + _ + "'").mkString(", ")})))::BIGINT
+         |      AS n_kw
+         |  FROM p)
+         |SELECT doc_id, n_chars, n_sym, n_kw,
+         |  ((n_sym * 1000000) // n_chars)::BIGINT AS sym_ppm,
+         |  ((n_sym * 1000000) // n_chars >= $CodeSymPpm AND n_kw >= 2)
+         |    AS is_code
+         |FROM m""".stripMargin,
 
     "text_readability" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

@@ -833,6 +833,49 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .forall(m(_) == "stable"))
   }
 
+  test("q_walk_skipgrams: symmetric pair multiset with the exact per-walk count") {
+    val out = SparkEntry.queries("q_walk_skipgrams")(spark, dir).cache()
+    try {
+      val m = out.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // every in-window ordered pair has its mirror (both are emitted
+      // from the same walk positions)
+      m.foreach { case ((c, x), n) =>
+        assert(m.getOrElse((x, c), 0L) == n, s"asymmetric pair ($c,$x)")
+      }
+      // total = sum over walks of ordered in-window pairs:
+      // 2*((L-1) + max(L-2, 0)) for walk node-count L, window 2
+      val walkLens = SparkEntry.queries("q_random_walks")(spark, dir)
+        .groupBy(col("walk")).count().collect().map(_.getLong(1))
+      val expect = walkLens.map(l =>
+        2L * ((l - 1).max(0) + (l - 2).max(0))).sum
+      assert(m.values.sum == expect)
+    } finally { out.unpersist(); () }
+  }
+
+  test("text_code_detect: planted code docs flagged, prose never") {
+    val out = SparkEntry.queries("text_code_detect")(spark, dir).cache()
+    try {
+      assert(out.filter(col("doc_id") % 10 === 0 && !col("is_code"))
+        .count() == 0, "a planted code doc escaped")
+      assert(out.filter(col("doc_id") % 10 =!= 0 && col("is_code"))
+        .count() == 0, "a prose doc was flagged as code")
+    } finally { out.unpersist(); () }
+  }
+
+  test("dedup_cluster_histogram: covers every doc exactly once") {
+    val out = SparkEntry.queries("dedup_cluster_histogram")(spark, dir).cache()
+    try {
+      val base = spark.read.parquet(s"$dir/documents.parquet").count()
+      assert(out.agg(sum(col("n_docs"))).head().getLong(0) == 3 * base,
+        "histogram mass != corpus size")
+      // the planted corpus is 3-member clusters: size-3 rows dominate
+      val by = out.collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(by.getOrElse(3L, 0L) > (3 * base) / 2)
+    } finally { out.unpersist(); () }
+  }
+
   test("text_quality_adaptive_gate: derived decile threshold drops the worst, conservatively") {
     val out = SparkEntry.queries("text_quality_adaptive_gate")(spark, dir).cache()
     val n   = out.count()

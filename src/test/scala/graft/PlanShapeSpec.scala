@@ -863,6 +863,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("skipgrams / code detect: join stays keyed; detector is scan-only") {
+    val root = rootOf("q_walk_skipgrams")
+    assert(!root.toString.contains("CartesianProduct"),
+      "skipgram self-join degraded to a cartesian")
+    val p = plan("text_code_detect")
+    assert(count(p, "Exchange") == 0,
+      s"code detector introduced a shuffle:\n${p.take(2000)}")
+    assert(p.contains("*("), "no codegen span")
+  }
+
   test("pad waste: both layout ranks broadcast their offsets frames") {
     val root = rootOf("q_batch_pad_waste")
     // two-pass discipline twice (sorted + arrival)
