@@ -69,6 +69,45 @@ object FrontierOps {
       s"SELECT walk, node, $t::BIGINT AS step FROM w$t"
     }.mkString("\nUNION ALL ")
 
+  /** Label-propagation CTE chain (`und` through `l2`, over an `e` edge
+    * CTE the caller opens) + the final labeling select — shared by the
+    * q_label_prop and q_graph_modularity oracles. */
+  private lazy val dkLabelPropCtes: String =
+    s"""und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+       |nb AS (SELECT a AS h, b AS n FROM und UNION ALL SELECT b AS h, a AS n FROM und),
+       |hosts AS (SELECT DISTINCT h FROM nb),
+       |seeds AS (
+       |  SELECT h, CAST(substr(h, 4) AS BIGINT) AS label, 0::BIGINT AS round_assigned
+       |  FROM hosts WHERE CAST(substr(h, 4) AS INT) < $LabelSeeds),
+       |w1 AS (
+       |  SELECT nb.h, s.label, count(*) AS votes
+       |  FROM nb JOIN seeds s ON s.h = nb.n
+       |  WHERE nb.h NOT IN (SELECT h FROM seeds)
+       |  GROUP BY 1, 2),
+       |r1 AS (
+       |  SELECT h, label, 1::BIGINT AS round_assigned FROM (
+       |    SELECT h, label,
+       |      row_number() OVER (PARTITION BY h ORDER BY votes DESC, label) AS rn
+       |    FROM w1) WHERE rn = 1),
+       |l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r1),
+       |w2 AS (
+       |  SELECT nb.h, s.label, count(*) AS votes
+       |  FROM nb JOIN l1 s ON s.h = nb.n
+       |  WHERE nb.h NOT IN (SELECT h FROM l1)
+       |  GROUP BY 1, 2),
+       |r2 AS (
+       |  SELECT h, label, 2::BIGINT AS round_assigned FROM (
+       |    SELECT h, label,
+       |      row_number() OVER (PARTITION BY h ORDER BY votes DESC, label) AS rn
+       |    FROM w2) WHERE rn = 1),
+       |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM r2)""".stripMargin
+
+  private lazy val dkLabelPropSelect: String =
+    """SELECT hosts.h AS host,
+      |  coalesce(l2.label, -1)::BIGINT AS label,
+      |  coalesce(l2.round_assigned, -1)::BIGINT AS round_assigned
+      |FROM hosts LEFT JOIN l2 ON l2.h = hosts.h""".stripMargin
+
   /** Per-host politeness delay (ms): hosts declare different crawl-delays
     * (robots Crawl-delay analog) — 500ms base, +250ms per (idx mod 4). */
   private def delayMs(hostIdx: org.apache.spark.sql.Column) =
@@ -529,6 +568,52 @@ object FrontierOps {
           coalesce(col("round_assigned"), lit(-1L)).as("round_assigned"))
     }),
 
+    // Newman–Girvan modularity of the label-prop communities — the
+    // quality score that tells you whether the propagation produced real
+    // structure or noise (Q > 0.3 ≈ meaningful). Kept EXACT in int64 by
+    // clearing denominators: Q·4m² = Σ_c (4m·in_c − deg_c²); the ppm
+    // uses the floor-division recipe because contributions go negative.
+    // Unlabeled hosts count as their own singleton community. Scale
+    // shape: in-community edges are two host-keyed equi-joins of the
+    // edge list against the (host, community) table + a partial agg per
+    // community; degree sums ride the same table; m is a 1-row broadcast.
+    "q_graph_modularity" -> ((s, dir) => {
+      val und = hostEdges(s, dir).select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct().cache()
+      val comm = queries("q_label_prop")(s, dir)
+        .select(col("host"),
+          when(col("label") >= 0, concat(lit("c"), col("label")))
+            .otherwise(concat(lit("solo_"), col("host"))).as("comm"))
+      val mRow = und.agg(count(lit(1)).as("m"))
+      val deg = und.select(col("a").as("host"))
+        .unionByName(und.select(col("b").as("host")))
+        .groupBy(col("host")).agg(count(lit(1)).as("deg"))
+      val inEdges = und
+        .join(comm.select(col("host").as("a"), col("comm").as("ca")), Seq("a"))
+        .join(comm.select(col("host").as("b"), col("comm").as("cb")), Seq("b"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("in_edges"))
+      val modPpm =
+        "(contrib * 1000000 - pmod(contrib * 1000000, 4 * m * m)) div (4 * m * m)"
+      val per = comm.join(deg, Seq("host"))
+        .groupBy(col("comm"))
+        .agg(count(lit(1)).as("n_hosts"), sum(col("deg")).as("deg_sum"))
+        .join(inEdges, Seq("comm"), "left_outer")
+        .withColumn("in_edges", coalesce(col("in_edges"), lit(0L)))
+        .crossJoin(broadcast(mRow))
+        .withColumn("contrib", expr("4 * m * in_edges - deg_sum * deg_sum"))
+        .select(col("comm").as("community"), col("n_hosts"), col("in_edges"),
+          col("deg_sum"), col("contrib"), expr(modPpm).as("modularity_ppm"),
+          col("m"))
+      val all = per
+        .agg(sum(col("n_hosts")).as("n_hosts"), sum(col("in_edges")).as("in_edges"),
+          sum(col("deg_sum")).as("deg_sum"), sum(col("contrib")).as("contrib"),
+          max(col("m")).as("m"))
+        .select(lit("(all)").as("community"), col("n_hosts"), col("in_edges"),
+          col("deg_sum"), col("contrib"), expr(modPpm).as("modularity_ppm"))
+      per.drop("m").unionByName(all)
+    }),
+
     // Link co-citation (bibliographic coupling): host pairs ranked by the
     // overlap of their distinct outlink-target sets — integer-ppm Jaccard,
     // pairs sharing <2 targets dropped as noise. The link-graph twin of
@@ -962,38 +1047,50 @@ object FrontierOps {
 
     "q_label_prop" ->
       s"""WITH e AS ($dkHostEdges),
-         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
-         |nb AS (SELECT a AS h, b AS n FROM und UNION ALL SELECT b AS h, a AS n FROM und),
-         |hosts AS (SELECT DISTINCT h FROM nb),
-         |seeds AS (
-         |  SELECT h, CAST(substr(h, 4) AS BIGINT) AS label, 0::BIGINT AS round_assigned
-         |  FROM hosts WHERE CAST(substr(h, 4) AS INT) < $LabelSeeds),
-         |w1 AS (
-         |  SELECT nb.h, s.label, count(*) AS votes
-         |  FROM nb JOIN seeds s ON s.h = nb.n
-         |  WHERE nb.h NOT IN (SELECT h FROM seeds)
-         |  GROUP BY 1, 2),
-         |r1 AS (
-         |  SELECT h, label, 1::BIGINT AS round_assigned FROM (
-         |    SELECT h, label,
-         |      row_number() OVER (PARTITION BY h ORDER BY votes DESC, label) AS rn
-         |    FROM w1) WHERE rn = 1),
-         |l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r1),
-         |w2 AS (
-         |  SELECT nb.h, s.label, count(*) AS votes
-         |  FROM nb JOIN l1 s ON s.h = nb.n
-         |  WHERE nb.h NOT IN (SELECT h FROM l1)
-         |  GROUP BY 1, 2),
-         |r2 AS (
-         |  SELECT h, label, 2::BIGINT AS round_assigned FROM (
-         |    SELECT h, label,
-         |      row_number() OVER (PARTITION BY h ORDER BY votes DESC, label) AS rn
-         |    FROM w2) WHERE rn = 1),
-         |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM r2)
-         |SELECT hosts.h AS host,
-         |  coalesce(l2.label, -1)::BIGINT AS label,
-         |  coalesce(l2.round_assigned, -1)::BIGINT AS round_assigned
-         |FROM hosts LEFT JOIN l2 ON l2.h = hosts.h""".stripMargin,
+         |$dkLabelPropCtes
+         |$dkLabelPropSelect""".stripMargin,
+
+    // communities = the label-prop result (shared CTEs; unlabeled hosts
+    // are their own singleton); Q·4m² = Σ_c (4m·in_c − deg_c²) keeps
+    // Newman–Girvan modularity exact in int64 — the ppm uses the
+    // floor-division recipe since contributions can be negative
+    "q_graph_modularity" ->
+      s"""WITH e AS ($dkHostEdges),
+         |$dkLabelPropCtes,
+         |lab AS ($dkLabelPropSelect),
+         |comm AS (
+         |  SELECT host, CASE WHEN label >= 0 THEN 'c' || label::VARCHAR
+         |    ELSE 'solo_' || host END AS comm
+         |  FROM lab),
+         |mm AS (SELECT count(*)::BIGINT AS m FROM und),
+         |deg AS (
+         |  SELECT h AS host, count(*)::BIGINT AS deg FROM
+         |    (SELECT a AS h FROM und UNION ALL SELECT b AS h FROM und)
+         |  GROUP BY 1),
+         |ie AS (
+         |  SELECT ca.comm, count(*)::BIGINT AS in_edges
+         |  FROM und JOIN comm ca ON ca.host = und.a
+         |  JOIN comm cb ON cb.host = und.b
+         |  WHERE ca.comm = cb.comm GROUP BY 1),
+         |dc AS (
+         |  SELECT comm, count(*)::BIGINT AS n_hosts, sum(deg)::BIGINT AS deg_sum
+         |  FROM comm JOIN deg USING (host) GROUP BY 1),
+         |per AS (
+         |  SELECT dc.comm AS community, n_hosts,
+         |    coalesce(ie.in_edges, 0)::BIGINT AS in_edges, deg_sum,
+         |    (4 * m * coalesce(ie.in_edges, 0)
+         |      - deg_sum * deg_sum)::BIGINT AS contrib, m
+         |  FROM dc LEFT JOIN ie ON ie.comm = dc.comm, mm),
+         |allr AS (
+         |  SELECT '(all)' AS community, sum(n_hosts)::BIGINT AS n_hosts,
+         |    sum(in_edges)::BIGINT AS in_edges, sum(deg_sum)::BIGINT AS deg_sum,
+         |    sum(contrib)::BIGINT AS contrib, max(m) AS m
+         |  FROM per)
+         |SELECT community, n_hosts, in_edges, deg_sum, contrib,
+         |  ((contrib * 1000000
+         |    - ((contrib * 1000000 % (4*m*m) + (4*m*m)) % (4*m*m)))
+         |   // (4*m*m))::BIGINT AS modularity_ppm
+         |FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)""".stripMargin,
 
     "q_frontier_bfs" ->
       s"""WITH e AS ($dkHostEdges),

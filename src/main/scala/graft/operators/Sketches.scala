@@ -102,7 +102,7 @@ object Sketches {
 
   /** The raw HLL estimator per key group of a (keys…, reg, rho) frame —
     * same integer-space sum rule as [[queries]]' global estimate. */
-  private def estimateOf(regs: DataFrame, keys: Seq[String] = Seq("day_key")): DataFrame = {
+  private[graft] def estimateOf(regs: DataFrame, keys: Seq[String] = Seq("day_key")): DataFrame = {
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble))
     val scale = lit((1L << (WBits + 1)).toDouble)
     regs.groupBy(keys.map(col): _*)

@@ -107,6 +107,33 @@ object Temporal {
     // purchase converts iff it sits within the gap of a qualified click.
     // The naive alternative is two inequality self-joins — per-key
     // quadratic on hot users; this is linear in events after one shuffle.
+    // Weekly retention cohorts — the classic product-analytics matrix
+    // (cohort = a user's first-activity week; cell (c, +k) = how many of
+    // cohort c's users were active k weeks later, as exact ppm of the
+    // cohort). Scale shape: first-activity is one partial min-agg per
+    // user; activity cells are a distinct over (user, week) — both
+    // shuffles carry (user, int) pairs; cohort sizes are a
+    // weeks-cardinality frame broadcast back. Offset 0 is the cohort
+    // itself (retention_ppm = 10⁶ by construction — kept as the
+    // self-check row).
+    "q_retention_cohorts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000").as("week"))
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val sizes = firsts.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val cells = ev.distinct()
+        .join(firsts, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      cells.join(broadcast(sizes), Seq("cohort_week"))
+        .withColumn("retention_ppm",
+          expr("(n_active * 1000000) div cohort_size"))
+    }),
+
     "q_event_funnel" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .filter(col("event_type").isin("view", "click", "purchase"))
@@ -235,6 +262,24 @@ object Temporal {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |firsts AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |sizes AS (
+        |  SELECT cohort_week, count(*)::BIGINT AS cohort_size
+        |  FROM firsts GROUP BY 1),
+        |cells AS (
+        |  SELECT cohort_week, week - cohort_week AS week_offset,
+        |    count(*)::BIGINT AS n_active
+        |  FROM (SELECT DISTINCT user_id, week FROM ev) a
+        |  JOIN firsts USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active, cohort_size,
+        |  ((n_active * 1000000) // cohort_size)::BIGINT AS retention_ppm
+        |FROM cells JOIN sizes USING (cohort_week)""".stripMargin,
+
     "q_asof_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
         |           FROM events WHERE event_type = 'click'),

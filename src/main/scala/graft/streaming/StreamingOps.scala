@@ -42,6 +42,36 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("kind"), col("n_spans"))
 
+  /** Streaming per-window HLL register build — the "distinct users per
+    * window" sketch a 100 TB/day event stream maintains instead of an
+    * unbounded exact-distinct state: each event folds into (register,
+    * rank) at map time via the shared [[graft.operators.Sketches]]
+    * geometry, and the streaming agg keeps only max(rho) per (window,
+    * register) — state is ≤ M longs per open window REGARDLESS of event
+    * volume, emitted once when the watermark passes the window end
+    * (append mode). The estimate math runs downstream on the emitted
+    * registers (batch side), so the streaming state stays minimal. */
+  def windowedHllRegisters(
+      events: Dataset[UserEvent],
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame = {
+    import graft.functions.TextKernels.hex32
+    import graft.operators.Sketches.{M, WBits}
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("event_time"), hex32(col("user_id").cast("string")).as("h"))
+      .select(col("event_time"), (col("h") % M).as("reg"),
+        expr(s"h DIV $M").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(WBits + 1).cast("long"))
+          .otherwise(lit(WBits + 1) -
+            length(conv(col("w").cast("string"), 10, 2))).cast("long"))
+      .groupBy(window(col("event_time"), windowLen), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("reg"), col("rho"))
+  }
+
   /** Streaming exact-dedup: the readStream form of `dedup_exact`. Keyed
     * by content hash (not doc_id — re-crawled bytes get new ids), state
     * bounded by the watermark via `dropDuplicatesWithinWatermark`: two

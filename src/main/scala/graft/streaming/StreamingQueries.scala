@@ -78,6 +78,45 @@ object StreamingQueries {
           col("kind"), col("n_spans"))
     }),
 
+    // Per-window HLL distinct-user estimation through the REAL streaming
+    // register agg (state ≤ M longs per open window, append mode) — the
+    // observability sketch a production stream maintains where exact
+    // distinct state would be unbounded. Registers come off the memory
+    // sink; the estimate math (alpha·m²/Σ2^-rho, round 4) runs batch-side
+    // via the SAME Sketches.estimateOf the batch HLL queries use, and the
+    // oracle recomputes windows + registers + estimate from the parquet —
+    // stream-merged registers must equal the batch registers bit-for-bit.
+    "stream_hll_window" -> ((s, dir) => {
+      val ss = replaySession(s)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val rows = ss.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+          col("event_id").cast("long"))
+        .as[(Long, Timestamp, Long)].collect()
+        .sortBy(r => (r._2.getTime, r._3))
+        .map(r => UserEvent(r._1, r._2))
+      val maxTs = rows.map(_.event_time.getTime).max
+      val in    = MemoryStream[UserEvent]
+      val name  = s"shw_${qId.incrementAndGet()}"
+      val q = StreamingOps.windowedHllRegisters(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        quarters(rows.toSeq).foreach { b => in.addData(b); q.processAllAvailable() }
+        // sentinel: watermark passes every real window's end (its own
+        // far-future window is filtered below by start time)
+        in.addData(UserEvent(-1L, new Timestamp(maxTs + 24 * 3600L * 1000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val regs = ss.table(name)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          unix_micros(col("window_end")).as("window_end_us"),
+          col("reg"), col("rho"))
+        .filter(col("window_start_us") <= maxTs * 1000L)
+      graft.operators.Sketches.estimateOf(regs,
+        Seq("window_start_us", "window_end_us"))
+    }),
+
     // Gap-sessionization through flatMapGroupsWithState (real state +
     // event-time timeouts), aggregated to per-user session counts — the
     // EXACT output shape of the batch twin, so the oracle is
@@ -379,7 +418,37 @@ object StreamingQueries {
 
   // --- DuckDB oracles (the batch twins) -----------------------------------
 
+  /** Oracle twin of stream_hll_window: windows + registers + estimate
+    * recomputed from the parquet with the batch HLL geometry — the hash
+    * compare proves stream-merged registers == batch registers. */
+  private val dkHllWindow: String = {
+    import graft.functions.TextKernels.Dk
+    import graft.operators.Sketches.{M, WBits}
+    val scale = 1L << (WBits + 1)
+    s"""WITH regs AS (
+       |  SELECT ws, reg, max(rho) AS rho FROM (
+       |    SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws,
+       |      h % $M AS reg,
+       |      CASE WHEN h // $M = 0 THEN ${WBits + 1}
+       |           ELSE ${WBits + 1} - length(to_base(h // $M, 2)) END AS rho
+       |    FROM (SELECT ts, ${Dk.hex32("user_id::VARCHAR")} AS h FROM events))
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT ws, count(*)::BIGINT AS m_hit,
+       |    ($M - count(*))::BIGINT AS v_zero,
+       |    sum(pow(2, ${WBits + 1} - rho)::BIGINT)::BIGINT AS hit_sum
+       |  FROM regs GROUP BY 1)
+       |SELECT ws AS window_start_us, ws + 300000000 AS window_end_us,
+       |  m_hit, v_zero,
+       |  round(0.7213 / (1.0 + 1.079 / ${M.toDouble})
+       |    * ${M.toDouble} * ${M.toDouble}
+       |    / ((hit_sum + v_zero * $scale)::DOUBLE / ${scale.toDouble}), 4)
+       |    AS raw_estimate
+       |FROM est""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_hll_window" -> dkHllWindow,
     // time_bucket's default origin (2000-01-03) sits on the 5-minute grid,
     // so buckets equal Spark's epoch-aligned window()
     "stream_events_window" ->

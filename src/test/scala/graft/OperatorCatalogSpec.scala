@@ -876,6 +876,63 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("stream_hll_window: stream-merged sketch tracks exact distinct per window") {
+    val out = SparkEntry.queries("stream_hll_window")(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("m_hit") + col("v_zero") =!= 512L).count() == 0)
+      val exact = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy((expr("unix_micros(CAST(ts AS TIMESTAMP))")
+          .divide(lit(300000000L))).cast("long").as("wk"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out.collect().foreach { r =>
+        val wk  = r.getAs[Long]("window_start_us") / 300000000L
+        val raw = r.getAs[Double]("raw_estimate")
+        val vz  = r.getAs[Long]("v_zero")
+        // the operator emits RAW + (m_hit, v_zero) so the consumer can
+        // apply the small-range correction — do what a consumer does:
+        // linear counting below 2.5m with empty registers present
+        val est = if (vz > 0 && raw <= 2.5 * 512)
+          512.0 * math.log(512.0 / vz) else raw
+        val ex = exact(wk).toDouble
+        // 512 registers => ~4.6% standard error; allow a wide band
+        assert(est > 0 && est / ex < 2.0 && ex / est < 2.0,
+          s"window $wk: estimate $est vs exact $ex out of band")
+      }
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_retention_cohorts: offset-0 is the cohort itself; retention never exceeds it") {
+    val out = SparkEntry.queries("q_retention_cohorts")(spark, dir).cache()
+    try {
+      assert(out.filter(col("week_offset") === 0 &&
+        col("retention_ppm") =!= 1000000L).count() == 0)
+      assert(out.filter(col("n_active") > col("cohort_size")).count() == 0)
+      val users = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")).distinct().count()
+      val cohortTotal = out.filter(col("week_offset") === 0)
+        .agg(sum(col("cohort_size"))).head().getLong(0)
+      assert(cohortTotal == users, "cohorts must partition the user base")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_graph_modularity: the (all) row is the exact sum; Q bounded") {
+    val out = SparkEntry.queries("q_graph_modularity")(spark, dir).cache()
+    try {
+      val per = out.filter(col("community") =!= "(all)")
+      val all = out.filter(col("community") === "(all)").collect()(0)
+      assert(per.agg(sum(col("contrib"))).head().getLong(0) ==
+        all.getAs[Long]("contrib"))
+      assert(per.agg(sum(col("n_hosts"))).head().getLong(0) ==
+        all.getAs[Long]("n_hosts"))
+      assert(all.getAs[Long]("modularity_ppm") <= 1000000L)
+      // every in-community edge count is bounded by the edge total
+      assert(per.filter(col("in_edges") * 2 > col("deg_sum")).count() == 0,
+        "a community claims more internal edges than half its degree mass")
+    } finally { out.unpersist(); () }
+  }
+
   test("text_quality_adaptive_gate: derived decile threshold drops the worst, conservatively") {
     val out = SparkEntry.queries("text_quality_adaptive_gate")(spark, dir).cache()
     val n   = out.count()

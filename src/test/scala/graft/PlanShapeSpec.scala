@@ -873,6 +873,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("*("), "no codegen span")
   }
 
+  test("retention / modularity: (user,int) and (host,int) shuffles; m broadcast") {
+    val r1 = rootOf("q_retention_cohorts")
+    assert(r1.toString.contains("BroadcastHashJoin") ||
+      r1.toString.contains("BroadcastNestedLoopJoin"),
+      "cohort sizes not broadcast back")
+    val r2 = rootOf("q_graph_modularity")
+    assert(!r2.toString.contains("CartesianProduct") ||
+      r2.toString.contains("BroadcastNestedLoopJoin"))
+    Seq(r1, r2).foreach(root => shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text"), s"shuffle carries text: $cols")
+    })
+  }
+
   test("pad waste: both layout ranks broadcast their offsets frames") {
     val root = rootOf("q_batch_pad_waste")
     // two-pass discipline twice (sorted + arrival)
