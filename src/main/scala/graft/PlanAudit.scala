@@ -67,7 +67,8 @@ object PlanAudit {
         "q_random_walks", "text_readability", "q_data_profiler",
         "q_context_fit", "q_shard_balance", "q_schema_drift",
         "q_walk_skipgrams", "text_code_detect", "dedup_cluster_histogram",
-        "q_retention_cohorts", "q_graph_modularity")
+        "q_retention_cohorts", "q_graph_modularity",
+        "extract_caption_align", "eval_span_f1", "text_topic_boundaries")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

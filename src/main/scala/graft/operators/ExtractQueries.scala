@@ -56,6 +56,92 @@ object ExtractQueries {
       GoldenDiff.explodeSpans(ExtractJob.extract(in, numPartitions = parts))
     }),
 
+    // Caption-candidate alignment over the EXTRACTED interleaved spans —
+    // the multimodal-pairing table an image-text training pipeline builds
+    // from interleaved documents: per media span, the nearest preceding
+    // and following text span (position + 8-token snippet). Runs the real
+    // extraction kernel, then one per-doc window pass (running max/min of
+    // text positions) + two (doc, pos)-keyed joins that only the media
+    // rows probe. Aux = the extracted spans; the oracle re-derives the
+    // alignment in SQL from them.
+    "extract_caption_align" -> ((s, _) => {
+      import graft.functions.TextKernels.tokens
+      import org.apache.spark.sql.expressions.Window
+      val parts = s.sparkContext.defaultParallelism
+      val sp = GoldenDiff.explodeSpans(ExtractJob.extract(
+        ExtractJob.generateInputs(s, NDocs, Seed, parts),
+        numPartitions = parts)).cache()
+      writeAux(sp, "cap_spans")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val media = sp
+        .withColumn("prev_text_pos",
+          coalesce(max(when(col("kind") === "text", col("pos")))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(-1)))
+        .withColumn("next_text_pos",
+          coalesce(min(when(col("kind") === "text", col("pos")))
+            .over(w.rowsBetween(1, Window.unboundedFollowing)), lit(-1)))
+        .filter(col("media_ref") =!= "")
+        .select(col("doc_id"), col("pos"), col("media_ref"),
+          col("prev_text_pos"), col("next_text_pos"))
+      val txt = sp.filter(col("kind") === "text")
+        .select(col("doc_id"), col("pos"),
+          array_join(slice(tokens(col("text")), 1, 8), " ").as("snippet"))
+      media
+        .join(txt.select(col("doc_id"), col("pos").as("prev_text_pos"),
+          col("snippet").as("prev_snippet")),
+          Seq("doc_id", "prev_text_pos"), "left")
+        .join(txt.select(col("doc_id"), col("pos").as("next_text_pos"),
+          col("snippet").as("next_snippet")),
+          Seq("doc_id", "next_text_pos"), "left")
+        .select(col("doc_id"), col("pos"), col("media_ref"),
+          col("prev_text_pos"),
+          coalesce(col("prev_snippet"), lit("")).as("prev_snippet"),
+          col("next_text_pos"),
+          coalesce(col("next_snippet"), lit("")).as("next_snippet"))
+    }),
+
+    // Span-level precision/recall/F1 — the PARTIAL-credit extraction
+    // evaluator next to extract_golden_match's binary verdict (the
+    // reference's field-level eval reports exactly this shape,
+    // eval_script_field_level.py:373-425). The "competing extractor"
+    // is the real kernel output DEGRADED deterministically (every
+    // pos%7==3 span dropped, every pos%11==5 text mutated), so the
+    // multiset matcher must score through known damage. Per doc:
+    // match = Σ_key least(pred_count, gold_count) over (kind, text,
+    // media_ref) keys — the J3 multiset discipline — then exact ppm
+    // P/R/F1. Aux = the golden spans; the oracle degrades and scores
+    // them in SQL (extraction == golden is proven by extract_spans, so
+    // the twins agree iff the scoring math does).
+    "eval_span_f1" -> ((s, _) => {
+      val parts  = s.sparkContext.defaultParallelism
+      val golden = GoldenDiff.explodeSpans(
+        ExtractJob.generateGoldens(s, NDocs, Seed, parts)).cache()
+      writeAux(golden, "sf1_golden")
+      val pred = GoldenDiff.explodeSpans(ExtractJob.extract(
+          ExtractJob.generateInputs(s, NDocs, Seed, parts),
+          numPartitions = parts))
+        .filter(col("pos") % 7 =!= 3)
+        .withColumn("text", when(col("pos") % 11 === 5,
+          concat(col("text"), lit(" @@"))).otherwise(col("text")))
+      def counts(df: DataFrame, c: String): DataFrame =
+        df.groupBy(col("doc_id"), col("kind"), col("text"), col("media_ref"))
+          .agg(count(lit(1)).as(c))
+      val m = counts(golden, "cg")
+        .join(counts(pred, "cp"), Seq("doc_id", "kind", "text", "media_ref"),
+          "full_outer")
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(col("cg"), lit(0L))).as("n_gold"),
+          sum(coalesce(col("cp"), lit(0L))).as("n_pred"),
+          sum(least(coalesce(col("cg"), lit(0L)),
+            coalesce(col("cp"), lit(0L)))).as("n_match"))
+      m.withColumn("p_ppm",
+          expr("(n_match * 1000000) div greatest(n_pred, 1)"))
+        .withColumn("r_ppm",
+          expr("(n_match * 1000000) div greatest(n_gold, 1)"))
+        .withColumn("f1_ppm",
+          expr("(2 * n_match * 1000000) div greatest(n_pred + n_gold, 1)"))
+    }),
+
     // North-rule verification as a query: per-doc golden equality flags.
     // Aux carries both raw span tables; the oracle recomputes the
     // anti-join diff + verdict join in SQL.
@@ -177,6 +263,58 @@ object ExtractQueries {
   def oracles: Map[String, String] = Map(
     "extract_spans" ->
       s"SELECT $spanCols FROM ${OracleAux.sqlFrom("extract_spans_golden")}",
+    "extract_caption_align" -> {
+      import graft.functions.TextKernels.Dk
+      s"""WITH sp AS (
+         |  SELECT $spanCols FROM ${OracleAux.sqlFrom("cap_spans")}),
+         |m AS (
+         |  SELECT doc_id, pos, media_ref,
+         |    coalesce(max(CASE WHEN kind = 'text' THEN pos END) OVER
+         |      (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      AS prev_text_pos,
+         |    coalesce(min(CASE WHEN kind = 'text' THEN pos END) OVER
+         |      (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), -1)
+         |      AS next_text_pos
+         |  FROM sp),
+         |t AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string((${Dk.tokens("text")})[1:8], ' ') AS snippet
+         |  FROM sp WHERE kind = 'text')
+         |SELECT m.doc_id, m.pos, m.media_ref, prev_text_pos,
+         |  coalesce(p.snippet, '') AS prev_snippet, next_text_pos,
+         |  coalesce(nx.snippet, '') AS next_snippet
+         |FROM m
+         |LEFT JOIN t p ON p.doc_id = m.doc_id AND p.pos = m.prev_text_pos
+         |LEFT JOIN t nx ON nx.doc_id = m.doc_id AND nx.pos = m.next_text_pos
+         |WHERE m.media_ref <> ''""".stripMargin
+    },
+    "eval_span_f1" ->
+      s"""WITH g AS (
+         |  SELECT $spanCols FROM ${OracleAux.sqlFrom("sf1_golden")}),
+         |p AS (
+         |  SELECT doc_id, kind,
+         |    CASE WHEN pos % 11 = 5 THEN text || ' @@' ELSE text END AS text,
+         |    media_ref
+         |  FROM g WHERE pos % 7 <> 3),
+         |cg AS (SELECT doc_id, kind, text, media_ref, count(*)::BIGINT AS cg
+         |  FROM g GROUP BY 1, 2, 3, 4),
+         |cp AS (SELECT doc_id, kind, text, media_ref, count(*)::BIGINT AS cp
+         |  FROM p GROUP BY 1, 2, 3, 4),
+         |j AS (
+         |  SELECT doc_id, coalesce(cg, 0) AS cg, coalesce(cp, 0) AS cp
+         |  FROM cg FULL OUTER JOIN cp USING (doc_id, kind, text, media_ref)),
+         |m AS (
+         |  SELECT doc_id, sum(cg)::BIGINT AS n_gold, sum(cp)::BIGINT AS n_pred,
+         |    sum(least(cg, cp))::BIGINT AS n_match
+         |  FROM j GROUP BY 1)
+         |SELECT doc_id, n_gold, n_pred, n_match,
+         |  ((n_match * 1000000) // greatest(n_pred, 1))::BIGINT AS p_ppm,
+         |  ((n_match * 1000000) // greatest(n_gold, 1))::BIGINT AS r_ppm,
+         |  ((2 * n_match * 1000000)
+         |    // greatest(n_pred + n_gold, 1))::BIGINT AS f1_ppm
+         |FROM m""".stripMargin,
     // the full curation chain over the GOLDEN spans' reassembled text —
     // string doc_ids, so the cluster label stays VARCHAR (idCast = "")
     "extract_curate" ->

@@ -60,6 +60,10 @@ object TextOps {
   private val CodeKeywords = Seq("def", "return", "if", "else", "for", "while")
   private val CodeSymPpm   = 10000L
 
+  /** text_topic_boundaries: a block gap whose vocabulary Jaccard falls
+    * below this ppm is a topic-boundary candidate. */
+  private val TopicCohesionPpm = 200000L
+
   /** q_ccnet_buckets: fam_score range-bucket width for the two-pass
     * per-language rank (fam_score ≤ 10^6 since cb ≤ cu, so ≤ 16 range
     * buckets per language — the offsets frame stays broadcast-tiny). */
@@ -659,6 +663,34 @@ object TextOps {
           expr("(n_types * 1000000) div n_tokens").as("ttr_ppm"),
           expr("(n_hapax * 1000000) div n_types").as("hapax_ppm"),
           expr("(top_cf * 1000000) div n_tokens").as("top_share_ppm"))
+    }),
+
+    // TextTiling-style topic-boundary scoring (Hearst, CL 1997 — the
+    // lexical-cohesion half, integerized): adjacent 8-token blocks are
+    // compared by exact vocabulary Jaccard in ppm; a low-cohesion gap is
+    // a topic-boundary candidate — the semantic-chunking signal a RAG /
+    // context-packing pipeline uses instead of blind fixed windows
+    // (read next to text_chunk_windows). Zero shuffles: block slicing,
+    // set ops, and the per-gap explode all run inside one codegen'd
+    // projection; output rows ∝ corpus tokens / 8.
+    "text_topic_boundaries" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("nb", expr("size(toks) div 8").cast("long"))
+        .filter(col("nb") >= 2)
+      base.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), col("nb") - 2), i => {
+            val a = array_distinct(
+              slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)))
+            val b = array_distinct(
+              slice(col("toks"), (i * 8 + 9).cast("int"), lit(8)))
+            struct(size(array_intersect(a, b)).cast("long").as("inter"),
+              size(array_union(a, b)).cast("long").as("uni"))
+          })).as(Seq("block", "m")))
+        .select(col("doc_id"), col("block").cast("long").as("block"),
+          col("m.inter").as("inter"), col("m.uni").as("uni"))
+        .withColumn("cohesion_ppm", expr("(inter * 1000000) div uni"))
+        .withColumn("is_boundary", col("cohesion_ppm") < TopicCohesionPpm)
     }),
 
     // LIX readability (Björnsson 1968): words/sentence + 100·longwords/
@@ -1298,6 +1330,26 @@ object TextOps {
          |  ((n_sym * 1000000) // n_chars >= $CodeSymPpm AND n_kw >= 2)
          |    AS is_code
          |FROM m""".stripMargin,
+
+    "text_topic_boundaries" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, (len(toks) // 8)::BIGINT AS nb
+         |  FROM t WHERE len(toks) // 8 >= 2),
+         |e AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, nb - 2))::BIGINT AS block,
+         |    unnest([len(list_distinct(list_intersect(
+         |        list_distinct(toks[(i*8+1):(i*8+8)]),
+         |        list_distinct(toks[(i*8+9):(i*8+16)]))))
+         |      for i in generate_series(0, nb - 2)])::BIGINT AS inter,
+         |    unnest([len(list_distinct(toks[(i*8+1):(i*8+16)]))
+         |      for i in generate_series(0, nb - 2)])::BIGINT AS uni
+         |  FROM c)
+         |SELECT doc_id, block, inter, uni,
+         |  ((inter * 1000000) // uni)::BIGINT AS cohesion_ppm,
+         |  (inter * 1000000) // uni < $TopicCohesionPpm AS is_boundary
+         |FROM e""".stripMargin,
 
     "text_readability" ->
       s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),

@@ -933,6 +933,67 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { out.unpersist(); () }
   }
 
+  test("extract_caption_align: neighbors bracket the media span and really are text") {
+    val out = SparkEntry.queries("extract_caption_align")(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("media_ref") === "").count() == 0)
+      assert(out.filter(col("prev_text_pos") =!= -1 &&
+        col("prev_text_pos") >= col("pos")).count() == 0,
+        "a 'preceding' text span does not precede")
+      assert(out.filter(col("next_text_pos") =!= -1 &&
+        col("next_text_pos") <= col("pos")).count() == 0)
+      // a resolved neighbor always carries its snippet; -1 never does
+      assert(out.filter(col("prev_text_pos") =!= -1 &&
+        col("prev_snippet") === "").count() == 0)
+      assert(out.filter(col("prev_text_pos") === -1 &&
+        col("prev_snippet") =!= "").count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("eval_span_f1: planted damage scores below perfect, clean docs at it") {
+    val out = SparkEntry.queries("eval_span_f1")(spark, dir).cache()
+    try {
+      assert(out.filter(col("n_match") > col("n_pred") ||
+        col("n_match") > col("n_gold")).count() == 0)
+      assert(out.filter(col("f1_ppm") > 1000000L).count() == 0)
+      // the degradation drops spans corpus-wide: recall must suffer
+      val t = out.agg(sum(col("n_pred")).as("p"), sum(col("n_gold")).as("g"),
+        sum(col("n_match")).as("m")).collect()(0)
+      assert(t.getLong(0) < t.getLong(1), "degradation dropped nothing")
+      assert(t.getLong(2) < t.getLong(1), "perfect recall through damage")
+      // docs untouched by both planting rules score a perfect F1
+      assert(out.filter(col("n_pred") === col("n_gold") &&
+        col("n_match") === col("n_gold") &&
+        col("f1_ppm") =!= 1000000L).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("text_topic_boundaries: gap scores match a by-hand replay") {
+    import graft.functions.TextKernels.{tokens => tks}
+    val out = SparkEntry.queries("text_topic_boundaries")(spark, dir).cache()
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), tks(col("text")).as("toks"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+      var checked = 0
+      docs.foreach { case (id, toks) =>
+        val nb = toks.length / 8
+        (0 until nb - 1).foreach { i =>
+          val a = toks.slice(i * 8, i * 8 + 8).toSet
+          val b = toks.slice(i * 8 + 8, i * 8 + 16).toSet
+          assert(got((id, i.toLong)) ==
+            ((a & b).size.toLong, (a | b).size.toLong),
+            s"doc $id gap $i")
+          checked += 1
+        }
+      }
+      assert(checked.toLong == out.count())
+    } finally { out.unpersist(); () }
+  }
+
   test("text_quality_adaptive_gate: derived decile threshold drops the worst, conservatively") {
     val out = SparkEntry.queries("text_quality_adaptive_gate")(spark, dir).cache()
     val n   = out.count()

@@ -886,6 +886,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     })
   }
 
+  test("topic boundaries: zero-shuffle block scoring inside codegen") {
+    val p = plan("text_topic_boundaries")
+    assert(count(p, "Exchange") == 0,
+      s"block scoring introduced a shuffle:\n${p.take(2000)}")
+    assert(p.contains("*("), "no codegen span")
+  }
+
   test("pad waste: both layout ranks broadcast their offsets frames") {
     val root = rootOf("q_batch_pad_waste")
     // two-pass discipline twice (sorted + arrival)
