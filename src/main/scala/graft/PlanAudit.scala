@@ -68,7 +68,10 @@ object PlanAudit {
         "q_context_fit", "q_shard_balance", "q_schema_drift",
         "q_walk_skipgrams", "text_code_detect", "dedup_cluster_histogram",
         "q_retention_cohorts", "q_graph_modularity",
-        "extract_caption_align", "eval_span_f1", "text_topic_boundaries")
+        "extract_caption_align", "eval_span_f1", "text_topic_boundaries",
+        // this session: dims-row power-iteration passes, single partial-agg
+        // bootstrap, bin-histogram calibration
+        "ann_power_iteration", "q_bootstrap_sample", "eval_ece")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -99,6 +99,12 @@ object Curation {
   private val PriorityShift  = 281474976710656L // 2^48
   private val PriorityWScale = 65536L           // 2^16 = PriorityShift / 2^32
 
+  /** q_bootstrap_sample: replicate count and the Poisson(1) CDF in ppm —
+    * P(0), P(≤1), P(≤2), P(≤3); the remaining 18988 ppm draw count 4
+    * (the tail collapsed into one bucket, its mass conserved). */
+  private val BootReps = 3L
+  private val BootCdf  = Seq(367879L, 735759L, 919699L, 981012L)
+
   /** PageRank integer scale (rank 1.0 ≡ [[PrScale]]). */
   private val PrScale = 1000000L
 
@@ -966,6 +972,40 @@ object Curation {
           greatest(col("w") * PriorityWScale, col("tau")).as("est_w_scaled"))
     }),
 
+    // Poisson bootstrap (Chamandy et al. 2012, the resampling scheme that
+    // made the bootstrap distributed): a true bootstrap resample needs a
+    // global draw-with-replacement — unshardable at 10^12 docs — but each
+    // doc's multiplicity in a resample of size n is Binomial(n, 1/n) →
+    // Poisson(1), INDEPENDENT per doc, so each replicate is one stateless
+    // per-row multiplicity draw. Three replicates estimate the sampling
+    // variance of any corpus statistic (here: mean doc length) without a
+    // second corpus pass per replicate. Randomness is the salted doc hash
+    // (deterministic, rerun-stable — the q_train_split discipline) mapped
+    // through the Poisson(1) CDF at ppm resolution, counts ≥ 4 collapsed
+    // into the 4 bucket (18988 ppm — mass conserved, documented above).
+    // Scale shape: one narrow scan exploded ×R, then a groupBy(rep) with
+    // map-side partial agg down to R rows — the corpus never shuffles.
+    // (At 10^9+ docs the mean's ×10^6 lift runs on per-partition partial
+    // sums exactly as here; w_sum ≤ Σ n_chars keeps int64 to ~10^12 docs.)
+    "q_bootstrap_sample" -> ((s, dir) => {
+      val reps = docs(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+          explode(sequence(lit(0L), lit(BootReps - 1))).as("rep"))
+        .withColumn("u", hex32(concat(lit("boot:"), col("rep").cast("string"),
+          lit(":"), col("doc_id").cast("string"))) % 1000000L)
+        .withColumn("cnt",
+          when(col("u") < BootCdf(0), 0L).when(col("u") < BootCdf(1), 1L)
+            .when(col("u") < BootCdf(2), 2L).when(col("u") < BootCdf(3), 3L)
+            .otherwise(4L))
+      reps.groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_source"),
+          sum(col("cnt")).as("sample_size"),
+          sum(when(col("cnt") === 0L, 1L).otherwise(0L)).as("n_dropped"),
+          sum(col("cnt") * col("w")).as("w_sum"))
+        .withColumn("mean_w_ppm",
+          expr("w_sum * 1000000 div greatest(sample_size, 1)"))
+    }),
+
     "q_upsample_epochs" -> ((s, dir) => {
       val m20 = col("doc_id") % 20
       val domain = when(m20 < 10, lit("web")).when(m20 < 16, lit("news"))
@@ -1727,6 +1767,26 @@ object Curation {
          |SELECT doc_id, w, q, tau,
          |  greatest(w * $PriorityWScale, tau)::BIGINT AS est_w_scaled
          |FROM r, tau WHERE rn <= $PriorityK""".stripMargin,
+
+    "q_bootstrap_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, n_chars::BIGINT AS w,
+         |    unnest(generate_series(0, ${BootReps - 1}))::BIGINT AS rep
+         |  FROM documents),
+         |u AS (SELECT rep, w,
+         |    ${Dk.hex32("'boot:' || rep::VARCHAR || ':' || doc_id::VARCHAR")}
+         |      % 1000000 AS u
+         |  FROM r),
+         |c AS (SELECT rep, w,
+         |    (CASE WHEN u < ${BootCdf(0)} THEN 0 WHEN u < ${BootCdf(1)} THEN 1
+         |      WHEN u < ${BootCdf(2)} THEN 2 WHEN u < ${BootCdf(3)} THEN 3
+         |      ELSE 4 END)::BIGINT AS cnt
+         |  FROM u)
+         |SELECT rep, count(*)::BIGINT AS n_source, sum(cnt)::BIGINT AS sample_size,
+         |  sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+         |  sum(cnt * w)::BIGINT AS w_sum,
+         |  (sum(cnt * w) * 1000000 // greatest(sum(cnt), 1))::BIGINT AS mean_w_ppm
+         |FROM c GROUP BY 1""".stripMargin,
 
     "q_upsample_epochs" ->
       s"""WITH d AS (

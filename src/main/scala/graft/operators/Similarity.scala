@@ -47,6 +47,11 @@ object Similarity {
   private val KmeansK     = 8
   private val KmeansIters = 2
 
+  /** ann_power_iteration: rescale bound for the iterate between passes —
+    * after each pass the vector is floor-divided down to ±PowScale so the
+    * next pass's per-row products stay in int64 at ANY corpus size. */
+  private val PowScale = 10000L
+
   /** Product quantization: M subspaces × PqSub dims, PqK codes each. The
     * sf-scale demo uses M=2/k=8 (64 float dims → 2 three-bit codes); a
     * production index uses M=8–64 with k=256 (1 byte/sub). The operator
@@ -438,6 +443,45 @@ object Similarity {
       val qdf = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       withKmeansCell(qdf, cents).select(col("vec_id"), col("cell"), col("d2"))
+    }),
+
+    // Top principal direction by POWER ITERATION over the uncentered
+    // second-moment matrix M = Σ_x x·xᵀ (the spectral core of embedding
+    // whitening / PCA-based dimensionality audits): v_{t+1} = M·v_t is
+    // computed WITHOUT materializing M — per row the scalar s = x·v_t,
+    // then a per-dimension sum of x_d·s, which is the only shape that
+    // survives 10^12 rows (M itself is dims² and never exists). Two
+    // unrolled iterations from v0 = 1⃗ in the integer quantized space, so
+    // every sum is exact int64 and order-independent (the trained-k-means
+    // rule — float power iteration is summation-order-dependent and
+    // cross-engine unverifiable). Between passes the iterate is rescaled
+    // DIVISION-FIRST (v ÷ max(1, max|v|÷PowScale), a sign-correct floor)
+    // — bounding it to ±PowScale without ever multiplying first, so the
+    // next pass's per-row term |q_d·(q·v)| stays ≤ dims·16000²·PowScale
+    // regardless of corpus size; the iterate itself is driver-shaped data
+    // (dims longs, the codebook discipline) shipped back as a literal.
+    // Scale shape: each pass is one narrow scan + a dims-row groupBy —
+    // nothing corpus-sized shuffles; rounds are O(1) driver collects.
+    "ann_power_iteration" -> ((s, dir) => {
+      val qdf = emb2(s, dir)
+      def pass(inner: org.apache.spark.sql.Column): DataFrame = qdf
+        .select(posexplode(col("q")).as(Seq("pos", "qi")), inner.as("sx"))
+        .groupBy(col("pos")).agg(sum(col("qi") * col("sx")).as("v"))
+      def rescale(v: Array[Long]): IndexedSeq[Long] = {
+        val g = math.max(1L, v.map(math.abs).max / PowScale)
+        v.map(Math.floorDiv(_, g)).toIndexedSeq
+      }
+      val v1 = Array.fill(Dims)(0L)
+      pass(aggregate(col("q"), lit(0L), (a, x) => a + x))
+        .collect().foreach(r => v1(r.getAs[Int]("pos")) = r.getAs[Long]("v"))
+      val v1q = rescale(v1)
+      val v2f = pass(aggregate(zip_with(col("q"), typedLit(v1q), (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+      val g2 = v2f.agg(greatest(expr(s"max(abs(v)) div $PowScale"), lit(1L)).as("g"))
+      v2f.crossJoin(broadcast(g2))
+        .select(col("pos").cast("long").as("pos"),
+          element_at(typedLit(v1q), col("pos").cast("int") + 1).as("v1q"),
+          expr("(v - pmod(v, g)) div g").as("v2q"))
     }),
 
     // Greedy k-center coreset (Gonzalez 1985 farthest-first traversal,
@@ -1131,6 +1175,31 @@ object Similarity {
     "ann_kmeans_cells" ->
       s"""WITH $dkKmeansChain
          |SELECT vec_id, cell, d2 FROM ad WHERE rn = 1""".stripMargin,
+    // both power-iteration passes unrolled; the inter-pass rescale is the
+    // same division-first sign-correct floor as the Spark side (DuckDB //
+    // truncates toward zero on negatives, so floor is emulated via the
+    // pmod identity)
+    "ann_power_iteration" ->
+      s"""WITH qe AS (
+         |  SELECT vec_id, ${Dk.quantize("embedding", Dims)} AS q FROM embeddings),
+         |r1 AS (SELECT q,
+         |    list_reduce(list_prepend(0::BIGINT, q), (a, b) -> a + b) AS sx
+         |  FROM qe),
+         |v1 AS (SELECT pos, sum(q[pos] * sx)::BIGINT AS v
+         |  FROM r1, generate_series(1, $Dims) t(pos) GROUP BY 1),
+         |g1 AS (SELECT greatest(max(abs(v)) // $PowScale, 1) AS g FROM v1),
+         |v1q AS (SELECT pos, ((v - ((v % g + g) % g)) // g)::BIGINT AS vq
+         |  FROM v1, g1),
+         |vl AS (SELECT list(vq ORDER BY pos) AS l FROM v1q),
+         |r2 AS (SELECT q, list_reduce(list_prepend(0::BIGINT,
+         |    [q[i] * l[i] for i in generate_series(1, $Dims)]), (a, b) -> a + b) AS sx
+         |  FROM qe, vl),
+         |v2 AS (SELECT pos, sum(q[pos] * sx)::BIGINT AS v
+         |  FROM r2, generate_series(1, $Dims) t(pos) GROUP BY 1),
+         |g2 AS (SELECT greatest(max(abs(v)) // $PowScale, 1) AS g FROM v2)
+         |SELECT (v2.pos - 1)::BIGINT AS pos, v1q.vq AS v1q,
+         |  ((v2.v - ((v2.v % g + g) % g)) // g)::BIGINT AS v2q
+         |FROM v2 JOIN v1q ON v1q.pos = v2.pos, g2""".stripMargin,
     // farthest-first traversal unrolled: round r's CTEs carry the
     // running min-distance (m_r), the argmax pick (p_r), and the picked
     // vector (c_r); sel_d2 is the distance AT pick time

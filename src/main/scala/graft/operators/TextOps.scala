@@ -64,6 +64,16 @@ object TextOps {
     * below this ppm is a topic-boundary candidate. */
   private val TopicCohesionPpm = 200000L
 
+  /** eval_ece: confidence = clip(500000 + logit·EceConfScale) ppm; the
+    * planted labels agree with the logit's sign up to ±EceNoise hash
+    * noise (so docs with |logit| ≥ EceNoise are ALWAYS labeled with the
+    * classifier — bins at confidence ≥ 500000 + EceNoise·EceConfScale
+    * are exactly pure); EceBinW is the reliability-histogram bin width.
+    * Scales sized to the sf logit distribution (sd ≈ 2000–3000). */
+  private val EceConfScale = 100L
+  private val EceNoise     = 3000L
+  private val EceBinW      = 100000L
+
   /** q_ccnet_buckets: fam_score range-bucket width for the two-pass
     * per-language rank (fam_score ≤ 10^6 since cb ≤ cu, so ≤ 16 range
     * buckets per language — the offsets frame stays broadcast-tiny). */
@@ -199,6 +209,53 @@ object TextOps {
         .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("logit"))
         .select(col("doc_id"), col("n_tokens"), col("logit"),
           (col("logit") >= 0).as("keep"))),
+
+    // Expected calibration error (Naeini et al. 2015; Guo et al. 2017) —
+    // the audit run on every model-based quality filter BEFORE its scores
+    // gate a corpus: a filter that says "90% confident" must be right
+    // ~90% of the time, or its threshold keeps/drops the wrong mass.
+    // The classifier is text_quality_classifier's bucket-weight logit
+    // (identical chain); confidence is an affine clip of the logit to
+    // ppm (a piecewise-linear stand-in for the sigmoid — exact integers,
+    // no exp()), and the planted labels agree with the logit's sign up
+    // to ±EceNoise hash noise, so mid-confidence bins are genuinely
+    // noisy and far bins genuinely certain: the calibration curve has
+    // real shape, not a degenerate diagonal. Output = the reliability
+    // histogram (per-bin n / avg confidence / accuracy / |gap|) plus the
+    // n-weighted ECE on every row. Scale shape: the classifier's
+    // token-bucket aggregation, then a ≤6-row bin aggregate — nothing
+    // corpus-sized moves after the per-doc logits.
+    "eval_ece" -> ((s, dir) => {
+      val lg = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .withColumn("b", hex32(col("term")) % 64)
+        .withColumn("w", expr("(b * 2654435761) % 1000 - 500"))
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("logit"))
+      val scored = lg
+        .withColumn("conf1",
+          greatest(lit(0L),
+            least(lit(1000000L), lit(500000L) + col("logit") * EceConfScale)))
+        .withColumn("confidence",
+          greatest(col("conf1"), lit(1000000L) - col("conf1")))
+        .withColumn("noise",
+          hex32(concat(lit("ece:"), col("doc_id").cast("string"))) % (2 * EceNoise)
+            - EceNoise)
+        .withColumn("correct",
+          (((col("logit") + col("noise")) >= 0L) === (col("logit") >= 0L)).cast("long"))
+        .withColumn("bin", least(expr(s"confidence div $EceBinW"), lit(9L)))
+      val byBin = scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("confidence")).as("conf_sum"),
+          sum(col("correct")).as("n_correct"))
+        .withColumn("avg_conf_ppm", expr("conf_sum div n"))
+        .withColumn("acc_ppm", expr("n_correct * 1000000 div n"))
+        .withColumn("gap_ppm", abs(col("avg_conf_ppm") - col("acc_ppm")))
+      val tot = byBin
+        .agg(sum(col("n")).as("nt"), sum(col("gap_ppm") * col("n")).as("gs"))
+        .select(expr("gs div nt").as("ece_ppm"))
+      byBin.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("avg_conf_ppm"), col("acc_ppm"),
+          col("gap_ppm"), col("ece_ppm"))
+    }),
 
     // Sketch-driven ADAPTIVE quality gate — the two-pass shape a 100 TB
     // filter actually uses: pass 1 reduces the corpus to a ≤101-row
@@ -1050,6 +1107,36 @@ object TextOps {
          |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS logit,
          |  sum(w) >= 0 AS keep
          |FROM w GROUP BY 1""".stripMargin,
+    "eval_ece" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${Dk.tokens("text")}) AS term FROM documents),
+         |b AS (SELECT doc_id, ${Dk.hex32("term")} % 64 AS b FROM t),
+         |lg AS (SELECT doc_id,
+         |    sum((b * 2654435761) % 1000 - 500)::BIGINT AS logit
+         |  FROM b GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, logit,
+         |    greatest(0, least(1000000, 500000 + logit * $EceConfScale)) AS conf1,
+         |    ${Dk.hex32("'ece:' || doc_id::VARCHAR")} % ${2 * EceNoise}
+         |      - $EceNoise AS noise
+         |  FROM lg),
+         |sc2 AS (
+         |  SELECT doc_id,
+         |    greatest(conf1, 1000000 - conf1) AS confidence,
+         |    (CASE WHEN ((logit + noise) >= 0) = (logit >= 0)
+         |      THEN 1 ELSE 0 END)::BIGINT AS correct
+         |  FROM sc),
+         |bb AS (
+         |  SELECT least(confidence // $EceBinW, 9)::BIGINT AS bin,
+         |    count(*)::BIGINT AS n,
+         |    (sum(confidence) // count(*))::BIGINT AS avg_conf_ppm,
+         |    (sum(correct) * 1000000 // count(*))::BIGINT AS acc_ppm
+         |  FROM sc2 GROUP BY 1),
+         |g AS (SELECT bin, n, avg_conf_ppm, acc_ppm,
+         |    abs(avg_conf_ppm - acc_ppm)::BIGINT AS gap_ppm FROM bb),
+         |tot AS (SELECT (sum(gap_ppm * n) // sum(n))::BIGINT AS ece_ppm FROM g)
+         |SELECT bin, n, avg_conf_ppm, acc_ppm, gap_ppm, ece_ppm
+         |FROM g, tot""".stripMargin,
     "text_tokenizer_fertility" ->
       s"""WITH c AS (
          |  SELECT lang, len(${Dk.tokens("text")})::BIGINT AS w,

@@ -2059,4 +2059,73 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(r.getAs[Long]("share_ppm") == counts(u) * counts(u) * 1000000L / totalPairs)
     }
   }
+
+  test("ann_power_iteration: trace equals a full Scala replay, rescale bounded") {
+    val out = SparkEntry.queries("ann_power_iteration")(spark, dir).collect()
+      .map(r => r.getAs[Long]("pos") -> ((r.getAs[Long]("v1q"), r.getAs[Long]("v2q"))))
+      .toMap
+    val dims = 64
+    val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        math.floor(x.toDouble * 2000.0 + 0.5).toLong))
+    def pass(v: Array[Long]): Array[Long] = {
+      val acc = Array.fill(dims)(0L)
+      qs.foreach { q =>
+        val s = (0 until dims).map(i => q(i) * v(i)).sum
+        (0 until dims).foreach(i => acc(i) += q(i) * s)
+      }
+      acc
+    }
+    def rescale(v: Array[Long]): Array[Long] = {
+      val g = math.max(1L, v.map(math.abs).max / 10000L)
+      v.map(Math.floorDiv(_, g))
+    }
+    val v1q = rescale(pass(Array.fill(dims)(1L)))
+    val v2q = rescale(pass(v1q))
+    assert(out.size == dims)
+    (0 until dims).foreach { i =>
+      assert(out(i.toLong) == ((v1q(i), v2q(i))), s"dim $i mismatch")
+    }
+    assert(v2q.map(math.abs).max <= 10000L && v2q.map(math.abs).max > 5000L,
+      "rescaled iterate should sit near full scale")
+  }
+
+  test("q_bootstrap_sample: replicate sizes concentrate, zero-draw mass ~ 1/e") {
+    val out = SparkEntry.queries("q_bootstrap_sample")(spark, dir).collect()
+    assert(out.length == 3)
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_source") == n)
+      val ss = r.getAs[Long]("sample_size")
+      assert(math.abs(ss - n) <= n / 5, s"replicate size $ss vs corpus $n")
+      val drop = r.getAs[Long]("n_dropped").toDouble / n
+      assert(drop > 0.30 && drop < 0.44, s"zero-draw fraction $drop not ~ e^-1")
+      assert(r.getAs[Long]("mean_w_ppm") ==
+        r.getAs[Long]("w_sum") * 1000000L / math.max(ss, 1L))
+    }
+    // replicates must actually differ (that's the variance being estimated)
+    assert(out.map(_.getAs[Long]("sample_size")).distinct.length >= 2)
+  }
+
+  test("eval_ece: pure bins exactly calibrated, noisy bins not, ECE is the weighted gap") {
+    val out = SparkEntry.queries("eval_ece")(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n")).sum == n, "bins must partition the corpus")
+    // confidence >= 800000 ⇒ |logit| >= EceNoise ⇒ the noisy label can
+    // never flip the sign ⇒ accuracy is exactly 1.0
+    val pure = out.filter(_.getAs[Long]("bin") >= 8)
+    assert(pure.nonEmpty)
+    pure.foreach(r => assert(r.getAs[Long]("acc_ppm") == 1000000L,
+      s"bin ${r.getAs[Long]("bin")} should be exactly pure"))
+    assert(out.exists(r => r.getAs[Long]("bin") < 8 &&
+      r.getAs[Long]("acc_ppm") < 1000000L), "noise must show in some low bin")
+    val wantEce = out.map(r => r.getAs[Long]("gap_ppm") * r.getAs[Long]("n")).sum /
+      out.map(_.getAs[Long]("n")).sum
+    out.foreach(r => assert(r.getAs[Long]("ece_ppm") == wantEce))
+    out.foreach { r =>
+      assert(r.getAs[Long]("gap_ppm") ==
+        math.abs(r.getAs[Long]("avg_conf_ppm") - r.getAs[Long]("acc_ppm")))
+    }
+  }
 }

@@ -893,6 +893,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("*("), "no codegen span")
   }
 
+  test("power iteration: passes shuffle dims-row partials, never vectors") {
+    val root = rootOf("ann_power_iteration")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("q") && !cols.contains("embedding"),
+        s"power-iteration shuffle carries a vector column: $cols")
+    }
+    assert(!root.toString.contains("CartesianProduct"),
+      "scale-factor join went cartesian")
+  }
+
+  test("bootstrap sample: one partial-agg shuffle of R replicate rows") {
+    val p = plan("q_bootstrap_sample")
+    assert(count(p, "Exchange") == 1,
+      s"expected exactly 1 Exchange (the groupBy rep):\n${p.take(3000)}")
+    assert(p.contains("partial"), "replicate counters must combine map-side")
+  }
+
+  test("ece: logits and bins aggregate with partials; no text in any shuffle") {
+    val root = rootOf("eval_ece")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("term"),
+        s"ece shuffle carries text: $cols")
+    }
+    assert(root.toString.contains("BroadcastHashJoin") ||
+      root.toString.contains("BroadcastNestedLoopJoin"),
+      "the 1-row ECE total must broadcast back onto the bins")
+  }
+
   test("pad waste: both layout ranks broadcast their offsets frames") {
     val root = rootOf("q_batch_pad_waste")
     // two-pass discipline twice (sorted + arrival)
