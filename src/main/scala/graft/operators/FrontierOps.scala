@@ -577,6 +577,10 @@ object FrontierOps {
     // shape: in-community edges are two host-keyed equi-joins of the
     // edge list against the (host, community) table + a partial agg per
     // community; degree sums ride the same table; m is a 1-row broadcast.
+    // The (host, community) table and the per-community frame are each
+    // CACHED: comm feeds three joins and per feeds both union branches —
+    // uncached, the whole label-prop DAG (2 window rounds) re-ran ~6×
+    // (35.6 s vs ~3 s for label-prop itself in the sf0.1 bench).
     "q_graph_modularity" -> ((s, dir) => {
       val und = hostEdges(s, dir).select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b")).distinct().cache()
@@ -584,6 +588,7 @@ object FrontierOps {
         .select(col("host"),
           when(col("label") >= 0, concat(lit("c"), col("label")))
             .otherwise(concat(lit("solo_"), col("host"))).as("comm"))
+        .cache()
       val mRow = und.agg(count(lit(1)).as("m"))
       val deg = und.select(col("a").as("host"))
         .unionByName(und.select(col("b").as("host")))
@@ -605,6 +610,7 @@ object FrontierOps {
         .select(col("comm").as("community"), col("n_hosts"), col("in_edges"),
           col("deg_sum"), col("contrib"), expr(modPpm).as("modularity_ppm"),
           col("m"))
+        .cache()
       val all = per
         .agg(sum(col("n_hosts")).as("n_hosts"), sum(col("in_edges")).as("in_edges"),
           sum(col("deg_sum")).as("deg_sum"), sum(col("contrib")).as("contrib"),

@@ -893,6 +893,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("*("), "no codegen span")
   }
 
+  test("novelty: no digest inside a Filter predicate (pushdown blowup pin)") {
+    // pushing a predicate through a projection substitutes the alias's
+    // expression tree into the Filter; HOFs are CodegenFallback inside
+    // predicates and re-evaluate subtrees per element — md5 appearing in
+    // any Filter node is the 60× regression NovProbe measured
+    val p = plan("dedup_novelty")
+    val badFilter = p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("md5"))
+    assert(!badFilter, s"digest re-evaluated inside a Filter:\n${p.take(3000)}")
+  }
+
   test("power iteration: passes shuffle dims-row partials, never vectors") {
     val root = rootOf("ann_power_iteration")
     shuffleCols(root).foreach { cols =>
