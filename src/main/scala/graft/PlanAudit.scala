@@ -71,7 +71,10 @@ object PlanAudit {
         "extract_caption_align", "eval_span_f1", "text_topic_boundaries",
         // this session: dims-row power-iteration passes, single partial-agg
         // bootstrap, bin-histogram calibration
-        "ann_power_iteration", "q_bootstrap_sample", "eval_ece")
+        "ann_power_iteration", "q_bootstrap_sample", "eval_ece",
+        // this session, cont.: k-row balance audit, 4-cell confusion
+        // rollup, broadcast-set blocklist scan
+        "ann_cell_balance", "eval_kappa", "text_blocklist_filter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

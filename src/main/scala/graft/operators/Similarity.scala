@@ -484,6 +484,32 @@ object Similarity {
           expr("(v - pmod(v, g)) div g").as("v2q"))
     }),
 
+    // IVF cell-balance audit — the index-health report a production ANN
+    // deployment watches continuously (FAISS's "imbalance factor"): query
+    // latency under an inverted-file index is driven by the HOTTEST cell
+    // a query probes, so a codebook whose cells drift unbalanced (data
+    // drift after training) silently turns O(N/k) probes into O(N).
+    // Reports per-cell mass + share, the global imbalance factor
+    // IF = k·Σnᵢ²/N² in ppm (1.0 = perfectly balanced; FAISS re-trains
+    // above ~1.5–2), and the empty-cell count (wasted codebook capacity).
+    // Reuses the memoized trained codebook — the audit rides the same
+    // assignment pass the index build already runs. Scale shape: one
+    // narrow assignment scan → k-row partial agg; the k-row frame
+    // cross-joins its own 1-row rollup. All integer-exact.
+    "ann_cell_balance" -> ((s, dir) => {
+      val cents = kmeansTrain(s, dir)
+      val cells = withKmeansCell(emb2(s, dir), cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(sum(col("n_vecs")).as("n"),
+          sum(col("n_vecs") * col("n_vecs")).as("sq"),
+          count(lit(1)).as("present"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          expr("n_vecs * 1000000 div n").as("share_ppm"),
+          expr(s"$KmeansK * sq * 1000000 div (n * n)").as("imbalance_ppm"),
+          (lit(KmeansK.toLong) - col("present")).as("n_empty"))
+    }),
+
     // Greedy k-center coreset (Gonzalez 1985 farthest-first traversal,
     // the 2-approximation) — the diversity-SELECTION dual of
     // dedup_semantic's redundancy REMOVAL, and the geometric core of
@@ -1175,6 +1201,18 @@ object Similarity {
     "ann_kmeans_cells" ->
       s"""WITH $dkKmeansChain
          |SELECT vec_id, cell, d2 FROM ad WHERE rn = 1""".stripMargin,
+    "ann_cell_balance" ->
+      s"""WITH $dkKmeansChain,
+         |cz AS (SELECT cell, count(*)::BIGINT AS n_vecs
+         |  FROM ad WHERE rn = 1 GROUP BY 1),
+         |tot AS (SELECT sum(n_vecs)::BIGINT AS n,
+         |    sum(n_vecs * n_vecs)::BIGINT AS sq, count(*)::BIGINT AS present
+         |  FROM cz)
+         |SELECT cell, n_vecs,
+         |  (n_vecs * 1000000 // n)::BIGINT AS share_ppm,
+         |  ($KmeansK * sq * 1000000 // (n * n))::BIGINT AS imbalance_ppm,
+         |  ($KmeansK - present)::BIGINT AS n_empty
+         |FROM cz, tot""".stripMargin,
     // both power-iteration passes unrolled; the inter-pass rescale is the
     // same division-first sign-correct floor as the Spark side (DuckDB //
     // truncates toward zero on negatives, so floor is emulated via the

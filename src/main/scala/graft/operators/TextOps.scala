@@ -74,6 +74,18 @@ object TextOps {
   private val EceNoise     = 3000L
   private val EceBinW      = 100000L
 
+  /** eval_kappa: rater B = sign of (A's logit + hash noise in
+    * ±KappaNoise) — high agreement with genuine disagreements, so the
+    * planted kappa is meaningfully inside (0, 1): ±1500 on the sf logit
+    * distribution (sd ≈ 2000–3000) gives κ ≈ 0.62 at sf0.001. */
+  private val KappaNoise = 1500L
+
+  /** text_blocklist_filter: the blocklist (a C4-style badword list
+    * stand-in — literal broadcast set) and the planted contaminated docs:
+    * doc_id % 7 gets one listed token, % 13 gets both (LCM 91 gets
+    * three occurrences total). */
+  private val Blocklist = Seq("xxrated", "spamlink")
+
   /** q_ccnet_buckets: fam_score range-bucket width for the two-pass
     * per-language rank (fam_score ≤ 10^6 since cb ≤ cu, so ≤ 16 range
     * buckets per language — the offsets frame stays broadcast-tiny). */
@@ -255,6 +267,68 @@ object TextOps {
       byBin.crossJoin(broadcast(tot))
         .select(col("bin"), col("n"), col("avg_conf_ppm"), col("acc_ppm"),
           col("gap_ppm"), col("ece_ppm"))
+    }),
+
+    // Cohen's kappa (1960) inter-rater agreement — the labeled-data QA
+    // gate run before any judged/annotated set trains or evaluates a
+    // model: raw percent agreement flatters raters who both say "keep"
+    // to everything, so agreement is scored ABOVE CHANCE, kappa =
+    // (p_o − p_e)/(1 − p_e) with p_e from the raters' marginals. Rater A
+    // is the catalog's bucket-weight classifier; rater B re-judges A's
+    // logit under ±KappaNoise hash noise (two imperfectly-correlated
+    // judges — the planted kappa sits strictly inside (0,1) and the spec
+    // brackets it). Exact integer rationals throughout: p_o and p_e in
+    // ppm (pe's product marginals divided by n² BEFORE the ppm lift —
+    // int64-safe to 10^6 docs; at larger n the marginals come from the
+    // same partial-agg counts and the driver does the 128-bit rational),
+    // kappa via the sign-correct pmod floor (can go negative). Scale
+    // shape: the per-doc logit aggregation, then ONE 4-cell confusion
+    // aggregate — nothing after the logits is corpus-sized.
+    "eval_kappa" -> ((s, dir) => {
+      val lg = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .withColumn("b", hex32(col("term")) % 64)
+        .withColumn("w", expr("(b * 2654435761) % 1000 - 500"))
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("logit"))
+      val rated = lg
+        .withColumn("ra", (col("logit") >= 0L).cast("long"))
+        .withColumn("noise",
+          hex32(concat(lit("kap:"), col("doc_id").cast("string"))) % (2 * KappaNoise)
+            - KappaNoise)
+        .withColumn("rb", ((col("logit") + col("noise")) >= 0L).cast("long"))
+      val cm = rated.agg(count(lit(1)).as("n"),
+        sum(col("ra") * col("rb")).as("n11"),
+        sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+        sum((lit(1L) - col("ra")) * col("rb")).as("n01"),
+        sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"))
+      cm.withColumn("po_ppm", expr("(n11 + n00) * 1000000 div n"))
+        .withColumn("pe_ppm", expr(
+          "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1000000 div (n * n)"))
+        .withColumn("kappa_ppm", expr(
+          "((po_ppm - pe_ppm) * 1000000 - pmod((po_ppm - pe_ppm) * 1000000, 1000000 - pe_ppm)) div (1000000 - pe_ppm)"))
+    }),
+
+    // Blocklist document filter (the C4 "bad words" gate, Raffel et al.
+    // 2020 §2.2 — drop any page containing a listed word): membership of
+    // the BROADCAST blocklist literal against the token array, per-doc
+    // hit count + distinct listed tokens + the keep verdict. The corpus
+    // is clean, so contamination is PLANTED (one listed token on every
+    // 7th doc, both on every 13th) — keep varies and the spec pins the
+    // planted truth exactly. Scale shape: zero shuffles — one codegen'd
+    // scan with an isin over a tiny literal set (production ships a few
+    // thousand words the same way: a broadcast set, never a join).
+    "text_blocklist_filter" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" " + Blocklist(0))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" " + Blocklist.mkString(" "))).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), planted.as("ptext"))
+        .select(col("doc_id"),
+          size(filter(tokens(col("ptext")),
+            t => t.isin(Blocklist.map(lit(_)): _*))).cast("long").as("n_bad"),
+          size(array_intersect(array_distinct(tokens(col("ptext"))),
+            typedLit(Blocklist))).cast("long").as("n_bad_distinct"))
+        .withColumn("keep", col("n_bad") === 0L)
     }),
 
     // Sketch-driven ADAPTIVE quality gate — the two-pass shape a 100 TB
@@ -1107,6 +1181,56 @@ object TextOps {
          |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS logit,
          |  sum(w) >= 0 AS keep
          |FROM w GROUP BY 1""".stripMargin,
+    "eval_kappa" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${Dk.tokens("text")}) AS term FROM documents),
+         |b AS (SELECT doc_id, ${Dk.hex32("term")} % 64 AS b FROM t),
+         |lg AS (SELECT doc_id,
+         |    sum((b * 2654435761) % 1000 - 500)::BIGINT AS logit
+         |  FROM b GROUP BY 1),
+         |r AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN logit >= 0 THEN 1 ELSE 0 END)::BIGINT AS ra,
+         |    (CASE WHEN logit + (${Dk.hex32("'kap:' || doc_id::VARCHAR")}
+         |        % ${2 * KappaNoise} - $KappaNoise) >= 0
+         |      THEN 1 ELSE 0 END)::BIGINT AS rb
+         |  FROM lg),
+         |cm AS (
+         |  SELECT count(*)::BIGINT AS n, sum(ra * rb)::BIGINT AS n11,
+         |    sum(ra * (1 - rb))::BIGINT AS n10,
+         |    sum((1 - ra) * rb)::BIGINT AS n01,
+         |    sum((1 - ra) * (1 - rb))::BIGINT AS n00
+         |  FROM r),
+         |p AS (
+         |  SELECT n, n11, n10, n01, n00,
+         |    ((n11 + n00) * 1000000 // n)::BIGINT AS po_ppm,
+         |    (((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+         |      * 1000000 // (n * n))::BIGINT AS pe_ppm
+         |  FROM cm)
+         |SELECT n, n11, n10, n01, n00, po_ppm, pe_ppm,
+         |  (((po_ppm - pe_ppm) * 1000000
+         |    - (((po_ppm - pe_ppm) * 1000000 % (1000000 - pe_ppm)
+         |        + (1000000 - pe_ppm)) % (1000000 - pe_ppm)))
+         |   // (1000000 - pe_ppm))::BIGINT AS kappa_ppm
+         |FROM p""".stripMargin,
+    "text_blocklist_filter" -> {
+      val listSql = Blocklist.map("'" + _ + "'").mkString("[", ", ", "]")
+      val inSql   = Blocklist.map("'" + _ + "'").mkString(", ")
+      s"""WITH p AS (
+         |  SELECT doc_id, text
+         |    || (CASE WHEN doc_id % 7 = 0 THEN ' ${Blocklist(0)}' ELSE '' END)
+         |    || (CASE WHEN doc_id % 13 = 0
+         |        THEN ' ${Blocklist.mkString(" ")}' ELSE '' END) AS ptext
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(list_filter(${Dk.tokens("ptext")}, t -> t IN ($inSql)))::BIGINT
+         |      AS n_bad,
+         |    len(list_intersect(list_distinct(${Dk.tokens("ptext")}),
+         |      $listSql))::BIGINT AS n_bad_distinct
+         |  FROM p)
+         |SELECT doc_id, n_bad, n_bad_distinct, n_bad = 0 AS keep FROM m""".stripMargin
+    },
     "eval_ece" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(${Dk.tokens("text")}) AS term FROM documents),

@@ -2108,6 +2108,53 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.map(_.getAs[Long]("sample_size")).distinct.length >= 2)
   }
 
+  test("ann_cell_balance: masses partition the corpus; IF >= 1; matches the cells query") {
+    val out = SparkEntry.queries("ann_cell_balance")(spark, dir).collect()
+    val fromCells = SparkEntry.queries("ann_kmeans_cells")(spark, dir)
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("count")).toMap
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == n)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == fromCells(r.getAs[Long]("cell")))
+      assert(r.getAs[Long]("share_ppm") == r.getAs[Long]("n_vecs") * 1000000L / n)
+      // Cauchy–Schwarz: k·Σn²/N² >= 1, exactly even under the floor
+      assert(r.getAs[Long]("imbalance_ppm") >= 1000000L)
+      assert(r.getAs[Long]("n_empty") == 8L - fromCells.size)
+    }
+  }
+
+  test("eval_kappa: confusion partitions the corpus; kappa strictly inside (0,1)") {
+    val out = SparkEntry.queries("eval_kappa")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val Seq(n11, n10, n01, n00) =
+      Seq("n11", "n10", "n01", "n00").map(r.getAs[Long])
+    assert(n11 + n10 + n01 + n00 == n)
+    val po = (n11 + n00) * 1000000L / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1000000L / (n * n)
+    assert(r.getAs[Long]("po_ppm") == po && r.getAs[Long]("pe_ppm") == pe)
+    assert(r.getAs[Long]("kappa_ppm") == Math.floorDiv((po - pe) * 1000000L, 1000000L - pe))
+    // the ±noise re-rater agrees far above chance but not perfectly
+    assert(r.getAs[Long]("kappa_ppm") > 500000L && r.getAs[Long]("kappa_ppm") < 1000000L,
+      s"kappa ${r.getAs[Long]("kappa_ppm")} not in the planted band")
+  }
+
+  test("text_blocklist_filter: planted contamination counted exactly; clean docs keep") {
+    val out = SparkEntry.queries("text_blocklist_filter")(spark, dir).collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val wantBad = (if (id % 7 == 0) 1L else 0L) + (if (id % 13 == 0) 2L else 0L)
+      val wantDistinct =
+        if (id % 13 == 0) 2L else if (id % 7 == 0) 1L else 0L
+      assert(r.getAs[Long]("n_bad") == wantBad, s"doc $id n_bad")
+      assert(r.getAs[Long]("n_bad_distinct") == wantDistinct, s"doc $id distinct")
+      assert(r.getAs[Boolean]("keep") == (wantBad == 0L), s"doc $id keep")
+    }
+    assert(out.exists(!_.getAs[Boolean]("keep")) && out.exists(_.getAs[Boolean]("keep")))
+  }
+
   test("eval_ece: pure bins exactly calibrated, noisy bins not, ECE is the weighted gap") {
     val out = SparkEntry.queries("eval_ece")(spark, dir).collect()
     val n = spark.read.parquet(s"$dir/documents.parquet").count()

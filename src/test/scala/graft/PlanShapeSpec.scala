@@ -932,6 +932,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "the 1-row ECE total must broadcast back onto the bins")
   }
 
+  test("cell balance / kappa / blocklist: audit shapes stay narrow") {
+    // cell balance: assignment scan → k-row agg; rollup broadcast back
+    val cb = rootOf("ann_cell_balance")
+    assert(cb.toString.contains("BroadcastHashJoin") ||
+      cb.toString.contains("BroadcastNestedLoopJoin"))
+    shuffleCols(cb).foreach(cols =>
+      assert(!cols.contains("q") && !cols.contains("embedding"),
+        s"cell-balance shuffle carries a vector: $cols"))
+    // kappa: one logit agg + a 1-row confusion rollup; no terms move
+    shuffleCols(rootOf("eval_kappa")).foreach(cols =>
+      assert(!cols.contains("text") && !cols.contains("term"),
+        s"kappa shuffle carries text: $cols"))
+    // blocklist: zero-shuffle codegen'd scan
+    val bl = plan("text_blocklist_filter")
+    assert(count(bl, "Exchange") == 0,
+      s"blocklist filter introduced a shuffle:\n${bl.take(2000)}")
+    assert(bl.contains("*("), "no codegen span")
+  }
+
   test("pad waste: both layout ranks broadcast their offsets frames") {
     val root = rootOf("q_batch_pad_waste")
     // two-pass discipline twice (sorted + arrival)
