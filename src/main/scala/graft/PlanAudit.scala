@@ -74,7 +74,10 @@ object PlanAudit {
         "ann_power_iteration", "q_bootstrap_sample", "eval_ece",
         // this session, cont.: k-row balance audit, 4-cell confusion
         // rollup, broadcast-set blocklist scan
-        "ann_cell_balance", "eval_kappa", "text_blocklist_filter")
+        "ann_cell_balance", "eval_kappa", "text_blocklist_filter",
+        // this session, cont.: composite IVF-PQ — broadcast probe + ADC
+        // dictionaries over a codes-only index scan
+        "ann_ivfpq_topk", "ann_ivfpq_recall")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

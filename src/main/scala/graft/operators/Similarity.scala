@@ -229,6 +229,44 @@ object Similarity {
       .select(col("vec_id"), col("code_lo"), col("d_lo"), col("code_hi"), col("d_hi"))
   }
 
+  /** IVF-PQ search body (shared by `ann_ivfpq_topk` and its recall
+    * audit): stored index = (vec_id, cell, code_lo, code_hi); query
+    * probes its 2 nearest trained cells; candidates rank by broadcast-ADC
+    * lookup. Exact int64 throughout, so the composite is oracle-exact. */
+  private def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansTrain(s, dir)
+    val books = pqTrain(s, dir)
+    val base  = pqVectors(s, dir).withColumn("q", col("qf"))
+    // the stored index: 3 longs per corpus vector, nothing else ships
+    val idx = withCodeCol(
+        withCodeCol(withKmeansCell(base, cents), "qlo", books(0), "code_lo", "d_lo"),
+        "qhi", books(1), "code_hi", "d_hi")
+      .select(col("vec_id"), col("cell"), col("code_lo"), col("code_hi"))
+    val qf = withKmeansCell2(base, cents).filter(col("vec_id") < NQuery)
+    val qprobes = qf.select(col("vec_id").as("query_id"),
+      explode(array(col("cell"), col("cell2"))).as("cell"))
+    val qsub = base.filter(col("vec_id") < NQuery)
+    val dtLo = qsub.select(col("vec_id").as("query_id"), explode(array(
+        (0 until PqK).map(c => struct(lit(c.toLong).as("code_lo"),
+          intDist2(col("qlo"), books(0)(c)).as("pd_lo"))): _*)).as("x"))
+      .select(col("query_id"), col("x.code_lo").as("code_lo"), col("x.pd_lo").as("pd_lo"))
+    val dtHi = qsub.select(col("vec_id").as("query_id"), explode(array(
+        (0 until PqK).map(c => struct(lit(c.toLong).as("code_hi"),
+          intDist2(col("qhi"), books(1)(c)).as("pd_hi"))): _*)).as("x"))
+      .select(col("query_id"), col("x.code_hi").as("code_hi"), col("x.pd_hi").as("pd_hi"))
+    val adc = idx.join(broadcast(qprobes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dtLo), Seq("query_id", "code_lo"))
+      .join(broadcast(dtHi), Seq("query_id", "code_hi"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("pd_lo") + col("pd_hi")).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+  }
+
   /** Adds (cell, d2) to a frame carrying quantized `q`, against literal
     * centroids — the k distances are projected ONCE as named columns and
     * the argmin/least read the attributes (the IVF lesson: conditional
@@ -668,6 +706,40 @@ object Similarity {
       topk(pairs)
     }),
 
+    // IVF-PQ composite search (Jégou et al. 2011, the FAISS `IVFx,PQy`
+    // production shape): the trained coarse codebook partitions the
+    // corpus into cells, each vector is stored ONLY as its PQ codes, and
+    // a query (a) probes its 2 nearest cells and (b) ranks the probed
+    // candidates by broadcast-ADC lookup — never touching a float vector
+    // on the corpus side. This is the 100 TB memory story end-to-end:
+    // the stored index row is (cell, code_lo, code_hi) = 3 longs per
+    // vector (M bytes in production), the cell probe prunes the scan to
+    // nprobe/k of the corpus (partition-pruned when the index is written
+    // bucketed-by-cell), and the per-query work is two dictionary joins
+    // against M×k broadcast distance tables. Both codebooks are the
+    // memoized exact-integer Lloyd trainings the standalone IVF and PQ
+    // paths already oracle-check, so the composite stays hash-exact:
+    // the DuckDB twin chains both unrolled trainings and mirrors the
+    // probe + ADC joins. Cells partition the corpus and (cell, cell2)
+    // are distinct, so a candidate joins at most one probe row — no
+    // dedup pass.
+    "ann_ivfpq_topk" -> ((s, dir) => ivfPqTopk(s, dir)),
+
+    // Recall@k of the IVF-PQ path against the exact float baseline — the
+    // observable that prices the composite's BOTH approximations (cell
+    // pruning + code quantization) in one number, the figure a production
+    // index sweep tunes (nprobe, M, k) against. Ids-only join + rollup.
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val bf = queries("ann_bruteforce_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ap = ivfPqTopk(s, dir)
+        .select(col("query_id"), col("neighbor_id")).withColumn("m", lit(1))
+      bf.join(ap, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("m")).as("hits"),
+          round(count(col("m")) / lit(K.toDouble), 4).as("recall"))
+    }),
+
     // Multi-probe LSH ANN: the query probes its own bucket PLUS every
     // hamming-1 bucket (one flipped hyperplane sign) — the standard
     // recall-raising move for a sign-LSH index (near neighbors straddling
@@ -1087,6 +1159,45 @@ object Similarity {
        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
        |  FROM adcx)""".stripMargin
 
+  /** IVF-PQ twin: chain BOTH unrolled trainings (coarse `c2`/`ad` from
+    * [[dkKmeansChain]], per-subspace `lc2`/`hc2`/`codes` from
+    * [[dkPqChain]] — CTE namespaces are disjoint), then mirror the
+    * 2-cell probe (rank-1/rank-2 rows of the assignment ranking, the
+    * trained-IVF oracle's move) and the ADC dictionary joins. Full
+    * WITH…SELECT, reusable as a CTE body by the recall audit. */
+  private def dkIvfPqTopk: String =
+    s"""WITH $dkKmeansChain,
+       |$dkPqChain,
+       |qs AS (SELECT vec_id AS query_id, qf[1:$PqSub] AS qlo,
+       |    qf[${PqSub + 1}:$Dims] AS qhi FROM eq WHERE vec_id < $NQuery),
+       |dtlo AS (SELECT query_id, c.cell::BIGINT AS code_lo,
+       |    ${Dk.intDist2("qs.qlo", "c.c", PqSub)} AS pd_lo FROM qs, lc2 c),
+       |dthi AS (SELECT query_id, c.cell::BIGINT AS code_hi,
+       |    ${Dk.intDist2("qs.qhi", "c.c", PqSub)} AS pd_hi FROM qs, hc2 c),
+       |cells AS (SELECT vec_id, cell FROM ad WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, cell FROM ad
+       |  WHERE vec_id < $NQuery AND rn <= 2),
+       |candx AS (
+       |  SELECT qp.query_id, codes.vec_id, codes.code_lo, codes.code_hi
+       |  FROM codes JOIN cells ON cells.vec_id = codes.vec_id
+       |  JOIN qp ON qp.cell = cells.cell
+       |  WHERE codes.vec_id <> qp.query_id),
+       |adcx AS (
+       |  SELECT candx.query_id, candx.vec_id AS neighbor_id,
+       |    (pd_lo + pd_hi)::BIGINT AS adc
+       |  FROM candx
+       |  JOIN dtlo ON dtlo.query_id = candx.query_id
+       |    AND dtlo.code_lo = candx.code_lo
+       |  JOIN dthi ON dthi.query_id = candx.query_id
+       |    AND dthi.code_hi = candx.code_hi),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, neighbor_id) AS rank
+       |  FROM adcx)
+       |SELECT query_id, neighbor_id, rank::BIGINT AS rank, adc
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
   /** SQ8 chain twin ([[sqCodes]]): normalize → shared ×2000 quantize →
     * per-dimension corpus (min, range) rollup → 8-bit codes; ends in
     * `codes(vec_id, c)`. The scale step mirrors the Spark expression
@@ -1329,6 +1440,15 @@ object Similarity {
          |  FROM pairs)
          |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
          |FROM ranked WHERE rank <= $K""".stripMargin,
+    "ann_ivfpq_topk" -> dkIvfPqTopk,
+    "ann_ivfpq_recall" ->
+      s"""WITH bf AS ($dkBruteforce),
+         |ap AS ($dkIvfPqTopk)
+         |SELECT b.query_id, count(a.neighbor_id)::BIGINT AS hits,
+         |  round(count(a.neighbor_id) / $K.0, 4) AS recall
+         |FROM bf b LEFT JOIN ap a
+         |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |GROUP BY 1""".stripMargin,
     "ann_multiprobe_topk" ->
       s"""WITH e AS ($dkEmb), $dkPrm,
          |b AS (SELECT vec_id, v, $dkBktDyn AS bucket FROM e, prm),

@@ -2124,6 +2124,62 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("ann_ivfpq_topk: ADC exact vs driver replay, <=2 probed cells, recall audit consistent") {
+    val out = SparkEntry.queries("ann_ivfpq_topk")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // every returned ADC recomputes exactly from the driver-side PQ replay
+    val (q, bookLo, bookHi) = pqDriverBooks()
+    val vecs = q.toMap
+    out.foreach { r =>
+      val (qid, nid) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val (qv, nv) = (vecs(qid), vecs(nid))
+      val adc =
+        pqD2(qv.slice(0, 32).toSeq, bookLo(pqCode(nv.slice(0, 32).toSeq, bookLo))) +
+          pqD2(qv.slice(32, 64).toSeq, bookHi(pqCode(nv.slice(32, 64).toSeq, bookHi)))
+      assert(r.getAs[Long]("adc") == adc, s"pair ($qid,$nid) adc")
+    }
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    // ranks contiguous from 1, ADC non-decreasing with rank
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq, s"query $qid ranks")
+      assert(sorted.length <= 5)
+      val adcs = sorted.map(_.getAs[Long]("adc")).toSeq
+      assert(adcs == adcs.sorted, s"query $qid adc not ranked")
+    }
+    // nprobe=2: candidates come from at most two coarse cells per query
+    val cellOf = SparkEntry.queries("ann_kmeans_cells")(spark, dir)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (qid, rows) =>
+      val probed = rows.map(r => cellOf(r.getAs[Long]("neighbor_id"))).toSet
+      assert(probed.size <= 2, s"query $qid candidates span ${probed.size} cells")
+    }
+    // cell pruning can only worsen-or-keep each rank's ADC vs the
+    // full-corpus PQ scan at the same rank
+    val full = SparkEntry.queries("ann_pq_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Long]("adc"))
+      .toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("rank"))
+      full.get(key).foreach(fadc =>
+        assert(r.getAs[Long]("adc") >= fadc, s"$key beats the unpruned scan"))
+    }
+    // recall audit: hits = |ivfpq ∩ exact| per query, recall = hits/K
+    val bf = SparkEntry.queries("ann_bruteforce_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val wantHits = out
+      .filter(r => bf((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length.toLong).toMap
+    val rec = SparkEntry.queries("ann_ivfpq_recall")(spark, dir).collect()
+    assert(rec.length == 5)
+    rec.foreach { r =>
+      val h = wantHits.getOrElse(r.getAs[Long]("query_id"), 0L)
+      assert(r.getAs[Long]("hits") == h, s"query ${r.getAs[Long]("query_id")} hits")
+      assert(math.abs(r.getAs[Double]("recall") - h / 5.0) < 1e-9)
+    }
+  }
+
   test("eval_kappa: confusion partitions the corpus; kappa strictly inside (0,1)") {
     val out = SparkEntry.queries("eval_kappa")(spark, dir).collect()
     assert(out.length == 1)

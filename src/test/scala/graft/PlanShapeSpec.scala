@@ -951,6 +951,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(bl.contains("*("), "no codegen span")
   }
 
+  test("ivfpq: probe + both ADC tables broadcast; shuffles carry codes, never vectors") {
+    val p = plan("ann_ivfpq_topk")
+    // the cell probe and the two per-query distance dictionaries are all
+    // tiny driver-bounded frames — every join on the corpus path must be
+    // a broadcast, or a 100 TB index scan starts shuffling
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"expected >=3 broadcast joins (probe, dtLo, dtHi):\n${p.take(3000)}")
+    shuffleCols(rootOf("ann_ivfpq_topk")).foreach(cols =>
+      assert(!cols.contains("qf") && !cols.contains("embedding") &&
+        !cols.contains("qlo") && !cols.contains("qhi") && !cols.contains("q"),
+        s"ivfpq shuffle carries a vector column: $cols"))
+  }
+
   test("pad waste: both layout ranks broadcast their offsets frames") {
     val root = rootOf("q_batch_pad_waste")
     // two-pass discipline twice (sorted + arrival)
