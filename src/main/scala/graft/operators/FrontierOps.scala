@@ -219,9 +219,22 @@ object FrontierOps {
     }.reduce(_ unionByName _)
   }
 
-  /** q_link_prediction: deterministic per-common-neighbor fanout cap
-    * (smallest neighbors by name) — the hub-squaring guard. */
-  private val MaxNeighbors = 256L
+  /** q_link_prediction / q_link_cocitation: deterministic per-common-key
+    * fanout cap (smallest rows by name) — the hub-squaring guard. */
+  private[graft] val MaxNeighbors = 256L
+
+  /** Deterministic per-key fanout cap: keep the first `cap` rows per `key`
+    * ordered by `ord` (row_number). Every pair-minting self-join in the
+    * catalog routes through this discipline — a hot key (favicon.ico-class
+    * link sink, replicated error-page hash) loudly stops minting at cap²
+    * candidates instead of squaring its multiplicity. The cap choice is
+    * deterministic (ORDER BY name, not arrival order) so Spark and the
+    * DuckDB oracle agree row-for-row. */
+  private[graft] def capPerKey(df: DataFrame, key: String, ord: String,
+      cap: Long): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(ord))))
+      .filter(col("rn") <= cap).drop("rn")
 
   /** q_label_prop: hosts src0..src{n-1} are the labeled seed set. */
   private val LabelSeeds = 4
@@ -341,9 +354,7 @@ object FrontierOps {
       val nb = und.select(col("a").as("z"), col("b").as("n"))
         .unionByName(und.select(col("b").as("z"), col("a").as("n")))
       val deg = nb.groupBy(col("z")).agg(count(lit(1)).as("deg"))
-      val capped = nb.withColumn("rn", row_number().over(
-          Window.partitionBy(col("z")).orderBy(col("n"))))
-        .filter(col("rn") <= MaxNeighbors).drop("rn")
+      val capped = capPerKey(nb, "z", "n", MaxNeighbors)
       val scored = capped.as("l").join(capped.as("r"),
           col("l.z") === col("r.z") && col("l.n") < col("r.n"))
         .select(col("l.z").as("z"), col("l.n").as("x"), col("r.n").as("y"))
@@ -623,15 +634,21 @@ object FrontierOps {
     // Link co-citation (bibliographic coupling): host pairs ranked by the
     // overlap of their distinct outlink-target sets — integer-ppm Jaccard,
     // pairs sharing <2 targets dropped as noise. The link-graph twin of
-    // the content-based q_mirror_hosts.
+    // the content-based q_mirror_hosts. Scale shape: pairs are minted
+    // THROUGH the shared target, so a favicon.ico-class sink with
+    // in-degree d would mint d² rows; the same deterministic MaxNeighbors
+    // row_number cap as q_link_prediction bounds every target's
+    // contribution to MaxNeighbors² (first MaxNeighbors sources by name —
+    // mirrored in the oracle; na/nb stay exact, computed pre-cap).
     "q_link_cocitation" -> ((s, dir) => {
-      val e     = hostEdges(s, dir)
-      val sizes = e.groupBy(col("src")).agg(countDistinct(col("dst")).as("n"))
-      val pairs = e.select(col("src").as("host_a"), col("dst"))
-        .join(e.select(col("src").as("host_b"), col("dst")), Seq("dst"))
+      val e     = hostEdges(s, dir).select(col("src"), col("dst")).distinct()
+      val sizes = e.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      val capped = capPerKey(e, "dst", "src", MaxNeighbors)
+      val pairs = capped.select(col("src").as("host_a"), col("dst"))
+        .join(capped.select(col("src").as("host_b"), col("dst")), Seq("dst"))
         .filter(col("host_a") < col("host_b"))
         .groupBy(col("host_a"), col("host_b"))
-        .agg(countDistinct(col("dst")).as("shared"))
+        .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 2)
       pairs
         .join(sizes.withColumnRenamed("src", "host_a").withColumnRenamed("n", "na"), Seq("host_a"))
@@ -906,12 +923,17 @@ object FrontierOps {
          |FROM r""".stripMargin,
 
     "q_link_cocitation" ->
-      s"""WITH e AS ($dkHostEdges),
-         |sz AS (SELECT src, count(DISTINCT dst)::BIGINT AS n FROM e GROUP BY 1),
+      s"""WITH e0 AS ($dkHostEdges),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |sz AS (SELECT src, count(*)::BIGINT AS n FROM e GROUP BY 1),
+         |capped AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY src) AS rn FROM e)
+         |  WHERE rn <= $MaxNeighbors),
          |p AS (
-         |  SELECT a.src AS host_a, b.src AS host_b, count(DISTINCT a.dst)::BIGINT AS shared
-         |  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
-         |  GROUP BY 1, 2 HAVING count(DISTINCT a.dst) >= 2)
+         |  SELECT a.src AS host_a, b.src AS host_b, count(*)::BIGINT AS shared
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
          |SELECT host_a, host_b, shared, sa.n AS na, sb.n AS nb,
          |  (shared * 1000000 // (sa.n + sb.n - shared))::BIGINT AS jaccard_ppm
          |FROM p JOIN sz sa ON p.host_a = sa.src JOIN sz sb ON p.host_b = sb.src""".stripMargin,
@@ -971,25 +993,25 @@ object FrontierOps {
     "q_effective_diameter" ->
       s"""WITH $dkHyperballCtes,
          |nf AS (
-         |  SELECT radius, sum(CAST(round(estimate * 10000) AS BIGINT)) AS nf_e4
+         |  SELECT radius, sum(CAST(round(estimate * 10000) AS BIGINT))::BIGINT AS nf_e4
          |  FROM ests GROUP BY 1),
          |d AS (
          |  SELECT radius, nf_e4,
-         |    nf_e4 - coalesce(lag(nf_e4) OVER (ORDER BY radius), 0) AS delta_e4
+         |    (nf_e4 - coalesce(lag(nf_e4) OVER (ORDER BY radius), 0))::BIGINT AS delta_e4
          |  FROM nf),
          |tot AS (
-         |  SELECT nf_e4 AS nf_max_e4, (9 * nf_e4) // 10 AS thr_e4
+         |  SELECT nf_e4 AS nf_max_e4, ((9 * nf_e4) // 10)::BIGINT AS thr_e4
          |  FROM nf ORDER BY radius DESC LIMIT 1),
          |avg AS (
-         |  SELECT (sum(radius * delta_e4) * 1000000) // max(nf_max_e4) AS avg_dist_ppm
+         |  SELECT ((sum(radius * delta_e4) * 1000000) // max(nf_max_e4))::BIGINT AS avg_dist_ppm
          |  FROM d, tot),
          |eff AS (
-         |  SELECT CASE WHEN radius = 0 THEN 0
+         |  SELECT (CASE WHEN radius = 0 THEN 0
          |    ELSE (radius - 1) * 1000000 +
-         |      ((thr_e4 - (nf_e4 - delta_e4)) * 1000000) // delta_e4 END AS eff_diam_ppm
+         |      ((thr_e4 - (nf_e4 - delta_e4)) * 1000000) // delta_e4 END)::BIGINT AS eff_diam_ppm
          |  FROM d, tot WHERE nf_e4 >= thr_e4 ORDER BY radius LIMIT 1)
          |SELECT d.radius, d.nf_e4, d.delta_e4,
-         |  (d.nf_e4 * 1000000) // tot.nf_max_e4 AS frac_ppm,
+         |  ((d.nf_e4 * 1000000) // tot.nf_max_e4)::BIGINT AS frac_ppm,
          |  avg.avg_dist_ppm, eff.eff_diam_ppm
          |FROM d, tot, avg, eff""".stripMargin,
 

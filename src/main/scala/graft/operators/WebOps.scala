@@ -53,6 +53,15 @@ object WebOps {
   private val ShardSpan = 128L
   private val BlockSize = 32
 
+  /** Mirror-detection fanout cap: a content hash shared by h hosts mints
+    * h² pair rows through the self-join (an error-page or licence-page
+    * hash carried by every host in a 10⁹-host crawl is the degenerate
+    * case). Deterministic row_number cap per hash — first MaxHostsPerHash
+    * hosts by name — mirrored in the oracle; same discipline as
+    * FrontierOps.MaxNeighbors and the LSH MaxBandGroup caps. Host-set
+    * sizes (na/nb) stay exact, computed pre-cap. */
+  private val MaxHostsPerHash = 256L
+
   /** Host-boilerplate threshold: a line is boilerplate on its host when it
     * appears in ≥ 60% of the host's docs (strictly majority-plus — a 50%
     * rule would let a line shared by 1 of 2 docs strip both). */
@@ -154,12 +163,14 @@ object WebOps {
           md5(when(col("doc_id") % 40 === 6, concat(col("text"), lit(" spun edit")))
             .otherwise(col("text"))).as("ch"))
       val corpus = d.unionByName(mirror).unionByName(spun)
-      val sizes  = corpus.groupBy(col("host")).agg(countDistinct(col("ch")).as("n"))
-      val pairs = corpus.select(col("host").as("host_a"), col("ch"))
-        .join(corpus.select(col("host").as("host_b"), col("ch")), Seq("ch"))
+        .select(col("host"), col("ch")).distinct()
+      val sizes  = corpus.groupBy(col("host")).agg(count(lit(1)).as("n"))
+      val capped = FrontierOps.capPerKey(corpus, "ch", "host", MaxHostsPerHash)
+      val pairs = capped.select(col("host").as("host_a"), col("ch"))
+        .join(capped.select(col("host").as("host_b"), col("ch")), Seq("ch"))
         .filter(col("host_a") < col("host_b"))
         .groupBy(col("host_a"), col("host_b"))
-        .agg(countDistinct(col("ch")).as("shared"))
+        .agg(count(lit(1)).as("shared"))
       pairs
         .join(sizes.withColumnRenamed("host", "host_a").withColumnRenamed("n", "na"), Seq("host_a"))
         .join(sizes.withColumnRenamed("host", "host_b").withColumnRenamed("n", "nb"), Seq("host_b"))
@@ -459,10 +470,15 @@ object WebOps {
          |  SELECT 'src6-spun',
          |    md5(CASE WHEN doc_id % 40 = 6 THEN text || ' spun edit' ELSE text END)
          |  FROM documents WHERE source = 'src6'),
-         |sz AS (SELECT host, count(DISTINCT ch)::BIGINT AS n FROM c GROUP BY 1),
+         |dc AS (SELECT DISTINCT host, ch FROM c),
+         |sz AS (SELECT host, count(*)::BIGINT AS n FROM dc GROUP BY 1),
+         |capped AS (
+         |  SELECT host, ch FROM (
+         |    SELECT host, ch, row_number() OVER (PARTITION BY ch ORDER BY host) AS rn FROM dc)
+         |  WHERE rn <= $MaxHostsPerHash),
          |p AS (
-         |  SELECT a.host AS host_a, b.host AS host_b, count(DISTINCT a.ch)::BIGINT AS shared
-         |  FROM c a JOIN c b ON a.ch = b.ch AND a.host < b.host
+         |  SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared
+         |  FROM capped a JOIN capped b ON a.ch = b.ch AND a.host < b.host
          |  GROUP BY 1, 2)
          |SELECT host_a, host_b, shared, sa.n AS na, sb.n AS nb,
          |  shared * 100 >= least(sa.n, sb.n) * 80 AS is_mirror

@@ -53,4 +53,27 @@ class SkewSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hotPacked.exceptAll(basePacked).isEmpty && basePacked.exceptAll(hotPacked).isEmpty,
       "hot-content copies changed the curated output")
   }
+
+  test("hot-key self-join fanout is capped (q_link_cocitation / q_mirror_hosts discipline)") {
+    // A favicon.ico-class sink: ONE target cited by 2000 hosts. Uncapped,
+    // the pair-minting self-join would square it (2000*1999/2 ≈ 2M rows);
+    // capPerKey bounds it to MaxNeighbors²-scale deterministically.
+    import org.apache.spark.sql.functions._
+    import graft.operators.FrontierOps
+    val d   = 2000L
+    val cap = FrontierOps.MaxNeighbors
+    val hot = spark.range(d)
+      .select(format_string("h%05d", col("id")).as("src"), lit("sink").as("dst"))
+      .repartition(8) // arrival order must not matter
+    val capped = FrontierOps.capPerKey(hot, "dst", "src", cap)
+    assert(capped.count() == cap, "cap kept more rows than MaxNeighbors")
+    // deterministic choice: the FIRST `cap` sources by name, whatever the
+    // partitioning — the property that keeps Spark and the oracle in step
+    assert(capped.agg(max(col("src"))).head().getString(0) == f"h${cap - 1}%05d")
+    val pairs = capped.as("l")
+      .join(capped.as("r"), col("l.dst") === col("r.dst") && col("l.src") < col("r.src"))
+    assert(pairs.count() == cap * (cap - 1) / 2,
+      s"hot key minted more than cap*(cap-1)/2 candidates")
+    assert(cap * (cap - 1) / 2 < d * (d - 1) / 20, "cap must beat uncapped by >10x here")
+  }
 }

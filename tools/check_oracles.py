@@ -22,6 +22,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+def typed_repr(df: pd.DataFrame) -> pd.DataFrame:
+    """Stringify values the way a type-sensitive hash sees them: an int64
+    200200 and a HUGEINT/float64 200200.0 must differ. This is the lint
+    that catches oracle aggregates missing a ::BIGINT cast (DuckDB widens
+    sum(BIGINT) to HUGEINT -> pandas float64/object) even when the raw
+    values are identical."""
+    return df.astype(str)
+
 fails = []
 for name, sql in sorted(oracles.items()):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -46,6 +54,20 @@ for name, sql in sorted(oracles.items()):
     try:
         pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
                                       check_exact=True)
+        # Driver-mirroring typing lint: values equal is not enough — the
+        # driver's hash is type-sensitive, so stringified frames must
+        # match exactly too (int64 200200 vs HUGEINT 200200.0 is a FAIL).
+        sr, dr = typed_repr(spark_df), typed_repr(duck_df)
+        if not sr.equals(dr):
+            neq = (sr != dr)
+            cols = [c for c in sr.columns if neq[c].any()]
+            print(f"TYPING   {name}: value-equal but repr-mismatch in {cols} "
+                  f"(oracle likely missing a ::BIGINT cast)")
+            rows = neq.any(axis=1)
+            print("  spark:", sr[rows].head(2).to_dict("records"))
+            print("  duck :", dr[rows].head(2).to_dict("records"))
+            fails.append(name)
+            continue
         print(f"OK       {name}  rows={len(spark_df)}")
     except AssertionError as e:
         print(f"VALUES   {name}: {str(e).splitlines()[-1][:200]}")
