@@ -276,17 +276,25 @@ object Search {
         tokens(when(col("doc_id") % 100 === 0,
           concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
           .otherwise(col("text"))).as("toks"))
-      val bm = bm25TopK(s, dir)
+      // queries × TopK rows; read three times (top-score row, candidate
+      // set, round-1 seed) — without the pin each read re-runs BM25 over
+      // the corpus.
+      val bm = bm25TopK(s, dir).cache()
       val top1 = bm.filter(col("rank") === 1)
         .select(col("query_id"), col("score_scaled").as("smax"))
       val cands = bm.join(broadcast(top1), Seq("query_id"))
         .select(col("query_id"), col("doc_id"),
           expr("(score_scaled * 1000000) div smax").as("rel_ppm"))
         .cache() // queries × TopK rows
+      // candidate docs only (queries × TopK, post semi-join) — but
+      // DERIVING it is a full corpus token+shingle scan, and the frame is
+      // broadcast twice (sha / shb sides of the pair join); the pin makes
+      // that one scan, not two.
       val sets = t
         .join(broadcast(cands.select("doc_id").distinct()), Seq("doc_id"))
         .select(col("doc_id"),
           array_distinct(shingleHashes(tokenHashes(col("toks")))).as("sh"))
+        .cache()
       val sims = cands.select(col("query_id"), col("doc_id").as("a"))
         .join(cands.select(col("query_id"), col("doc_id").as("b")),
           Seq("query_id"))
@@ -321,12 +329,26 @@ object Search {
             expr(s"$MmrLam * rel_ppm - ${100 - MmrLam} * maxsim_ppm"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("mmr_score").desc, col("doc_id"))
+        // localCheckpoint bounds the greedy loop's lineage: without it,
+        // round r's plan re-derives every earlier round (the union is an
+        // input to the next anti-join/self-join), so the DAG grows
+        // quadratically in MmrM. The checkpointed frame is queries × r
+        // rows — trivially materialized, and each round's plan then
+        // starts from blocks, not from round 1.
         selected = selected.unionByName(
           scored.withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
             .select(col("query_id"), col("doc_id"), col("rel_ppm"),
               col("maxsim_ppm"), col("mmr_score"), lit(r.toLong).as("round")))
+          .coalesce(1) // queries × r rows — one block beats 32 near-empty tasks/round
+          .localCheckpoint(true)
       }
+      // The final frame reads checkpoint blocks only — the intermediate
+      // caches have served their purpose and can release executor memory.
+      bm.unpersist()
+      cands.unpersist()
+      sets.unpersist()
+      sims.unpersist()
       selected
     }),
 
