@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * hash-compare signal, not just in ScalaTest.
   *
   * Determinism: rows are fed sorted by (event time, id) and split into
-  * chronological quarters, so the watermark only ever advances and no
+  * chronological halves, so the watermark only ever advances and no
   * event is late-dropped; sentinel rows (negative ids / marker kinds) are
   * filtered from the result. The driver-side collect here is the TEST
   * HARNESS feeding a test source (MemoryStream is exactly that) — the
@@ -29,21 +29,27 @@ object StreamingQueries {
 
   private val qId = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Chronological replay batches. Two halves: every stateful operator
+    * still proves cross-batch state (the second half's matches reach back
+    * into state built by the first), while each extra micro-batch costs a
+    * full state-store commit round — at the replay's volume the
+    * scheduling fixed cost dominates, so fewer, larger batches buy wall
+    * time with no loss of semantics (the watermark still only advances). */
   private def quarters[T](rows: Seq[T]): Seq[Seq[T]] = {
-    val step = math.max(1, (rows.size + 3) / 4)
+    val step = math.max(1, (rows.size + 1) / 2)
     rows.grouped(step).toSeq
   }
 
   /** Isolated session for one streaming replay: shares the SparkContext
     * but carries its own SQLConf, so the state-store partition count can
-    * be sized to the replay's tiny per-batch volume (8 instead of the
-    * session's 32 — 4x fewer state-store tasks per micro-batch) without
+    * be sized to the replay's tiny per-batch volume (4 instead of the
+    * session's 32 — 8x fewer state-store tasks per micro-batch) without
     * racing the concurrently-running batch queries in Verify's pool.
     * Aggregation results are partitioning-independent, so outputs are
     * unchanged. */
   private def replaySession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     ss
   }
 
@@ -193,9 +199,9 @@ object StreamingQueries {
 
     // NATIVE stream-stream interval join (symmetric hash join with
     // watermark-pruned buffers — see StreamingOps.intervalJoin). The two
-    // sides are SEPARATE MemoryStreams fed alternately (errors of quarter
-    // i a full micro-batch before the clicks of quarter i), so every
-    // match is found across batch boundaries from buffered state, never
+    // sides are SEPARATE MemoryStreams fed in separate micro-batches
+    // (all errors a full micro-batch before all clicks), so every match
+    // is found across the batch boundary from buffered state, never
     // within one batch. Oracle: q_range_join's batch SQL verbatim.
     "stream_interval_join" -> ((s, dir) => {
       val ss = replaySession(s)
@@ -221,18 +227,16 @@ object StreamingQueries {
         .intervalJoin(inC.toDS(), inE.toDS(), graft.operators.Temporal.RangeWindowUs)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
-        val cq = quarters(side("click"))
-        val eq = quarters(side("error"))
-        // micro-batch i carries errors of quarter i AND clicks of quarter
-        // i-1: clicks always arrive one batch after the errors they match
-        // (the 2 h window is far inside a quarter), so every match still
-        // comes from buffered state — at half the micro-batches of
-        // processing each side separately
-        (0 to math.max(eq.size, cq.size)).foreach { i =>
-          if (i < eq.size) inE.addData(eq(i))
-          if (i > 0 && (i - 1) < cq.size) inC.addData(cq(i - 1))
-          q.processAllAvailable()
-        }
+        // ALL errors in micro-batch 0, ALL clicks in micro-batch 1: every
+        // match is found across the batch boundary from buffered error
+        // state (the strongest form of the cross-batch property) at the
+        // minimum number of state-store commit rounds. The click-side
+        // watermark stays at 0 until clicks arrive, so no error state is
+        // evicted early.
+        inE.addData(side("error"))
+        q.processAllAvailable()
+        inC.addData(side("click"))
+        q.processAllAvailable()
       } finally q.stop()
       ss.table(name)
         .select(col("click_id"), col("error_id"), col("user_id"), col("gap_us"))
@@ -265,14 +269,15 @@ object StreamingQueries {
         graft.operators.Temporal.RangeWindowUs, joinType = "left_outer")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
-        val cq = quarters(side("click"))
-        val eq = quarters(side("error"))
-        val maxMs = (cq.flatten ++ eq.flatten).map(_.event_time.getTime).max
-        (0 to math.max(eq.size, cq.size)).foreach { i =>
-          if (i < eq.size) inE.addData(eq(i))
-          if (i > 0 && (i - 1) < cq.size) inC.addData(cq(i - 1))
-          q.processAllAvailable()
-        }
+        val cs = side("click")
+        val es = side("error")
+        val maxMs = (cs ++ es).map(_.event_time.getTime).max
+        // same two-batch feed as stream_interval_join: all errors buffer
+        // first, all clicks match against that state across the boundary
+        inE.addData(es)
+        q.processAllAvailable()
+        inC.addData(cs)
+        q.processAllAvailable()
         // two sentinel rounds on both sides: advance the watermark past
         // every pending click's match window, then fire the eviction pass
         // that emits the unmatched-left rows
