@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * (the JVM analog of `mapInPandas`: one iterator per partition, rows
   * streamed, nothing collected), and the per-kind metadata contract. The
   * stub is a pure function of the leading payload bytes, so the whole
-  * query has an exact DuckDB oracle (bytes here are UTF-8 of ASCII text,
-  * so `ascii(substr(text, k, 1))` reproduces byte k).
+  * query has an exact DuckDB oracle: both engines address the SAME UTF-8
+  * byte stream (payload byte k = hex pair 2k+1..2k+2 of `hex(encode
+  * (text))` on the DuckDB side), so no ASCII assumption exists anywhere —
+  * and the corpus deliberately plants multibyte payloads ([[Utf8Suffix]])
+  * to prove it.
   *
   * Swap [[MediaDecoder.decode]] for a real codec and nothing else changes.
   */
@@ -58,19 +61,27 @@ object Multimodal {
       }
   }
 
-  /** Binary payload column from the documents table. The queries' DuckDB
-    * oracles reproduce payload bytes via ascii() on characters, which is
-    * only valid for pure-ASCII text — assert_true makes a non-ASCII
-    * corpus fail the Spark run loudly (the oracle side has a matching
-    * error() guard) instead of silently hash-mismatching. The filter
-    * wrapper keeps the assertion in the plan (a dropped projection column
-    * would be pruned away). */
-  private def payloads(s: SparkSession, dir: String): DataFrame =
+  /** Planted multibyte content: every 10th payload gains this suffix —
+    * 2-byte (ü/ï/ø/é), 3-byte (–) and 4-byte (𝄞) UTF-8 sequences — so the
+    * byte-addressed decode/embed/hash paths run on REAL multibyte bytes in
+    * every mm query, and the oracle must agree at byte level (no ASCII
+    * fast path can fake a pass). */
+  private val Utf8Suffix = " ünïcødé–𝄞"
+
+  /** The documents table with the multibyte plant applied — the text every
+    * mm query (and its oracle's `pl` CTE) starts from. */
+  private def texts(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-      .filter(coalesce(
-        assert_true(octet_length(col("text")) === length(col("text")),
-          lit("multimodal oracle requires pure-ASCII text payloads")),
-        lit(true)))
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 3, concat(col("text"), lit(Utf8Suffix)))
+          .otherwise(col("text")).as("text"))
+
+  /** Binary payload column: the UTF-8 bytes of [[texts]]. The DuckDB
+    * oracles address the same byte stream via hex(encode(text)) pairs, so
+    * payload semantics hold for ANY unicode corpus — a non-ASCII payload
+    * is exercised, not asserted away. */
+  private def payloads(s: SparkSession, dir: String): DataFrame =
+    texts(s, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -113,12 +124,10 @@ object Multimodal {
     // id, two longs) — payloads never move; shared machinery with
     // dedup_simhash_pairs (Dedup.simhash64From / simhashPairsFrom).
     "mm_phash_hamming" -> ((s, dir) => {
-      val t = s.read.parquet(s"$dir/documents.parquet")
-        .filter(coalesce(
-          assert_true(octet_length(col("text")) === length(col("text")),
-            lit("multimodal oracle requires pure-ASCII text payloads")),
-          lit(true)))
-        .select(col("doc_id"), col("text"))
+      // char-addressed (substring/length count code points identically in
+      // both engines) and hashed via md5-of-UTF-8 — multibyte-safe by
+      // construction, and exercised on the planted Utf8Suffix payloads
+      val t = texts(s, dir)
       val planted = t.unionByName(
         t.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 3000000L).as("doc_id"),
@@ -178,32 +187,35 @@ object Multimodal {
         .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
     }))
 
-  // --- DuckDB oracles (byte k of UTF-8(ASCII text) == ascii of char k) ----
-  // ASCII assumption made LOUD: the oracles equate payload byte k with
-  // ascii(substr(text, k+1, 1)) and byte_len with length(text), which only
-  // holds for pure-ASCII corpora. A non-ASCII documents table must fail
-  // the oracle run with an error, not silently hash-mismatch — hence the
-  // error() guard below (and the matching assert_true on the Spark side).
+  // --- DuckDB oracles (payload byte k == hex pair 2k+1..2k+2) -------------
+  // Byte-exact for ANY unicode corpus: the payload is encode(text) (UTF-8
+  // bytes), byte k (0-based) is the k-th hex pair of hex(encode(text)), and
+  // byte_len is strlen(text) (DuckDB's byte length). No ASCII assumption
+  // anywhere — the Spark side plants multibyte suffixes precisely so a
+  // char-for-byte confusion would hash-mismatch.
 
-  private def b(k: Int) = s"(CASE WHEN length(text) >= ${k + 1} THEN ascii(substr(text, ${k + 1}, 1)) ELSE 0 END)::BIGINT"
+  /** Payload byte k (0-based), 0 past end — the oracle twin of
+    * MediaDecoder.decode's `b(i)`. */
+  private def b(k: Int) =
+    s"(CASE WHEN strlen(text) >= ${k + 1} THEN ('0x' || substr(hex(encode(text)), ${2 * k + 1}, 2))::BIGINT ELSE 0 END)"
 
-  private val dkAsciiGuard =
-    """ascii_chk AS (
-      |  SELECT CASE WHEN (SELECT count(*) FROM documents
-      |                    WHERE strlen(text) <> length(text)) > 0
-      |    THEN error('multimodal oracle requires pure-ASCII text payloads')
-      |    ELSE 1 END AS ok)""".stripMargin
+  /** The documents table with the multibyte plant — twin of [[texts]]. */
+  private val dkPl =
+    s"""pl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 3 THEN text || '$Utf8Suffix' ELSE text END AS text
+       |  FROM documents)""".stripMargin
 
   private val dkMeta =
-    s"""$dkAsciiGuard,
+    s"""$dkPl,
        |meta AS (
        |  SELECT doc_id,
-       |    length(text)::BIGINT AS byte_len,
+       |    strlen(text)::BIGINT AS byte_len,
        |    (CASE ${b(0)} % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS fmt,
        |    ((${b(0)} * 256 + ${b(1)}) % 1024 + 16)::BIGINT AS width,
        |    ((${b(1)} * 256 + ${b(2)}) % 1024 + 16)::BIGINT AS height,
        |    (CASE ${b(0)} % 3 WHEN 0 THEN 1 WHEN 1 THEN ${b(3)} % 64 + 1 ELSE ${b(3)} % 240 + 1 END)::BIGINT AS n_frames
-       |  FROM documents, ascii_chk WHERE ascii_chk.ok = 1)""".stripMargin
+       |  FROM pl)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" ->
@@ -215,39 +227,39 @@ object Multimodal {
          |FROM meta, generate_series(0, 3) AS t(frame_idx)
          |WHERE fmt = 'video' AND frame_idx <= least((n_frames - 1) // 10, 3)""".stripMargin,
     "mm_phash_hamming" ->
-      s"""WITH $dkAsciiGuard,
-         |pl AS (
-         |  SELECT doc_id, text FROM documents, ascii_chk WHERE ascii_chk.ok = 1
+      s"""WITH $dkPl,
+         |pl2 AS (
+         |  SELECT doc_id, text FROM pl
          |  UNION ALL
          |  SELECT doc_id + 3000000,
          |    substr(text, 1, (doc_id % 8)::INT) || '~' ||
          |      substr(text, (doc_id % 8 + 2)::INT, length(text))
-         |  FROM documents WHERE doc_id % 7 = 0),
+         |  FROM pl WHERE doc_id % 7 = 0),
          |${Dedup.dkSimhashFrom(
            "SELECT doc_id, unnest([substr(text, i, 4) " +
-             "for i in generate_series(1, greatest(1, length(text) - 3))]) AS tok FROM pl")},
+             "for i in generate_series(1, greatest(1, length(text) - 3))]) AS tok FROM pl2")},
          |${Dedup.dkSimhashPairs}
          |SELECT doc_a, doc_b, hamming FROM ph WHERE hamming <= 3""".stripMargin,
 
     "mm_dedup_bytes" ->
-      s"""WITH $dkAsciiGuard,
-         |pl AS (
-         |  SELECT doc_id, text FROM documents, ascii_chk WHERE ascii_chk.ok = 1
+      s"""WITH $dkPl,
+         |pl2 AS (
+         |  SELECT doc_id, text FROM pl
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+         |  SELECT doc_id + 1000000, text FROM pl WHERE doc_id % 5 = 0)
          |SELECT md5(text) AS media_hash, count(*)::BIGINT AS n_copies,
          |  min(doc_id)::BIGINT AS keeper, count(*) >= 2 AS dup
-         |FROM pl GROUP BY 1""".stripMargin,
+         |FROM pl2 GROUP BY 1""".stripMargin,
 
     "mm_embed_ann" -> {
       val dims = MediaDecoder.EmbedDims
       val cos  = VectorKernels.Dk.cosine("q.v", "c.v", dims)
-      s"""WITH $dkAsciiGuard,
+      s"""WITH $dkPl,
          |emb AS (
          |  SELECT doc_id,
-         |    [((CASE WHEN length(text) >= 2 * i + 1 THEN ascii(substr(text, 2 * i + 1, 1)) ELSE 0 END) - 96)::DOUBLE / 16.0
+         |    [((CASE WHEN strlen(text) >= 2 * i + 1 THEN ('0x' || substr(hex(encode(text)), 4 * i + 1, 2))::BIGINT ELSE 0 END) - 96)::DOUBLE / 16.0
          |     for i in generate_series(0, ${dims - 1})] AS v
-         |  FROM documents, ascii_chk WHERE ascii_chk.ok = 1),
+         |  FROM pl),
          |pairs AS (
          |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, $cos AS cos
          |  FROM emb q JOIN emb c ON q.doc_id < 3 AND c.doc_id <> q.doc_id),
