@@ -153,12 +153,21 @@ object CurateMain {
     Seq("deduped", "banded").foreach { st =>
       require(valid(s"$outDir/stages/$st"), s"stage table $st is missing/uncommitted")
     }
-    val old    = spark.read.parquet(s"$outDir/stages/deduped")
-    val banded = spark.read.parquet(s"$outDir/stages/banded")
-    val newb   = spark.read.parquet(batchParquet).select(col("doc_id"), col("text"))
-    val classified = Dedup.incrementalIngest(old, banded, newb, fastHash)
-    classified.write.mode("overwrite").parquet(s"$outDir/ingest/$runId")
-    val counts = spark.read.parquet(s"$outDir/ingest/$runId")
+    // The ingest output is itself a _SUCCESS-gated durable table (the same
+    // discipline as the stage tables): a run killed mid-write leaves no
+    // marker, so the rerun recomputes over the partial dir (overwrite) and
+    // — classification being deterministic — lands byte-for-byte where a
+    // clean single pass would; a rerun AFTER success recomputes nothing
+    // and just re-reads the committed table.
+    val dest = s"$outDir/ingest/$runId"
+    if (!valid(dest)) {
+      val old    = spark.read.parquet(s"$outDir/stages/deduped")
+      val banded = spark.read.parquet(s"$outDir/stages/banded")
+      val newb   = spark.read.parquet(batchParquet).select(col("doc_id"), col("text"))
+      val classified = Dedup.incrementalIngest(old, banded, newb, fastHash)
+      classified.write.mode("overwrite").parquet(dest)
+    }
+    val counts = spark.read.parquet(dest)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val wallSec = (System.nanoTime() - t0) / 1e9

@@ -94,6 +94,64 @@ class CurateResumeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // near-dups: never exact; (tiny docs may miss the 0.8 jaccard bar)
     assert(byId.filter(kv => kv._1 >= 9100000L && kv._1 < 9200000L)
       .values.forall(s => s == "near_dup" || s == "novel"))
+
+    def multiset(path: String) = spark.read.parquet(path).collect()
+      .map(_.toString).groupBy(identity).view.mapValues(_.size).toMap
+    val t1Set = multiset(s"$out/ingest/t1")
+
+    // KILL MID-INGEST: a second runId dies mid-write — no _SUCCESS, a
+    // partial part file left behind. The rerun must land exactly where a
+    // clean single-pass ingest would (t1's classification of the same
+    // batch), never half-merge with the partial state.
+    val t2 = Paths.get(s"$out/ingest/t2")
+    Files.createDirectories(t2)
+    Files.write(t2.resolve("part-00000-dead.parquet"), Array[Byte](1, 2, 3))
+    assert(!Files.exists(t2.resolve("_SUCCESS")))
+    val json2 = CurateMain.ingest(spark, out, batch, "t2")
+    assert(json2.contains("\"exactDup\":3"), json2)
+    assert(multiset(s"$out/ingest/t2") == t1Set,
+      "rerun after mid-ingest kill differs from a clean single-pass ingest")
+
+    // IDEMPOTENT RERUN after success: _SUCCESS present ⇒ the committed
+    // table is re-read, nothing recomputed — counts and rows unchanged
+    // even though the BATCH input is gone (the hard proof of "no
+    // recompute", the same input-deleted discipline as the resume test).
+    deleteRec(Paths.get(batch))
+    val json3 = CurateMain.ingest(spark, out, batch, "t2")
+    assert(json3.contains("\"exactDup\":3"), json3)
+    assert(multiset(s"$out/ingest/t2") == t1Set)
+    docs.unpersist()
+    ()
+  }
+
+  test("--ingest against a MUTATED standing index reclassifies yesterday's novelty") {
+    // Day 1: curate corpus A, ingest a batch — its fabricated docs are
+    // novel. Day 2: the standing index is REBUILT over A ∪ batch (the
+    // merge a production pipeline runs after accepting novel docs). The
+    // same batch re-ingested against the mutated index must now classify
+    // as exact_dup — the classification tracks the index state, not the
+    // session that built it.
+    val tmp = Files.createTempDirectory("curate-mutate").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    docs.write.parquet(s"$tmp/inputA")
+    CurateMain.run(spark, s"$tmp/inputA", s"$tmp/day1")
+
+    val batch = s"$tmp/batch"
+    docs.limit(3)
+      .select((col("doc_id") + 9500000L).as("doc_id"),
+        array_join(reverse(split(trim(col("text")), "\\s+")), " ").as("text"))
+      .write.parquet(batch)
+    val day1 = CurateMain.ingest(spark, s"$tmp/day1", batch, "b1")
+    assert(day1.contains("\"novel\":3"), day1)
+
+    // merge: standing corpus grows by the accepted batch, index rebuilt
+    spark.read.parquet(s"$tmp/inputA").unionByName(spark.read.parquet(batch))
+      .write.parquet(s"$tmp/inputAB")
+    CurateMain.run(spark, s"$tmp/inputAB", s"$tmp/day2")
+    val day2 = CurateMain.ingest(spark, s"$tmp/day2", batch, "b1")
+    assert(day2.contains("\"exactDup\":3"), day2)
+    assert(day2.contains("\"novel\":0"), day2)
     docs.unpersist()
     ()
   }
