@@ -221,13 +221,22 @@ object Similarity {
       .withColumn("qlo", slice(col("qf"), 1, PqSub))
       .withColumn("qhi", slice(col("qf"), PqSub + 1, PqSub))
 
-  /** Corpus PQ codes (vec_id, code_lo, d_lo, code_hi, d_hi). */
-  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+  /** Append both per-subspace PQ code assignments (code_lo/d_lo,
+    * code_hi/d_hi) to any frame carrying qlo/qhi — THE single
+    * code-assignment path: [[pqCodes]] (oracle-checked by
+    * `ann_pq_codes`) and the IVF-PQ index build both route through it,
+    * so the two cannot desync. Stays a narrow projection over the
+    * caller's scan (no join, no extra shuffle). */
+  private def withPqCodes(s: SparkSession, dir: String, df: DataFrame): DataFrame = {
     val books = pqTrain(s, dir)
-    val lo = withCodeCol(pqVectors(s, dir), "qlo", books(0), "code_lo", "d_lo")
-    withCodeCol(lo, "qhi", books(1), "code_hi", "d_hi")
-      .select(col("vec_id"), col("code_lo"), col("d_lo"), col("code_hi"), col("d_hi"))
+    withCodeCol(withCodeCol(df, "qlo", books(0), "code_lo", "d_lo"),
+      "qhi", books(1), "code_hi", "d_hi")
   }
+
+  /** Corpus PQ codes (vec_id, code_lo, d_lo, code_hi, d_hi). */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    withPqCodes(s, dir, pqVectors(s, dir))
+      .select(col("vec_id"), col("code_lo"), col("d_lo"), col("code_hi"), col("d_hi"))
 
   /** IVF-PQ search body (shared by `ann_ivfpq_topk` and its recall
     * audit): stored index = (vec_id, cell, code_lo, code_hi); query
@@ -237,10 +246,9 @@ object Similarity {
     val cents = kmeansTrain(s, dir)
     val books = pqTrain(s, dir)
     val base  = pqVectors(s, dir).withColumn("q", col("qf"))
-    // the stored index: 3 longs per corpus vector, nothing else ships
-    val idx = withCodeCol(
-        withCodeCol(withKmeansCell(base, cents), "qlo", books(0), "code_lo", "d_lo"),
-        "qhi", books(1), "code_hi", "d_hi")
+    // the stored index: 3 longs per corpus vector, nothing else ships;
+    // codes come from the same assignment path ann_pq_codes certifies
+    val idx = withPqCodes(s, dir, withKmeansCell(base, cents))
       .select(col("vec_id"), col("cell"), col("code_lo"), col("code_hi"))
     val qf = withKmeansCell2(base, cents).filter(col("vec_id") < NQuery)
     val qprobes = qf.select(col("vec_id").as("query_id"),
@@ -1137,16 +1145,23 @@ object Similarity {
        |  FROM (SELECT * FROM lad WHERE rn = 1) l
        |  JOIN (SELECT * FROM had WHERE rn = 1) h USING (vec_id))""".stripMargin
 
-  /** PQ chain + the ADC search CTEs, ending in `pqr` (per-query ADC
-    * ranking) — shared by the search oracle and its recall audit. */
-  private def dkPqSearchChain: String =
-    s"""$dkPqChain,
-       |qs AS (SELECT vec_id AS query_id, qf[1:$PqSub] AS qlo,
+  /** The per-query ADC dictionary CTEs (query subvectors + the two
+    * subspace distance tables) — the fragment every PQ-flavoured oracle
+    * needs verbatim; one definition so an ADC-shape edit cannot desync
+    * [[dkPqSearchChain]] from [[dkIvfPqTopk]]. */
+  private def dkAdcDict: String =
+    s"""qs AS (SELECT vec_id AS query_id, qf[1:$PqSub] AS qlo,
        |    qf[${PqSub + 1}:$Dims] AS qhi FROM eq WHERE vec_id < $NQuery),
        |dtlo AS (SELECT query_id, c.cell::BIGINT AS code_lo,
        |    ${Dk.intDist2("qs.qlo", "c.c", PqSub)} AS pd_lo FROM qs, lc2 c),
        |dthi AS (SELECT query_id, c.cell::BIGINT AS code_hi,
-       |    ${Dk.intDist2("qs.qhi", "c.c", PqSub)} AS pd_hi FROM qs, hc2 c),
+       |    ${Dk.intDist2("qs.qhi", "c.c", PqSub)} AS pd_hi FROM qs, hc2 c)""".stripMargin
+
+  /** PQ chain + the ADC search CTEs, ending in `pqr` (per-query ADC
+    * ranking) — shared by the search oracle and its recall audit. */
+  private def dkPqSearchChain: String =
+    s"""$dkPqChain,
+       |$dkAdcDict,
        |adcx AS (
        |  SELECT dtlo.query_id, codes.vec_id AS neighbor_id,
        |    (pd_lo + pd_hi)::BIGINT AS adc
@@ -1168,12 +1183,7 @@ object Similarity {
   private def dkIvfPqTopk: String =
     s"""WITH $dkKmeansChain,
        |$dkPqChain,
-       |qs AS (SELECT vec_id AS query_id, qf[1:$PqSub] AS qlo,
-       |    qf[${PqSub + 1}:$Dims] AS qhi FROM eq WHERE vec_id < $NQuery),
-       |dtlo AS (SELECT query_id, c.cell::BIGINT AS code_lo,
-       |    ${Dk.intDist2("qs.qlo", "c.c", PqSub)} AS pd_lo FROM qs, lc2 c),
-       |dthi AS (SELECT query_id, c.cell::BIGINT AS code_hi,
-       |    ${Dk.intDist2("qs.qhi", "c.c", PqSub)} AS pd_hi FROM qs, hc2 c),
+       |$dkAdcDict,
        |cells AS (SELECT vec_id, cell FROM ad WHERE rn = 1),
        |qp AS (SELECT vec_id AS query_id, cell FROM ad
        |  WHERE vec_id < $NQuery AND rn <= 2),

@@ -1239,9 +1239,11 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("mm_dedup_bytes: every planted mirror copy groups with its original") {
+    // mirror the engine's multibyte plant so replay hashes key the same rows
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .map { case (id, t) => (id, if (id % 10 == 3) t + " ünïcødé–𝄞" else t) }
     val out = SparkEntry.queries("mm_dedup_bytes")(spark, dir).collect()
       .map(r => r.getAs[String]("media_hash") ->
         ((r.getAs[Long]("n_copies"), r.getAs[Long]("keeper"), r.getAs[Boolean]("dup"))))
@@ -1264,17 +1266,29 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("mm_phash_hamming equals a driver-side simhash replay; planted re-encodes found") {
+    // replay mirrors the engine's multibyte plant (Multimodal.Utf8Suffix)
+    // and — crucially — grams by CODE POINT, not UTF-16 unit: Spark and
+    // DuckDB substring() count code points, so a Java-String replay that
+    // sliced chars would split the 4-byte 𝄞 into surrogate halves and
+    // hash different grams
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .map { case (id, t) => (id, if (id % 10 == 3) t + " ünïcødé–𝄞" else t) }
+    def cps(t: String): Array[Int] = t.codePoints().toArray
+    def cpSub(t: String, from: Int, n: Int): String = {
+      val a = cps(t)
+      new String(a, math.min(from, a.length), math.max(0, math.min(n, a.length - from)))
+    }
     val planted = docs ++ docs.filter(_._1 % 7 == 0).map { case (id, t) =>
       val p = (id % 8).toInt
-      (id + 3000000L, t.substring(0, p) + "~" + t.substring(p + 1))
+      (id + 3000000L, cpSub(t, 0, p) + "~" + cpSub(t, p + 1, Int.MaxValue))
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     def simhash(t: String): (Long, Long) = {
-      val grams = (0 until math.max(1, t.length - 3)).map(i =>
-        t.substring(i, math.min(i + 4, t.length)))
+      val a = cps(t)
+      val grams = (0 until math.max(1, a.length - 3)).map(i =>
+        new String(a, i, math.min(4, a.length - i)))
       val votes = Array.fill(64)(0L)
       grams.foreach { g =>
         val hex = md.digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString

@@ -820,13 +820,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("mmr rerank: candidate/sims joins broadcast; no cartesian, no text shuffle") {
-    val root = rootOf("search_mmr_rerank")
-    assert(root.toString.contains("BroadcastHashJoin"),
-      s"candidate-side joins not broadcast:\n${root.toString.take(2000)}")
-    assert(!root.toString.contains("CartesianProduct"))
-    shuffleCols(root).foreach { cols =>
-      assert(!cols.contains("text"), s"mmr shuffle carries text: $cols")
+    // The greedy loop checkpoints each round eagerly, so the returned
+    // frame is just a block scan — the load-bearing plans are the ones
+    // EXECUTED during construction. Capture them via the session's
+    // QueryExecutionListener (delivered async; poll below).
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.execution.SparkPlan]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        seen.add(qe.executedPlan); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("search_mmr_rerank")(spark, dir)
+      val deadline = System.currentTimeMillis() + 30000
+      def roots = {
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq.map {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+          case other => other
+        }
+      }
+      while (System.currentTimeMillis() < deadline &&
+        !roots.exists(_.toString.contains("BroadcastHashJoin"))) Thread.sleep(100)
+      val rs = roots
+      assert(rs.exists(_.toString.contains("BroadcastHashJoin")),
+        s"no captured round plan has a broadcast join (${rs.size} plans captured)")
+      rs.foreach { r =>
+        assert(!r.toString.contains("CartesianProduct"))
+        shuffleCols(r).foreach { cols =>
+          assert(!cols.contains("text"), s"mmr shuffle carries text: $cols")
+        }
+      }
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("random walks: hops are equi-joins + struct-min aggs — no cartesian") {
