@@ -77,7 +77,10 @@ object PlanAudit {
         "ann_cell_balance", "eval_kappa", "text_blocklist_filter",
         // this session, cont.: composite IVF-PQ — broadcast probe + ADC
         // dictionaries over a codes-only index scan
-        "ann_ivfpq_topk", "ann_ivfpq_recall")
+        "ann_ivfpq_topk", "ann_ivfpq_recall",
+        // round 5: bucket-offset suffix rank + rank-equi neighbor join,
+        // single max(struct) agg + ids-only leak join, partial-agg pass@k
+        "dedup_suffix_lcp", "q_preference_pairs", "eval_pass_at_k")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -40,6 +40,12 @@ object Curation {
   /** Per-domain quota (the C4/RefinedWeb host-cap policy constant). */
   private val DomainCap = 10L
 
+  /** q_preference_pairs: responses per prompt group, the DPO margin
+    * floor, and the leak-guard chunk width (tokens). */
+  private val PrefGroup     = 5L
+  private val PrefMinMargin = 200L
+  private val PrefChunkW    = 10L
+
   /** q_batch_pad_waste: batch size and the range-bucket widths of the
     * two-pass global ranks (token-length buckets for the sorted layout,
     * doc_id buckets for the arrival layout). */
@@ -836,6 +842,65 @@ object Curation {
           col("top_lang_docs"),
           coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
         .withColumn("dup_ppm", expr("(dup_docs * 1000000) div n_docs"))
+    }),
+
+    // Preference-pair construction (the RLHF/DPO data-prep step): group
+    // candidate responses per prompt ([[PrefGroup]] per group by id
+    // layout), pick chosen = arg-max / rejected = arg-min of a
+    // deterministic score (lexicographic (score, id) — the max(struct)
+    // trick, one shuffle on prompt_id with map-side partial agg, no
+    // window), then apply the two production gates: a MARGIN floor
+    // ([[PrefMinMargin]] — low-margin pairs teach noise) and a LEAK guard
+    // (chosen and rejected sharing any [[PrefChunkW]]-token chunk means
+    // the "preference" is really a near-dup artifact — the
+    // boilerplate-canned-reply failure). The leak join runs over
+    // (doc_id, chunk_hash) pairs of the SELECTED docs only — cost ∝
+    // prompts × chunks/doc, never corpus²; text never shuffles. Plant:
+    // every 7th prompt gets canned replies in slots 0 and 4 with forced
+    // extreme scores, so exactly those pairs trip the leak gate (kept =
+    // false with margin passing — the gate, not the margin, rejects).
+    "q_preference_pairs" -> ((s, dir) => {
+      val pid  = floor(col("doc_id") / PrefGroup).cast("long")
+      val slot = col("doc_id") % PrefGroup
+      val planted = col("prompt_id") % 7 === 0 && (slot === 0 || slot === PrefGroup - 1)
+      val canned = repeat(
+        concat(lit("thanks for asking about topic "),
+          col("prompt_id").cast("string"), lit(" ")), 6)
+      val resp = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("prompt_id", pid)
+        .withColumn("text", when(planted, canned).otherwise(col("text")))
+        .withColumn("score",
+          when(planted && slot === 0, lit(1000L))
+            .when(planted, lit(-1L))
+            .otherwise(hex32(concat(lit("pref:"), col("doc_id").cast("string"))) % 1000L))
+      val sel = resp.groupBy(col("prompt_id")).agg(
+          count(lit(1)).as("n_responses"),
+          max(struct(col("score"), col("doc_id"))).as("mx"),
+          min(struct(col("score"), col("doc_id"))).as("mn"))
+        .select(col("prompt_id"), col("n_responses"),
+          col("mx.doc_id").as("chosen_id"), col("mx.score").as("chosen_score"),
+          col("mn.doc_id").as("rejected_id"), col("mn.score").as("rejected_score"))
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      val chunks = resp.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("nch", floor(size(col("toks")) / PrefChunkW).cast("int"))
+        .filter(col("nch") >= 1)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("nch") - 1), i =>
+            md5(array_join(slice(col("toks"), i * PrefChunkW.toInt + 1,
+              lit(PrefChunkW.toInt)), " ")))).as("h"))
+      val leak = sel.select(col("prompt_id"), col("chosen_id"), col("rejected_id"))
+        .join(chunks.select(col("doc_id").as("chosen_id"), col("h")), Seq("chosen_id"))
+        .join(chunks.select(col("doc_id").as("rejected_id"), col("h")),
+          Seq("rejected_id", "h"))
+        .groupBy(col("prompt_id")).agg(countDistinct(col("h")).as("shared_chunks"))
+      sel.join(leak, Seq("prompt_id"), "left")
+        .withColumn("shared_chunks", coalesce(col("shared_chunks"), lit(0L)))
+        .withColumn("kept",
+          col("n_responses") >= 2 && col("margin") >= PrefMinMargin &&
+            col("shared_chunks") === 0)
+        .select(col("prompt_id"), col("n_responses"), col("chosen_id"),
+          col("chosen_score"), col("rejected_id"), col("rejected_score"),
+          col("margin"), col("shared_chunks"), col("kept"))
     }),
 
     // Domain-mixture resampling (the Pile/Dolma-style mixing step): given
@@ -1712,6 +1777,54 @@ object Curation {
          |LEFT JOIN dup ON dup.source = a.source
          |JOIN lt ON lt.source = a.source""".stripMargin,
 
+    // Preference-pair twin: identical plant, arg-max/arg-min via
+    // row_number with the same lexicographic tie-break as max(struct),
+    // identical chunk-hash leak join.
+    "q_preference_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, doc_id // $PrefGroup AS prompt_id,
+         |    doc_id % $PrefGroup AS slot, text
+         |  FROM documents),
+         |resp AS (
+         |  SELECT doc_id, prompt_id,
+         |    CASE WHEN prompt_id % 7 = 0 AND slot IN (0, ${PrefGroup - 1})
+         |      THEN repeat('thanks for asking about topic ' || prompt_id::VARCHAR || ' ', 6)
+         |      ELSE text END AS text,
+         |    CASE WHEN prompt_id % 7 = 0 AND slot = 0 THEN 1000::BIGINT
+         |      WHEN prompt_id % 7 = 0 AND slot = ${PrefGroup - 1} THEN (-1)::BIGINT
+         |      ELSE ${Dk.hex32("'pref:' || doc_id::VARCHAR")} % 1000 END AS score
+         |  FROM base),
+         |rk AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id DESC) AS rc,
+         |    row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, doc_id ASC) AS rr
+         |  FROM resp),
+         |sel AS (
+         |  SELECT prompt_id, count(*)::BIGINT AS n_responses,
+         |    max(CASE WHEN rc = 1 THEN doc_id END)::BIGINT AS chosen_id,
+         |    max(CASE WHEN rc = 1 THEN score END)::BIGINT AS chosen_score,
+         |    max(CASE WHEN rr = 1 THEN doc_id END)::BIGINT AS rejected_id,
+         |    max(CASE WHEN rr = 1 THEN score END)::BIGINT AS rejected_score
+         |  FROM rk GROUP BY 1),
+         |selm AS (SELECT *, chosen_score - rejected_score AS margin FROM sel),
+         |tk AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM resp),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    unnest([md5(array_to_string(toks[(i*$PrefChunkW+1):(i*$PrefChunkW+$PrefChunkW)], ' '))
+         |            for i in generate_series(0, len(toks) // $PrefChunkW - 1)]) AS h
+         |  FROM tk),
+         |leak AS (
+         |  SELECT s.prompt_id, count(DISTINCT c.h)::BIGINT AS shared_chunks
+         |  FROM selm s
+         |  JOIN chunks c ON c.doc_id = s.chosen_id
+         |  JOIN chunks r ON r.doc_id = s.rejected_id AND r.h = c.h
+         |  GROUP BY 1)
+         |SELECT s.prompt_id, s.n_responses, s.chosen_id, s.chosen_score,
+         |  s.rejected_id, s.rejected_score, s.margin,
+         |  coalesce(l.shared_chunks, 0)::BIGINT AS shared_chunks,
+         |  (s.n_responses >= 2 AND s.margin >= $PrefMinMargin
+         |   AND coalesce(l.shared_chunks, 0) = 0) AS kept
+         |FROM selm s LEFT JOIN leak l ON l.prompt_id = s.prompt_id""".stripMargin,
     "q_domain_mix" ->
       s"""WITH d AS (
          |  SELECT doc_id,

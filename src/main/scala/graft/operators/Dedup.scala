@@ -62,6 +62,15 @@ object Dedup {
   private val SnmWindow     = 4
   private val SnmMinJaccard = 0.5
 
+  /** Suffix-array neighbor LCP (`dedup_suffix_lcp`): truncated suffix
+    * sort-key width in chars, the token-window that guarantees it (k
+    * joined tokens span ≥ 2k−1 chars, so 33 tokens cover 64 chars
+    * whenever that many remain), and the duplicated-run report
+    * threshold. */
+  private val SuffixKeyChars = 64
+  private val SuffixKeyToks  = 33
+  private val SuffixDupChars = 40
+
   /** Deterministic hot-band cap: a band group keeps only its this-many
     * smallest doc_ids for candidate generation (bounds a degenerate band
     * to MaxBandGroup² pairs). Mirrored bit-for-bit in the DuckDB oracle. */
@@ -824,6 +833,74 @@ object Dedup {
         .filter(col("jaccard") >= SnmMinJaccard)
     }),
 
+    // Suffix-array neighbor LCP — the ACTUAL machinery of exact substring
+    // dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    // Models Better"): text_substr_dedup removes at fixed CHUNK
+    // granularity; this measures duplication at ARBITRARY sub-chunk
+    // granularity via the suffix-array property that every suffix's
+    // longest duplicated prefix is realized against one of its two
+    // NEIGHBORS in suffix-sorted order. Distributed construction is the
+    // production recipe for SA at corpus scale: suffixes are represented
+    // by a TRUNCATED sort key ([[SuffixKeyChars]] chars — joins of
+    // [[SuffixKeyToks]] tokens guarantee ≥ the cap whenever that many
+    // tokens remain, since a token is ≥ 1 char + separator), globally
+    // range-sorted with the bucket-offset rank (the sorted-neighborhood
+    // shape: per-bucket row_number + broadcast prefix-sum of bucket
+    // counts — NO single-partition window), and each adjacent pair's LCP
+    // is a 64-bounded prefix scan. Shuffles carry (rank, key64) — never
+    // full text; the neighbor join is rank→rank+1 (uniform keys, no
+    // skew by construction). Per-doc rollup: suffix count, the longest
+    // duplicated span (capped at the key width, documented), and how
+    // many suffixes open a duplicated run ≥ [[SuffixDupChars]] chars.
+    // dupCorpus's planted copies differ only in a " zzz" tail, so every
+    // original long doc carries cap-length duplicated suffixes.
+    "dedup_suffix_lcp" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = dupCorpus(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val suf = t.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 1), p =>
+          substring(array_join(slice(col("toks"), p + 1, lit(SuffixKeyToks)), " "),
+            1, SuffixKeyChars))).as("key"))
+      val bucketed = suf.withColumn("bucket", substring(col("key"), 1, 1))
+      val offs = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bucket"), col("offset"))
+      // ties (identical keys) need no further ordering: every member of an
+      // equal-key run gets dup_len = len(key) from its in-run neighbor, so
+      // the per-doc rollup is permutation-invariant within runs
+      // cached: consumed by both sides of the neighbor join and the final
+      // rollup — (rnk, key64, doc_id) only, the frame a real pipeline
+      // would materialize as the suffix-array table
+      val ranked = bucketed.join(broadcast(offs), Seq("bucket"))
+        .withColumn("rnk", col("offset") + row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rnk"), col("key"))
+        .cache()
+      // lcpAt(rnk) = LCP(key at rnk, key at rnk+1); prefix equality is
+      // monotone in i, so counting matching prefixes IS the LCP
+      // the when-guard covers an empty key: Spark's sequence(1, 0)
+      // DESCENDS where DuckDB's generate_series returns empty
+      val lcpAt = ranked.select(col("rnk"), col("key").as("ka"))
+        .join(ranked.select((col("rnk") - 1).as("rnk"), col("key").as("kb")), Seq("rnk"))
+        .withColumn("w", least(length(col("ka")), length(col("kb"))))
+        .select(col("rnk"), when(col("w") === 0, lit(0)).otherwise(size(filter(
+          sequence(lit(1), col("w")),
+          i => col("ka").substr(lit(1), i) === col("kb").substr(lit(1), i)))).as("lcp"))
+      ranked
+        .join(lcpAt.withColumnRenamed("lcp", "lcp_next"), Seq("rnk"), "left")
+        .join(lcpAt.select((col("rnk") + 1).as("rnk"), col("lcp").as("lcp_prev")),
+          Seq("rnk"), "left")
+        .withColumn("dup_len",
+          greatest(coalesce(col("lcp_next"), lit(0)), coalesce(col("lcp_prev"), lit(0))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_suffixes"),
+          max(col("dup_len")).cast("long").as("max_dup_len"),
+          count(when(col("dup_len") >= SuffixDupChars, 1)).as("n_dup_spans"))
+    }),
+
     // Embedding-cosine near-dup: candidates come from sign-LSH buckets
     // whose plane count GROWS with the corpus (planesFor keeps ~64
     // vectors/bucket), with HAMMING-1 MULTIPROBE (each vector also probes
@@ -1269,6 +1346,34 @@ object Dedup {
          |  SELECT c.doc_a, c.doc_b, c.gap, $dkJaccard AS jaccard
          |  FROM cand c JOIN d l ON l.doc_id = c.doc_a JOIN d r ON r.doc_id = c.doc_b)
          |WHERE jaccard >= $SnmMinJaccard""".stripMargin,
+    // Suffix neighbor LCP twin: DuckDB sorts the truncated suffix keys
+    // with one global row_number (single-node engine — the Spark side's
+    // bucket-offset rank is the distributed equivalent of the same total
+    // order), takes each adjacent pair's LCP by counting matching
+    // prefixes, and rolls up per doc exactly like the Spark plan.
+    "dedup_suffix_lcp" ->
+      s"""WITH $dkCorpus,
+         |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |s AS (SELECT doc_id,
+         |    unnest([substr(array_to_string(toks[i:i+${SuffixKeyToks - 1}], ' '), 1, $SuffixKeyChars)
+         |            for i in generate_series(1, len(toks))]) AS key
+         |  FROM t),
+         |ranked AS (SELECT doc_id, key,
+         |    row_number() OVER (ORDER BY key, doc_id) AS rnk FROM s),
+         |lcp AS (SELECT rnk,
+         |    len([i for i in generate_series(1, least(length(key), length(nk)))
+         |         if substr(key, 1, i) = substr(nk, 1, i)]) AS lcp
+         |  FROM (SELECT rnk, key, lead(key) OVER (ORDER BY rnk) AS nk FROM ranked)
+         |  WHERE nk IS NOT NULL),
+         |d AS (SELECT r.doc_id,
+         |    greatest(coalesce(ln.lcp, 0), coalesce(lp.lcp, 0)) AS dup_len
+         |  FROM ranked r
+         |  LEFT JOIN lcp ln ON ln.rnk = r.rnk
+         |  LEFT JOIN lcp lp ON lp.rnk = r.rnk - 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_suffixes,
+         |  max(dup_len)::BIGINT AS max_dup_len,
+         |  sum(CASE WHEN dup_len >= $SuffixDupChars THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+         |FROM d GROUP BY 1""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH $dkEmbNearDups
          |SELECT vec_a, vec_b, probe_dist, cos FROM verified""".stripMargin,

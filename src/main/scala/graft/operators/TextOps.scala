@@ -37,6 +37,29 @@ object TextOps {
     * (exactly [[ChunkW]] tokens ⇒ exactly one corpus-wide hot chunk). */
   private val ChunkW = 10
 
+  /** eval_pass_at_k: problem count (docs keyed by doc_id % this; the sf
+    * corpora's contiguous ids give ≥ 10 samples per problem, so every
+    * denominator n−i stays positive for k ≤ 10). */
+  private val PassProblems = 50L
+
+  /** The pass@k product Π_{i<k} (n−c−i)/(n−i), as a Column tree. Must
+    * stay STRUCTURALLY IDENTICAL to [[dkPassAtK]] — same left-assoc
+    * order — for the bit-exact double guarantee. */
+  private def passAtKCol(k: Int): Column = {
+    val prod = (0 until k).map(i =>
+      (col("n_samples") - col("n_correct") - lit(i)).cast("double") /
+        (col("n_samples") - lit(i)).cast("double")).reduceLeft(_ * _)
+    floor(lit(1e6) * (lit(1.0) - prod)).cast("long")
+  }
+
+  /** [[passAtKCol]]'s oracle twin. */
+  private def dkPassAtK(k: Int): String = {
+    val prod = (0 until k).map(i =>
+      s"((n_samples - n_correct - $i)::DOUBLE / (n_samples - $i)::DOUBLE)")
+      .mkString(" * ")
+    s"floor(1000000 * (1.0 - $prod))::BIGINT"
+  }
+
   /** Repetition-rule line width (tokens per synthesized line). */
   private val LineW = 8
 
@@ -237,6 +260,34 @@ object TextOps {
     // n-weighted ECE on every row. Scale shape: the classifier's
     // token-bucket aggregation, then a ≤6-row bin aggregate — nothing
     // corpus-sized moves after the per-doc logits.
+    // Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    // Models Trained on Code", eq. 1): per problem with n samples and c
+    // passes, pass@k = 1 − C(n−c,k)/C(n,k), computed as the telescoped
+    // product Π_{i<k} (n−c−i)/(n−i) — numerically safe where binomials
+    // overflow int64 (n=100, k=10 already needs ~10²⁰). The product is
+    // rendered from ONE builder as both a Column tree and oracle SQL,
+    // left-associated in the same fixed order, so both engines run the
+    // identical IEEE-754 double sequence and the ppm floor is bit-exact.
+    // When n−c < k one factor is exactly 0 ⇒ product 0 ⇒ pass@k = 1,
+    // which is also the combinatorial value. Samples = docs keyed to
+    // [[PassProblems]] problems; pass = deterministic hash draw against
+    // a per-problem difficulty threshold. Scale shape: one partial-agg
+    // groupBy(problem_id) (problems ≪ samples), then a per-row scalar
+    // expression — nothing corpus-sized moves after the count.
+    "eval_pass_at_k" -> ((s, dir) => {
+      val r = docs(s, dir).select(
+        (col("doc_id") % PassProblems).as("problem_id"),
+        when(hex32(concat(lit("pass:"), col("doc_id").cast("string"))) % 1000L <
+          lit(200L) + (col("doc_id") % PassProblems) * 13L % 600L, 1L)
+          .otherwise(0L).as("pass"))
+      r.groupBy(col("problem_id"))
+        .agg(count(lit(1)).as("n_samples"), sum(col("pass")).as("n_correct"))
+        .select(col("problem_id"), col("n_samples"), col("n_correct"),
+          passAtKCol(1).as("pass1_ppm"),
+          passAtKCol(5).as("pass5_ppm"),
+          passAtKCol(10).as("pass10_ppm"))
+    }),
+
     "eval_ece" -> ((s, dir) => {
       val lg = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -1181,6 +1232,20 @@ object TextOps {
          |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS logit,
          |  sum(w) >= 0 AS keep
          |FROM w GROUP BY 1""".stripMargin,
+    "eval_pass_at_k" ->
+      s"""WITH r AS (
+         |  SELECT doc_id % $PassProblems AS problem_id,
+         |    CASE WHEN ${Dk.hex32("'pass:' || doc_id::VARCHAR")} % 1000 <
+         |      200 + ((doc_id % $PassProblems) * 13) % 600 THEN 1 ELSE 0 END AS pass
+         |  FROM documents),
+         |a AS (SELECT problem_id, count(*)::BIGINT AS n_samples,
+         |    sum(pass)::BIGINT AS n_correct
+         |  FROM r GROUP BY 1)
+         |SELECT problem_id, n_samples, n_correct,
+         |  ${dkPassAtK(1)} AS pass1_ppm,
+         |  ${dkPassAtK(5)} AS pass5_ppm,
+         |  ${dkPassAtK(10)} AS pass10_ppm
+         |FROM a""".stripMargin,
     "eval_kappa" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(${Dk.tokens("text")}) AS term FROM documents),

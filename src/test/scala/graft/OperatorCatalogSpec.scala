@@ -2245,4 +2245,89 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
         math.abs(r.getAs[Long]("avg_conf_ppm") - r.getAs[Long]("acc_ppm")))
     }
   }
+
+  test("dedup_suffix_lcp matches a driver-side suffix-sort reference") {
+    // Independent reimplementation (plain collections, no Spark): build
+    // every truncated suffix key over the same planted corpus, sort
+    // globally, take each neighbor pair's LCP, roll up per doc.
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = rows ++ rows.map { case (id, t) => (id + 1000000L, t + " zzz") }
+    val sufs = corpus.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      toks.indices.map(p => (toks.slice(p, p + 33).mkString(" ").take(64), id))
+    }.sortBy(x => (x._1, x._2))
+    def lcp(a: String, b: String): Int = a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val dupLen = sufs.indices.map { i =>
+      val prev = if (i > 0) lcp(sufs(i - 1)._1, sufs(i)._1) else 0
+      val next = if (i < sufs.length - 1) lcp(sufs(i)._1, sufs(i + 1)._1) else 0
+      (sufs(i)._2, math.max(prev, next))
+    }
+    val want = dupLen.groupBy(_._1).map { case (id, xs) =>
+      id -> ((xs.size.toLong, xs.map(_._2).max.toLong, xs.count(_._2 >= 40).toLong))
+    }
+    val out = SparkEntry.queries("dedup_suffix_lcp")(spark, dir).collect()
+    assert(out.length == want.size, "one row per corpus doc")
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, mx, nd) = want(id)
+      assert(r.getAs[Long]("n_suffixes") == n, s"doc $id n_suffixes")
+      assert(r.getAs[Long]("max_dup_len") == mx, s"doc $id max_dup_len")
+      assert(r.getAs[Long]("n_dup_spans") == nd, s"doc $id n_dup_spans")
+    }
+    // the planted copies force cap-length duplicated suffixes on long docs
+    out.filter(r => r.getAs[Long]("doc_id") < 1000000L && {
+      val (n, _, _) = want(r.getAs[Long]("doc_id")); n >= 33
+    }).foreach(r => assert(r.getAs[Long]("max_dup_len") == 64L,
+      s"doc ${r.getAs[Long]("doc_id")} should hit the 64-char cap"))
+  }
+
+  test("q_preference_pairs: planted canned pairs leak-gated, kept is the conjunction") {
+    val out = SparkEntry.queries("q_preference_pairs")(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == (nDocs / 5).toInt, "one row per prompt group")
+    val planted = out.filter(_.getAs[Long]("prompt_id") % 7 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      val pid = r.getAs[Long]("prompt_id")
+      assert(r.getAs[Long]("chosen_score") == 1000L, s"prompt $pid chosen")
+      assert(r.getAs[Long]("rejected_score") == -1L, s"prompt $pid rejected")
+      assert(r.getAs[Long]("shared_chunks") > 0L, s"prompt $pid must leak")
+      assert(!r.getAs[Boolean]("kept"), s"prompt $pid must be gated")
+      // the margin PASSES — the leak gate, not the margin, rejects it
+      assert(r.getAs[Long]("margin") == 1001L, s"prompt $pid margin")
+    }
+    out.foreach { r =>
+      val want = r.getAs[Long]("n_responses") >= 2L &&
+        r.getAs[Long]("margin") >= 200L && r.getAs[Long]("shared_chunks") == 0L
+      assert(r.getAs[Boolean]("kept") == want,
+        s"prompt ${r.getAs[Long]("prompt_id")} kept flag")
+    }
+    assert(out.exists(_.getAs[Boolean]("kept")), "some pairs must survive")
+  }
+
+  test("eval_pass_at_k matches the exact binomial value within 1 ppm") {
+    def choose(n: Long, k: Long): BigInt =
+      (0L until k).map(i => BigInt(n - i)).product / (1L to k).map(BigInt(_)).product
+    def exactPpm(n: Long, c: Long, k: Long): Long = {
+      val frac = BigDecimal(choose(n - c, k)) / BigDecimal(choose(n, k))
+      ((BigDecimal(1) - frac) * 1000000).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    }
+    val out = SparkEntry.queries("eval_pass_at_k")(spark, dir).collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_samples"), r.getAs[Long]("n_correct"))
+      for ((k, col) <- Seq((1L, "pass1_ppm"), (5L, "pass5_ppm"), (10L, "pass10_ppm"))) {
+        val got  = r.getAs[Long](col)
+        val want = exactPpm(n, c, k)
+        assert(math.abs(got - want) <= 1L,
+          s"problem ${r.getAs[Long]("problem_id")} $col: got $got want $want")
+      }
+      assert(r.getAs[Long]("pass1_ppm") <= r.getAs[Long]("pass5_ppm") &&
+        r.getAs[Long]("pass5_ppm") <= r.getAs[Long]("pass10_ppm"), "monotone in k")
+    }
+    // the per-problem difficulty plant must spread the estimates
+    assert(out.map(_.getAs[Long]("pass1_ppm")).distinct.length > 10)
+  }
 }

@@ -1006,4 +1006,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(!cols.contains("text"), s"pad-waste shuffle carries text: $cols")
     }
   }
+
+  test("suffix LCP: bucket offsets broadcast; no cartesian; text never shuffles") {
+    val root = rootOf("dedup_suffix_lcp")
+    val p = root.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-offset rank join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "suffix neighbor join went cartesian")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("toks"),
+        s"suffix-LCP shuffle carries document text: $cols")
+    }
+  }
+
+  test("preference pairs: selection is one partial agg; leak join shuffles ids+hashes only") {
+    val root = rootOf("q_preference_pairs")
+    val p = root.toString
+    assert(!p.contains("CartesianProduct"))
+    // max(struct) selection must partial-aggregate map-side (no window
+    // over the response corpus)
+    assert(p.contains("partial_"), s"selection agg not partial:\n${p.take(2000)}")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("toks"),
+        s"preference-pair shuffle carries text: $cols")
+    }
+  }
+
+  test("pass@k: one partial-agg shuffle, nothing corpus-sized after the count") {
+    val root = rootOf("eval_pass_at_k")
+    val p = root.toString
+    assert(p.contains("partial_"), s"sample rollup not partial:\n${p.take(2000)}")
+    val ex = shuffleCols(root)
+    assert(ex.size <= 1, s"expected ≤1 Exchange, got ${ex.size}")
+    ex.foreach(cols => assert(!cols.contains("text"), s"pass@k shuffle carries text: $cols"))
+  }
 }
