@@ -80,7 +80,10 @@ object PlanAudit {
         "ann_ivfpq_topk", "ann_ivfpq_recall",
         // round 5: bucket-offset suffix rank + rank-equi neighbor join,
         // single max(struct) agg + ids-only leak join, partial-agg pass@k
-        "dedup_suffix_lcp", "q_preference_pairs", "eval_pass_at_k")
+        "dedup_suffix_lcp", "q_preference_pairs", "eval_pass_at_k",
+        // round 5, cont.: map-side CDC boundary pass + digest groupBy,
+        // bounded-struct conv rollup, max(struct) vote consolidation
+        "dedup_cdc_chunks", "q_chat_turns", "eval_majority_vote")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -46,6 +46,11 @@ object Curation {
   private val PrefMinMargin = 200L
   private val PrefChunkW    = 10L
 
+  /** q_chat_turns: turns per conversation (docs keyed by doc_id layout)
+    * and the canned-template marker the artifact gate scans for. */
+  private val ChatTurns  = 8L
+  private val ChatMarker = "As a large language model"
+
   /** q_batch_pad_waste: batch size and the range-bucket widths of the
     * two-pass global ranks (token-length buckets for the sorted layout,
     * doc_id buckets for the arrival layout). */
@@ -901,6 +906,54 @@ object Curation {
         .select(col("prompt_id"), col("n_responses"), col("chosen_id"),
           col("chosen_score"), col("rejected_id"), col("rejected_score"),
           col("margin"), col("shared_chunks"), col("kept"))
+    }),
+
+    // Chat-turn structure audit (the SFT-data ingestion gate): docs are
+    // laid out as conversations of [[ChatTurns]] turns (conv_id =
+    // doc_id / ChatTurns, turn = doc_id % ChatTurns, role alternating
+    // user/assistant from user), and each conversation is audited for
+    // the gates every instruction-tuning pipeline applies — strict role
+    // alternation, opens-with-user / closes-with-assistant, no empty
+    // turns, no canned-template artifacts ([[ChatMarker]] — the
+    // distilled-refusal fingerprint). Plants hit disjoint gates: every
+    // conv ≡ 0 mod 11 gets turn 3 flipped to user (alternation), ≡ 0
+    // mod 13 gets turn 2 emptied, ≡ 0 mod 7 gets the marker prepended
+    // to turn 7 (artifact). Scale shape: ONE shuffle on conv_id; the
+    // per-group state is a [[ChatTurns]]-bounded sorted struct array,
+    // so group size is a constant, not a skew surface; all the gate
+    // math is array expressions over that bounded state.
+    "q_chat_turns" -> ((s, dir) => {
+      val conv = floor(col("doc_id") / ChatTurns).cast("long")
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("conv_id", conv)
+        .withColumn("turn", (col("doc_id") % ChatTurns).cast("long"))
+        .withColumn("role",
+          when(col("conv_id") % 11 === 0 && col("turn") === 3, lit("user"))
+            .when(col("turn") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")))
+        .withColumn("text",
+          when(col("conv_id") % 13 === 0 && col("turn") === 2, lit(""))
+            .when(col("conv_id") % 7 === 0 && col("turn") === 7,
+              concat(lit(ChatMarker), lit(" I cannot help with "), col("text")))
+            .otherwise(col("text")))
+      d.groupBy(col("conv_id")).agg(
+          count(lit(1)).as("n_turns"),
+          sort_array(collect_list(struct(col("turn"), col("role"),
+            length(col("text")).as("tlen"),
+            col("text").contains(ChatMarker).cast("int").as("art")))).as("a"))
+        .select(col("conv_id"), col("n_turns"),
+          when(col("n_turns") >= 2,
+            size(filter(sequence(lit(1), col("n_turns") - 1), i =>
+              element_at(col("a"), i.cast("int")).getField("role") ===
+                element_at(col("a"), (i + 1).cast("int")).getField("role"))) === 0)
+            .otherwise(lit(true)).as("alternation_ok"),
+          (element_at(col("a"), 1).getField("role") === "user").as("opens_user"),
+          (element_at(col("a"), -1).getField("role") === "assistant").as("closes_assistant"),
+          size(filter(col("a"), x => x.getField("tlen") === 0)).cast("long").as("n_empty_turns"),
+          size(filter(col("a"), x => x.getField("art") === 1)).cast("long").as("n_artifact_turns"))
+        .withColumn("kept",
+          col("alternation_ok") && col("opens_user") && col("closes_assistant") &&
+            col("n_empty_turns") === 0 && col("n_artifact_turns") === 0)
     }),
 
     // Domain-mixture resampling (the Pile/Dolma-style mixing step): given
@@ -1825,6 +1878,44 @@ object Curation {
          |  (s.n_responses >= 2 AND s.margin >= $PrefMinMargin
          |   AND coalesce(l.shared_chunks, 0) = 0) AS kept
          |FROM selm s LEFT JOIN leak l ON l.prompt_id = s.prompt_id""".stripMargin,
+
+    // Chat-turn twin: identical conversation layout, identical plants,
+    // turn-ordered struct list, identical gate math.
+    "q_chat_turns" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, doc_id // $ChatTurns AS conv_id,
+         |    doc_id % $ChatTurns AS turn, text
+         |  FROM documents),
+         |d AS (SELECT conv_id, turn,
+         |    CASE WHEN conv_id % 11 = 0 AND turn = 3 THEN 'user'
+         |         WHEN turn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         |    CASE WHEN conv_id % 13 = 0 AND turn = 2 THEN ''
+         |         WHEN conv_id % 7 = 0 AND turn = 7
+         |           THEN '$ChatMarker I cannot help with ' || text
+         |         ELSE text END AS text
+         |  FROM base),
+         |a AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+         |    list(struct_pack(turn := turn, role := role, tlen := length(text),
+         |        art := CASE WHEN contains(text, '$ChatMarker') THEN 1 ELSE 0 END)
+         |      ORDER BY turn) AS a
+         |  FROM d GROUP BY 1)
+         |SELECT conv_id, n_turns,
+         |  CASE WHEN n_turns >= 2
+         |    THEN len([i for i in generate_series(1, n_turns - 1)
+         |              if a[i].role = a[i+1].role]) = 0
+         |    ELSE true END AS alternation_ok,
+         |  a[1].role = 'user' AS opens_user,
+         |  a[-1].role = 'assistant' AS closes_assistant,
+         |  len([x for x in a if x.tlen = 0])::BIGINT AS n_empty_turns,
+         |  len([x for x in a if x.art = 1])::BIGINT AS n_artifact_turns,
+         |  (CASE WHEN n_turns >= 2
+         |     THEN len([i for i in generate_series(1, n_turns - 1)
+         |               if a[i].role = a[i+1].role]) = 0
+         |     ELSE true END
+         |   AND a[1].role = 'user' AND a[-1].role = 'assistant'
+         |   AND len([x for x in a if x.tlen = 0]) = 0
+         |   AND len([x for x in a if x.art = 1]) = 0) AS kept
+         |FROM a""".stripMargin,
     "q_domain_mix" ->
       s"""WITH d AS (
          |  SELECT doc_id,

@@ -54,6 +54,22 @@ object Dedup {
         concat(col("text"), lit(" zzz zzz")).as("text")))
   }
 
+  /** Content-defined chunking (`dedup_cdc_chunks`): a token closes a
+    * chunk when its content hash ≡ 0 mod this divisor (expected chunk
+    * length = the divisor, in tokens). */
+  private val CdcDiv = 8L
+
+  /** documents ∪ copies with one token PREPENDED (doc_id + 1e6) — the
+    * plant that separates content-defined from fixed-width chunking: a
+    * leading insertion shifts every fixed-width chunk (zero dups found)
+    * but leaves every content-defined boundary in place (all chunks
+    * after the first still dup). */
+  private def cdcCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(lit("qq "), col("text")).as("text")))
+  }
+
   private val MinhashK = 8 // 4 bands × rows of 2
 
   /** Sorted-neighborhood method: blocking-key width, slide window, and
@@ -901,6 +917,53 @@ object Dedup {
           count(when(col("dup_len") >= SuffixDupChars, 1)).as("n_dup_spans"))
     }),
 
+    // Content-defined chunking (the storage-dedup CDC recipe — gear/
+    // Rabin-style — applied to training text): a chunk BOUNDARY is where
+    // the token's content hash ≡ 0 mod [[CdcDiv]], so boundaries move
+    // with the CONTENT, not the position. That is the property fixed-
+    // width chunking (text_dup_chunk_ratio / text_substr_dedup) lacks:
+    // one token inserted at the front shifts every fixed-width chunk
+    // hash, but leaves every CDC boundary in place — [[cdcCorpus]]
+    // plants exactly that (a copy with one PREPENDED token), and all
+    // chunks after each copy's first still dedup (spec-pinned). Per-doc
+    // boundary extraction is one narrow array pass (no explode of
+    // positions); the only corpus-wide move is the chunk-digest groupBy
+    // — shuffles carry (digest, doc_id), never text. No min/max chunk
+    // bounds (the sequential-scan variant): expected chunk = CdcDiv
+    // tokens, documented; degenerate runs of boundary tokens make short
+    // chunks, never unbounded ones.
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      val t = cdcCorpus(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 1)
+      // ascending boundary positions; the last token always closes a chunk
+      val withBp = t
+        .withColumn("bposr", filter(sequence(lit(1), col("n")), i =>
+          hex32(concat(lit("cdc:"), element_at(col("toks"), i))) % CdcDiv === 0L))
+        .withColumn("bpos",
+          when(size(col("bposr")) > 0 && element_at(col("bposr"), -1) === col("n"),
+            col("bposr"))
+            .otherwise(concat(col("bposr"), array(col("n")))))
+      val chunks = withBp
+        .select(col("doc_id"), col("toks"),
+          explode(transform(sequence(lit(1), size(col("bpos"))), k => struct(
+            when(k === 1, lit(1)).otherwise(element_at(col("bpos"), k - 1) + 1).as("st"),
+            element_at(col("bpos"), k).as("en")))).as("b"))
+        .select(col("doc_id"),
+          md5(array_join(
+            slice(col("toks"), col("b.st"), col("b.en") - col("b.st") + 1), " ")).as("h"),
+          (col("b.en") - col("b.st") + 1).cast("long").as("clen"))
+      val dupH = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(dupH, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("clen")).cast("long").as("n_toks"),
+          count(when(col("nd") >= 2, 1)).as("n_dup_chunks"))
+        .withColumn("dup_ppm", expr("(n_dup_chunks * 1000000) div n_chunks"))
+    }),
+
     // Embedding-cosine near-dup: candidates come from sign-LSH buckets
     // whose plane count GROWS with the corpus (planesFor keeps ~64
     // vectors/bucket), with HAMMING-1 MULTIPROBE (each vector also probes
@@ -1374,6 +1437,36 @@ object Dedup {
          |  max(dup_len)::BIGINT AS max_dup_len,
          |  sum(CASE WHEN dup_len >= $SuffixDupChars THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
          |FROM d GROUP BY 1""".stripMargin,
+    // CDC twin: identical prepended-token plant, identical boundary rule
+    // (token hash ≡ 0 mod CdcDiv, last token always closes), identical
+    // chunk digests and dup rollup.
+    "dedup_cdc_chunks" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, 'qq ' || text AS text FROM documents),
+         |t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM corpus),
+         |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+         |b AS (SELECT doc_id, toks, n,
+         |    [i for i in generate_series(1, n)
+         |     if ${Dk.hex32("'cdc:' || toks[i]")} % $CdcDiv = 0] AS bposr
+         |  FROM t2),
+         |b2 AS (SELECT doc_id, toks, n,
+         |    CASE WHEN len(bposr) > 0 AND bposr[-1] = n THEN bposr
+         |         ELSE list_append(bposr, n) END AS bpos
+         |  FROM b),
+         |ch AS (SELECT doc_id,
+         |    unnest([md5(array_to_string(
+         |        toks[(CASE WHEN k = 1 THEN 1 ELSE bpos[k-1] + 1 END):bpos[k]], ' '))
+         |      for k in generate_series(1, len(bpos))]) AS h,
+         |    unnest([bpos[k] - (CASE WHEN k = 1 THEN 0 ELSE bpos[k-1] END)
+         |      for k in generate_series(1, len(bpos))]) AS clen
+         |  FROM b2),
+         |duph AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+         |SELECT c.doc_id, count(*)::BIGINT AS n_chunks, sum(c.clen)::BIGINT AS n_toks,
+         |  sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+         |  ((sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT AS dup_ppm
+         |FROM ch c JOIN duph d ON d.h = c.h GROUP BY 1""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH $dkEmbNearDups
          |SELECT vec_a, vec_b, probe_dist, cos FROM verified""".stripMargin,

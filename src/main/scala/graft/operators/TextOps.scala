@@ -42,6 +42,12 @@ object TextOps {
     * denominator n−i stays positive for k ≤ 10). */
   private val PassProblems = 50L
 
+  /** eval_majority_vote: annotator count and label-space size; annotator
+    * k mislabels with probability (k+1)/10 via a deterministic hash
+    * draw. */
+  private val VoteAnnotators = 3L
+  private val VoteLabels     = 5L
+
   /** The pass@k product Π_{i<k} (n−c−i)/(n−i), as a Column tree. Must
     * stay STRUCTURALLY IDENTICAL to [[dkPassAtK]] — same left-assoc
     * order — for the bit-exact double guarantee. */
@@ -286,6 +292,50 @@ object TextOps {
           passAtKCol(1).as("pass1_ppm"),
           passAtKCol(5).as("pass5_ppm"),
           passAtKCol(10).as("pass10_ppm"))
+    }),
+
+    // Majority-vote label consolidation (the annotation-aggregation step
+    // Dawid–Skene refines; eval_kappa MEASURES agreement, this one
+    // RESOLVES it into training labels): [[VoteAnnotators]] deterministic
+    // annotators per doc — annotator k reports the doc's hash-derived
+    // true label except with probability (k+1)/10 (a second hash draw),
+    // where it reports an independent hash label. Consolidation picks
+    // the modal label, ties broken toward the SMALLEST label via one
+    // max(struct(cnt, −label)) aggregation — no window, and both
+    // groupBys are partial-agg shapes on int64 keys (votes frame is
+    // annotators × docs rows of two longs; nothing wider ever
+    // shuffles). Rollup per consolidated label: how many docs landed
+    // there unanimously / by 2-1 majority / by 3-way-split tie-break,
+    // plus the mean winner-share in ppm (integer floor).
+    "eval_majority_vote" -> ((s, dir) => {
+      val votes = docs(s, dir).select(col("doc_id"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(VoteAnnotators - 1))).as("ann"))
+        .withColumn("truth",
+          hex32(concat(lit("vote:"), col("doc_id").cast("string"))) % VoteLabels)
+        .withColumn("noise",
+          hex32(concat_ws(":", lit("noise"), col("doc_id").cast("string"),
+            col("ann").cast("string"))) % 1000L)
+        .withColumn("label",
+          when(col("noise") < (col("ann") + 1) * 100L,
+            hex32(concat_ws(":", lit("flip"), col("doc_id").cast("string"),
+              col("ann").cast("string"))) % VoteLabels)
+            .otherwise(col("truth")))
+      val perDoc = votes.groupBy(col("doc_id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("w"))
+        .select(col("doc_id"), (-col("w.nl")).as("label"),
+          col("w.cnt").as("win_votes"))
+      perDoc.groupBy(col("label")).agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("win_votes") === VoteAnnotators, 1)).as("n_unanimous"),
+          count(when(col("win_votes") === VoteAnnotators - 1, 1)).as("n_majority"),
+          count(when(col("win_votes") === 1L, 1)).as("n_tiebreak"),
+          sum(col("win_votes")).as("swv"))
+        .withColumn("winner_share_ppm",
+          expr(s"(swv * 1000000) div (n_docs * $VoteAnnotators)"))
+        .drop("swv")
     }),
 
     "eval_ece" -> ((s, dir) => {
@@ -1246,6 +1296,29 @@ object TextOps {
          |  ${dkPassAtK(5)} AS pass5_ppm,
          |  ${dkPassAtK(10)} AS pass10_ppm
          |FROM a""".stripMargin,
+    // Majority-vote twin: identical hash annotators, arg-max via
+    // row_number with the same (cnt DESC, label ASC) tie-break as
+    // max(struct(cnt, −label)), identical rollup.
+    "eval_majority_vote" ->
+      s"""WITH votes AS (
+         |  SELECT doc_id, ann,
+         |    CASE WHEN ${Dk.hex32("'noise:' || doc_id::VARCHAR || ':' || ann::VARCHAR")} % 1000
+         |           < (ann + 1) * 100
+         |      THEN ${Dk.hex32("'flip:' || doc_id::VARCHAR || ':' || ann::VARCHAR")} % $VoteLabels
+         |      ELSE ${Dk.hex32("'vote:' || doc_id::VARCHAR")} % $VoteLabels END AS label
+         |  FROM documents, (SELECT unnest(generate_series(0, ${VoteAnnotators - 1})) AS ann)),
+         |cnts AS (SELECT doc_id, label, count(*)::BIGINT AS cnt
+         |  FROM votes GROUP BY 1, 2),
+         |win AS (SELECT doc_id, label, cnt FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY cnt DESC, label ASC) AS rk
+         |    FROM cnts) WHERE rk = 1)
+         |SELECT label, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN cnt = $VoteAnnotators THEN 1 ELSE 0 END)::BIGINT AS n_unanimous,
+         |  sum(CASE WHEN cnt = ${VoteAnnotators - 1} THEN 1 ELSE 0 END)::BIGINT AS n_majority,
+         |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_tiebreak,
+         |  ((sum(cnt) * 1000000) // (count(*) * $VoteAnnotators))::BIGINT AS winner_share_ppm
+         |FROM win GROUP BY 1""".stripMargin,
     "eval_kappa" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(${Dk.tokens("text")}) AS term FROM documents),

@@ -2330,4 +2330,111 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the per-problem difficulty plant must spread the estimates
     assert(out.map(_.getAs[Long]("pass1_ppm")).distinct.length > 10)
   }
+
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("dedup_cdc_chunks matches a driver-side reference; prepended token keeps chunks stable") {
+    // Independent reimplementation: same boundary rule (token hash ≡ 0
+    // mod 8, last token closes), chunks keyed by their text.
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = rows ++ rows.map { case (id, t) => (id + 1000000L, "qq " + t) }
+    val chunksOf = corpus.map { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      val n = toks.length
+      val bposr = (1 to n).filter(i => h32("cdc:" + toks(i - 1)) % 8 == 0)
+      val bpos = if (bposr.nonEmpty && bposr.last == n) bposr else bposr :+ n
+      val chunks = bpos.indices.map { k =>
+        val st = if (k == 0) 1 else bpos(k - 1) + 1
+        toks.slice(st - 1, bpos(k)).mkString(" ")
+      }
+      id -> chunks
+    }.toMap
+    val docsPerChunk = chunksOf.toSeq
+      .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val out = SparkEntry.queries("dedup_cdc_chunks")(spark, dir).collect()
+    assert(out.length == corpus.length, "one row per corpus doc")
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val cs = chunksOf(id)
+      assert(r.getAs[Long]("n_chunks") == cs.size.toLong, s"doc $id n_chunks")
+      assert(r.getAs[Long]("n_toks") ==
+        cs.map(_.split(" ").length.toLong).sum, s"doc $id n_toks")
+      val dup = cs.count(c => docsPerChunk(c) >= 2).toLong
+      assert(r.getAs[Long]("n_dup_chunks") == dup, s"doc $id n_dup_chunks")
+      assert(r.getAs[Long]("dup_ppm") ==
+        dup * 1000000L / cs.size, s"doc $id dup_ppm")
+    }
+    // THE content-defined property: the copy differs only by a PREPENDED
+    // token, so at most the first chunk of each member changes — every
+    // multi-chunk doc still dups all later chunks. Fixed-width chunking
+    // would find zero.
+    out.filter(_.getAs[Long]("n_chunks") >= 2L).foreach { r =>
+      assert(r.getAs[Long]("n_dup_chunks") >= r.getAs[Long]("n_chunks") - 1,
+        s"doc ${r.getAs[Long]("doc_id")} lost interior chunks to the shift")
+    }
+    assert(out.count(_.getAs[Long]("n_chunks") >= 2L) > 0, "plant must exercise multi-chunk docs")
+  }
+
+  test("q_chat_turns: each plant trips exactly its gate; kept is the conjunction") {
+    val out = SparkEntry.queries("q_chat_turns")(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == ((nDocs + 7) / 8).toInt, "one row per conversation")
+    val full = out.filter(_.getAs[Long]("n_turns") == 8L)
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      val c = r.getAs[Long]("conv_id")
+      if (c % 11 == 0)
+        assert(!r.getAs[Boolean]("alternation_ok"), s"conv $c alternation plant")
+      if (c % 13 == 0)
+        assert(r.getAs[Long]("n_empty_turns") >= 1L, s"conv $c empty-turn plant")
+      if (c % 7 == 0)
+        assert(r.getAs[Long]("n_artifact_turns") >= 1L, s"conv $c artifact plant")
+      assert(r.getAs[Boolean]("opens_user") && r.getAs[Boolean]("closes_assistant"),
+        s"conv $c full conversations open user / close assistant by layout")
+      val want = r.getAs[Boolean]("alternation_ok") &&
+        r.getAs[Boolean]("opens_user") && r.getAs[Boolean]("closes_assistant") &&
+        r.getAs[Long]("n_empty_turns") == 0L && r.getAs[Long]("n_artifact_turns") == 0L
+      assert(r.getAs[Boolean]("kept") == want, s"conv $c kept flag")
+    }
+    assert(full.exists(_.getAs[Boolean]("kept")), "unplanted conversations survive")
+    assert(full.exists(r => !r.getAs[Boolean]("kept")), "planted conversations are gated")
+  }
+
+  test("eval_majority_vote matches a driver-side consolidation reference") {
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val perDoc = ids.map { id =>
+      val votes = (0L until 3L).map { ann =>
+        if (h32(s"noise:$id:$ann") % 1000 < (ann + 1) * 100)
+          h32(s"flip:$id:$ann") % 5
+        else h32(s"vote:$id") % 5
+      }
+      val (label, cnt) = votes.groupBy(identity).map { case (l, v) => (l, v.size) }
+        .toSeq.maxBy { case (l, c) => (c, -l) }
+      (label, cnt)
+    }
+    val want = perDoc.groupBy(_._1).map { case (label, xs) =>
+      label -> ((xs.size.toLong, xs.count(_._2 == 3).toLong,
+        xs.count(_._2 == 2).toLong, xs.count(_._2 == 1).toLong,
+        xs.map(_._2.toLong).sum * 1000000L / (xs.size * 3L)))
+    }
+    val out = SparkEntry.queries("eval_majority_vote")(spark, dir).collect()
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val (nd, nu, nm, nt, share) = want(r.getAs[Long]("label"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_unanimous") == nu)
+      assert(r.getAs[Long]("n_majority") == nm)
+      assert(r.getAs[Long]("n_tiebreak") == nt)
+      assert(r.getAs[Long]("winner_share_ppm") == share)
+      assert(nu + nm + nt == nd, "vote classes partition the docs")
+    }
+    assert(out.map(_.getAs[Long]("n_docs")).sum == ids.length.toLong)
+  }
 }

@@ -1040,4 +1040,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ex.size <= 1, s"expected ≤1 Exchange, got ${ex.size}")
     ex.foreach(cols => assert(!cols.contains("text"), s"pass@k shuffle carries text: $cols"))
   }
+
+  test("CDC chunks: boundary pass is map-side; shuffles carry digests, never text") {
+    val root = rootOf("dedup_cdc_chunks")
+    val p = root.toString
+    assert(!p.contains("CartesianProduct"), "chunk dup join went cartesian")
+    assert(!p.contains("Window"), "CDC must not need a window")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("toks"),
+        s"CDC shuffle carries document text: $cols")
+    }
+  }
+
+  test("chat turns: one conv_id shuffle of bounded turn structs, no text") {
+    val root = rootOf("q_chat_turns")
+    val p = root.toString
+    assert(!p.contains("Window"), "gate math must run on the bounded array, not a window")
+    val ex = shuffleCols(root)
+    assert(ex.size <= 1, s"expected ≤1 Exchange, got ${ex.size}")
+    ex.foreach { cols =>
+      assert(!cols.contains("text"), s"chat-turn shuffle carries text: $cols")
+    }
+  }
+
+  test("majority vote: partial-agg long-key shuffles only; no window, no text") {
+    val root = rootOf("eval_majority_vote")
+    val p = root.toString
+    assert(p.contains("partial_"), s"vote counts not partial:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "consolidation must be max(struct), not a window")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("toks"),
+        s"vote shuffle carries text: $cols")
+    }
+  }
 }
