@@ -69,7 +69,13 @@ object Bench {
     // e.g. reproducing a single query's regression outside the full
     // catalog's cache/memory neighborhood); extraction + skew sections are
     // skipped in that mode so the subset is all that runs.
+    // SPARK_GRAFT_SECTION=skew: run ONLY the skew-stress section, at
+    // `reps` with per-rep times reported — the catalog medians can't
+    // isolate it (it is a single end-of-run sample in a full bench, so a
+    // one-minute host burst shows up as a phantom regression).
+    val sectionOnly = sys.env.get("SPARK_GRAFT_SECTION")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      .orElse(sectionOnly.map(_ => Set.empty[String]))
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     val passes: Seq[Map[String, Double]] = (0 until reps).map { _ =>
       names.map { name =>
@@ -120,17 +126,23 @@ object Bench {
 
     // ---- skew stress: hot-key corpus through the capped LSH pipeline ----
     val hotCopies = 2000L
-    val (skewSec, skewMaxBand, skewDropped) = if (only.isDefined) (0.0, 0L, 0L) else {
+    val (skewSec, skewMaxBand, skewDropped) = if (only.isDefined && !sectionOnly.contains("skew")) (0.0, 0L, 0L) else {
       val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
       val hot = base.filter(col("doc_id") === 0).select(col("text"))
         .crossJoin(spark.range(hotCopies).select((col("id") + 2000000L).as("doc_id")))
         .select(col("doc_id"), col("text"))
       val skewCorpus = base.unionByName(hot)
-      val sec = timed(runNoop(graft.operators.Dedup.minhashLsh(skewCorpus)))
-      spark.catalog.clearCache()
+      val skewReps = if (sectionOnly.contains("skew")) reps else 1
+      val secs = (0 until skewReps).map { _ =>
+        val t = timed(runNoop(graft.operators.Dedup.minhashLsh(skewCorpus)))
+        spark.catalog.clearCache()
+        t
+      }
+      if (skewReps > 1)
+        System.err.println(s"[bench] skew reps: ${secs.map(t => f"$t%.2f").mkString(",")}")
       val stats = graft.operators.Dedup.lshBandStats(skewCorpus)
         .agg(max(col("group_size")), sum(col("dropped_rows"))).head()
-      (sec, stats.getLong(0), stats.getLong(1))
+      (median(secs), stats.getLong(0), stats.getLong(1))
     }
 
     val qs  = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

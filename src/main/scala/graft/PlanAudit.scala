@@ -82,8 +82,10 @@ object PlanAudit {
         // single max(struct) agg + ids-only leak join, partial-agg pass@k
         "dedup_suffix_lcp", "q_preference_pairs", "eval_pass_at_k",
         // round 5, cont.: map-side CDC boundary pass + digest groupBy,
-        // bounded-struct conv rollup, max(struct) vote consolidation
-        "dedup_cdc_chunks", "q_chat_turns", "eval_majority_vote")
+        // bounded-struct conv rollup, max(struct) vote consolidation,
+        // zero-exchange span-corruption / FIM token transforms
+        "dedup_cdc_chunks", "q_chat_turns", "eval_majority_vote",
+        "text_span_corruption", "text_fim_transform")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

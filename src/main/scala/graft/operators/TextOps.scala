@@ -48,6 +48,16 @@ object TextOps {
   private val VoteAnnotators = 3L
   private val VoteLabels     = 5L
 
+  /** text_span_corruption: per-token span-start probability (percent)
+    * and span width — 5% starts × width 3 ≈ the T5 paper's 15%
+    * corruption rate once overlaps merge. */
+  private val CorruptStartPct = 5L
+  private val CorruptSpanW    = 3
+
+  /** text_fim_transform: FIM application rate denominator (every 2nd
+    * doc, the paper's 50% setting). */
+  private val FimEvery = 2L
+
   /** The pass@k product Π_{i<k} (n−c−i)/(n−i), as a Column tree. Must
     * stay STRUCTURALLY IDENTICAL to [[dkPassAtK]] — same left-assoc
     * order — for the bit-exact double guarantee. */
@@ -336,6 +346,76 @@ object TextOps {
         .withColumn("winner_share_ppm",
           expr(s"(swv * 1000000) div (n_docs * $VoteAnnotators)"))
         .drop("swv")
+    }),
+
+    // T5/UL2 span-corruption prep (Raffel et al. 2020 §3.1.4): mask
+    // ~15% of tokens in multi-token spans, one sentinel per maximal
+    // masked run — the pretraining objective's data shape. Deterministic
+    // variant: each position opens a [[CorruptSpanW]]-token span with a
+    // [[CorruptStartPct]]% hash draw; overlapping spans MERGE (token j
+    // is masked iff some start fired in its trailing window — the merge
+    // is what makes realized corruption < starts × width, exactly as in
+    // T5's greedy span sampler). Everything is per-doc array math — the
+    // whole operator is ONE narrow map-side pass, no shuffle at all
+    // until the (absent) downstream agg; at 100 TB this pipelines
+    // behind the scan. input_len = kept + sentinels, target_len =
+    // masked + sentinels + EOS (the T5 length accounting used to size
+    // packing budgets downstream).
+    "text_span_corruption" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+      val withMask = t
+        .withColumn("cand", transform(sequence(lit(1), col("n")), i =>
+          hex32(concat_ws(":", lit("corrupt"), col("doc_id").cast("string"),
+            i.cast("string"))) % 100L < CorruptStartPct))
+        .withColumn("mask", transform(sequence(lit(1), col("n")), j =>
+          exists(sequence(greatest(lit(1), j - (CorruptSpanW - 1)), j), st =>
+            element_at(col("cand"), st))))
+      withMask.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          size(filter(col("mask"), m => m)).cast("long").as("n_masked"),
+          size(filter(sequence(lit(1), col("n")), j =>
+            element_at(col("mask"), j) &&
+              (j === 1 || !element_at(col("mask"), j - 1)))).cast("long").as("n_spans"))
+        .withColumn("input_len", col("n_tokens") - col("n_masked") + col("n_spans"))
+        .withColumn("target_len", col("n_masked") + col("n_spans") + 1L)
+        .withColumn("corruption_ppm", expr("(n_masked * 1000000) div n_tokens"))
+    }),
+
+    // Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    // Training of Language Models to Fill in the Middle"): split each
+    // doc at two deterministic cuts 0 ≤ a ≤ b ≤ n and emit
+    // PSM order — <PRE> prefix <SUF> suffix <MID> middle — for every
+    // [[FimEvery]]-th doc (the paper's 50% FIM rate; the rest pass
+    // through). The row carries the transformed text's DIGEST (not the
+    // text — rows stay narrow) plus the split sizes and a
+    // reconstruction invariant: prefix ++ middle ++ suffix must equal
+    // the original token array (the property that makes FIM lossless).
+    // Pure map-side pass, zero shuffles, codegen'd string ops.
+    "text_fim_transform" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+      val cuts = t
+        .withColumn("c1",
+          hex32(concat(lit("fima:"), col("doc_id").cast("string"))) % (col("n") + 1))
+        .withColumn("c2",
+          hex32(concat(lit("fimb:"), col("doc_id").cast("string"))) % (col("n") + 1))
+        .withColumn("a", least(col("c1"), col("c2")).cast("int"))
+        .withColumn("b", greatest(col("c1"), col("c2")).cast("int"))
+        .withColumn("fim_applied", col("doc_id") % FimEvery === 0 && col("n") >= 3)
+      cuts.select(col("doc_id"), col("fim_applied"),
+        col("a").cast("long").as("prefix_toks"),
+        (col("b") - col("a")).cast("long").as("middle_toks"),
+        (col("n") - col("b")).cast("long").as("suffix_toks"),
+        md5(when(col("fim_applied"),
+          concat_ws(" ",
+            lit("<PRE>"), array_join(slice(col("toks"), lit(1), col("a")), " "),
+            lit("<SUF>"), array_join(slice(col("toks"), col("b") + 1, col("n") - col("b")), " "),
+            lit("<MID>"), array_join(slice(col("toks"), col("a") + 1, col("b") - col("a")), " ")))
+          .otherwise(array_join(col("toks"), " "))).as("out_hash"),
+        (concat(slice(col("toks"), lit(1), col("a")),
+          slice(col("toks"), col("a") + 1, col("b") - col("a")),
+          slice(col("toks"), col("b") + 1, col("n") - col("b"))) === col("toks"))
+          .as("reconstruct_ok"))
     }),
 
     "eval_ece" -> ((s, dir) => {
@@ -1319,6 +1399,55 @@ object TextOps {
          |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_tiebreak,
          |  ((sum(cnt) * 1000000) // (count(*) * $VoteAnnotators))::BIGINT AS winner_share_ppm
          |FROM win GROUP BY 1""".stripMargin,
+    // Span-corruption twin: identical per-position start draw, identical
+    // trailing-window merge, identical run counting.
+    "text_span_corruption" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |c AS (SELECT doc_id, n,
+         |    [${Dk.hex32("'corrupt:' || doc_id::VARCHAR || ':' || i::VARCHAR")} % 100
+         |       < $CorruptStartPct
+         |     for i in generate_series(1, n)] AS cand
+         |  FROM t2),
+         |m AS (SELECT doc_id, n,
+         |    [len([s for s in generate_series(greatest(1, j - ${CorruptSpanW - 1}), j)
+         |          if cand[s]]) > 0
+         |     for j in generate_series(1, n)] AS mask
+         |  FROM c),
+         |r AS (SELECT doc_id, n::BIGINT AS n_tokens,
+         |    len([x for x in mask if x])::BIGINT AS n_masked,
+         |    len([j for j in generate_series(1, n)
+         |         if mask[j] AND (j = 1 OR NOT mask[j-1])])::BIGINT AS n_spans
+         |  FROM m)
+         |SELECT doc_id, n_tokens, n_masked, n_spans,
+         |  (n_tokens - n_masked + n_spans)::BIGINT AS input_len,
+         |  (n_masked + n_spans + 1)::BIGINT AS target_len,
+         |  ((n_masked * 1000000) // n_tokens)::BIGINT AS corruption_ppm
+         |FROM r""".stripMargin,
+    // FIM twin: identical hash cuts, identical PSM render, identical
+    // digest. Empty segments need a coalesce: DuckDB's
+    // array_to_string([]) is NULL (Spark's array_join is '') and
+    // concat_ws SKIPS NULLs, which would silently drop the segment.
+    "text_fim_transform" ->
+      s"""WITH t AS (SELECT doc_id, ${Dk.tokens("text")} AS toks FROM documents),
+         |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |cuts AS (SELECT doc_id, toks, n,
+         |    least(${Dk.hex32("'fima:' || doc_id::VARCHAR")} % (n + 1),
+         |          ${Dk.hex32("'fimb:' || doc_id::VARCHAR")} % (n + 1)) AS a,
+         |    greatest(${Dk.hex32("'fima:' || doc_id::VARCHAR")} % (n + 1),
+         |             ${Dk.hex32("'fimb:' || doc_id::VARCHAR")} % (n + 1)) AS b,
+         |    (doc_id % $FimEvery = 0 AND n >= 3) AS fim_applied
+         |  FROM t2)
+         |SELECT doc_id, fim_applied,
+         |  a::BIGINT AS prefix_toks, (b - a)::BIGINT AS middle_toks,
+         |  (n - b)::BIGINT AS suffix_toks,
+         |  md5(CASE WHEN fim_applied
+         |    THEN concat_ws(' ', '<PRE>', coalesce(array_to_string(toks[1:a], ' '), ''),
+         |      '<SUF>', coalesce(array_to_string(toks[(b+1):n], ' '), ''),
+         |      '<MID>', coalesce(array_to_string(toks[(a+1):b], ' '), ''))
+         |    ELSE array_to_string(toks, ' ') END) AS out_hash,
+         |  (toks[1:a] || toks[(a+1):b] || toks[(b+1):n] = toks) AS reconstruct_ok
+         |FROM cuts""".stripMargin,
     "eval_kappa" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(${Dk.tokens("text")}) AS term FROM documents),

@@ -2437,4 +2437,75 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     assert(out.map(_.getAs[Long]("n_docs")).sum == ids.length.toLong)
   }
+
+  test("text_span_corruption matches a driver-side span sampler") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = rows.map { case (id, t) =>
+      val n = t.trim.split("\\s+").length
+      val cand = (1 to n).map(i => h32(s"corrupt:$id:$i") % 100 < 5)
+      val mask = (1 to n).map(j => (math.max(1, j - 2) to j).exists(s => cand(s - 1)))
+      val spans = (1 to n).count(j => mask(j - 1) && (j == 1 || !mask(j - 2)))
+      id -> ((n.toLong, mask.count(identity).toLong, spans.toLong))
+    }.toMap
+    val out = SparkEntry.queries("text_span_corruption")(spark, dir).collect()
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, masked, spans) = want(id)
+      assert(r.getAs[Long]("n_tokens") == n, s"doc $id n_tokens")
+      assert(r.getAs[Long]("n_masked") == masked, s"doc $id n_masked")
+      assert(r.getAs[Long]("n_spans") == spans, s"doc $id n_spans")
+      assert(r.getAs[Long]("input_len") == n - masked + spans)
+      assert(r.getAs[Long]("target_len") == masked + spans + 1)
+      // every sentinel covers ≥1 masked token (runs can exceed the span
+      // width when chained starts merge — that's the T5 merge semantics)
+      if (spans > 0)
+        assert(masked >= spans, s"doc $id span widths")
+    }
+    // the 5% × width-3 draw must land near T5's ~15% corruption corpus-wide
+    val totMask = out.map(_.getAs[Long]("n_masked")).sum.toDouble
+    val totTok  = out.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    assert(totMask / totTok > 0.08 && totMask / totTok < 0.22,
+      f"corpus corruption rate ${totMask / totTok}%.3f out of band")
+  }
+
+  test("text_fim_transform: digest matches a driver render; reconstruction is lossless") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = rows.map { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      val n = toks.length
+      val c1 = h32(s"fima:$id") % (n + 1)
+      val c2 = h32(s"fimb:$id") % (n + 1)
+      val (a, b) = (math.min(c1, c2).toInt, math.max(c1, c2).toInt)
+      val applied = id % 2 == 0 && n >= 3
+      val rendered =
+        if (applied)
+          Seq("<PRE>", toks.slice(0, a).mkString(" "),
+            "<SUF>", toks.slice(b, n).mkString(" "),
+            "<MID>", toks.slice(a, b).mkString(" ")).mkString(" ")
+        else toks.mkString(" ")
+      id -> ((applied, a.toLong, (b - a).toLong, (n - b).toLong, md5hex(rendered)))
+    }.toMap
+    val out = SparkEntry.queries("text_fim_transform")(spark, dir).collect()
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (applied, p, m, sfx, hash) = want(id)
+      assert(r.getAs[Boolean]("fim_applied") == applied, s"doc $id applied")
+      assert(r.getAs[Long]("prefix_toks") == p, s"doc $id prefix")
+      assert(r.getAs[Long]("middle_toks") == m, s"doc $id middle")
+      assert(r.getAs[Long]("suffix_toks") == sfx, s"doc $id suffix")
+      assert(r.getAs[String]("out_hash") == hash, s"doc $id digest")
+      assert(r.getAs[Boolean]("reconstruct_ok"), s"doc $id must reconstruct")
+    }
+    assert(out.count(_.getAs[Boolean]("fim_applied")) > 0, "plant must apply FIM")
+    assert(out.exists(r => !r.getAs[Boolean]("fim_applied")), "and pass some through")
+  }
 }

@@ -1063,6 +1063,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("span corruption and FIM: pure map-side passes — ZERO exchanges") {
+    for (q <- Seq("text_span_corruption", "text_fim_transform")) {
+      val root = rootOf(q)
+      val ex = shuffleCols(root)
+      assert(ex.isEmpty, s"$q must pipeline behind the scan, got ${ex.size} Exchanges")
+      assert(!root.toString.contains("Window"), s"$q must not window")
+    }
+  }
+
   test("majority vote: partial-agg long-key shuffles only; no window, no text") {
     val root = rootOf("eval_majority_vote")
     val p = root.toString
