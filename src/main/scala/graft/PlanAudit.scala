@@ -85,7 +85,10 @@ object PlanAudit {
         // bounded-struct conv rollup, max(struct) vote consolidation,
         // zero-exchange span-corruption / FIM token transforms
         "dedup_cdc_chunks", "q_chat_turns", "eval_majority_vote",
-        "text_span_corruption", "text_fim_transform")
+        "text_span_corruption", "text_fim_transform",
+        // round 5, close: integer-exact unrolled BT-MM with broadcast
+        // M-row rating frames (iteration cost independent of corpus)
+        "eval_bt_ratings")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -58,6 +58,12 @@ object TextOps {
     * doc, the paper's 50% setting). */
   private val FimEvery = 2L
 
+  /** eval_bt_ratings: model count, unrolled MM iterations, and the
+    * fixed-point scale (term = n·1e9 div (p_i+p_j) with p in ppm — every
+    * intermediate fits int64 at these corpus sizes: W·1e9 ≤ ~1e13). */
+  private val BtModels = 8L
+  private val BtIters  = 3
+
   /** The pass@k product Π_{i<k} (n−c−i)/(n−i), as a Column tree. Must
     * stay STRUCTURALLY IDENTICAL to [[dkPassAtK]] — same left-assoc
     * order — for the bit-exact double guarantee. */
@@ -67,6 +73,24 @@ object TextOps {
         (col("n_samples") - lit(i)).cast("double")).reduceLeft(_ * _)
     floor(lit(1e6) * (lit(1.0) - prod)).cast("long")
   }
+
+  /** eval_bt_ratings oracle: one MM iteration as CTEs — MUST mirror the
+    * Spark loop body exactly (same 1e9 term scale, same normalization
+    * order, integer floor division throughout). */
+  private def dkBtIters: String = (1 to BtIters).map { k =>
+    val prev = s"r${k - 1}"
+    s"""t$k AS (SELECT p.i, p.j, (p.n * 1000000000) // (ri.p + rj.p) AS t
+       |  FROM pairs p JOIN $prev ri ON ri.model = p.i
+       |               JOIN $prev rj ON rj.model = p.j),
+       |d$k AS (SELECT model, sum(t)::BIGINT AS d FROM (
+       |    SELECT i AS model, t FROM t$k UNION ALL SELECT j AS model, t FROM t$k)
+       |  GROUP BY 1),
+       |raw$k AS (SELECT tt.model, (tt.n_wins * 1000000000) // dd.d AS raw
+       |  FROM totals tt JOIN d$k dd ON dd.model = tt.model),
+       |r$k AS (SELECT model,
+       |    (raw * ${BtModels * 1000000L}) // (SELECT sum(raw) FROM raw$k)::BIGINT AS p
+       |  FROM raw$k)""".stripMargin
+  }.mkString(",\n")
 
   /** [[passAtKCol]]'s oracle twin. */
   private def dkPassAtK(k: Int): String = {
@@ -362,23 +386,99 @@ object TextOps {
     // masked + sentinels + EOS (the T5 length accounting used to size
     // packing budgets downstream).
     "text_span_corruption" -> ((s, dir) => {
-      val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      // PERF NOTE (measured, not guessed): the natural formulation —
+      // build a cand array, then mask[j] = exists over cand's trailing
+      // window, then filter over mask — ran 47 s at sf0.1, because a
+      // computed ARRAY referenced inside a NESTED lambda defeats
+      // Spark's subexpression hoisting: element_at(cand, st) inside
+      // exists-inside-transform re-evaluates the whole cand transform
+      // (n md5s) per element — O(n²) digests per doc. The fix is to
+      // make every lambda body a SCALAR of the loop variable: candAt /
+      // maskAt recompute ≤3 position hashes inline (O(1) each, O(n)
+      // per doc, nothing hoistable needed). Same values; 47 s → ~2 s.
+      def candAt(x: Column): Column =
+        hex32(concat_ws(":", lit("corrupt"), col("doc_id").cast("string"),
+          x.cast("string"))) % 100L < CorruptStartPct
+      def maskAt(j: Column): Column =
+        candAt(j) || (j >= 2 && candAt(j - 1)) || (j >= 3 && candAt(j - 2))
+      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("n", size(col("toks")))
-      val withMask = t
-        .withColumn("cand", transform(sequence(lit(1), col("n")), i =>
-          hex32(concat_ws(":", lit("corrupt"), col("doc_id").cast("string"),
-            i.cast("string"))) % 100L < CorruptStartPct))
-        .withColumn("mask", transform(sequence(lit(1), col("n")), j =>
-          exists(sequence(greatest(lit(1), j - (CorruptSpanW - 1)), j), st =>
-            element_at(col("cand"), st))))
-      withMask.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-          size(filter(col("mask"), m => m)).cast("long").as("n_masked"),
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          size(filter(sequence(lit(1), col("n")), j => maskAt(j)))
+            .cast("long").as("n_masked"),
           size(filter(sequence(lit(1), col("n")), j =>
-            element_at(col("mask"), j) &&
-              (j === 1 || !element_at(col("mask"), j - 1)))).cast("long").as("n_spans"))
+            maskAt(j) && (j === 1 || !maskAt(j - 1)))).cast("long").as("n_spans"))
         .withColumn("input_len", col("n_tokens") - col("n_masked") + col("n_spans"))
         .withColumn("target_len", col("n_masked") + col("n_spans") + 1L)
         .withColumn("corruption_ppm", expr("(n_masked * 1000000) div n_tokens"))
+    }),
+
+    // Bradley–Terry arena ratings (the LMSYS/Chatbot-Arena aggregation;
+    // Hunter 2004's MM algorithm, [[BtIters]] iterations UNROLLED — the
+    // same integer-exact unrolled-fixed-point discipline as the
+    // PageRank/HyperBall family): docs are pairwise model comparisons
+    // (model pair + winner all hash-derived; true strength of model m
+    // is m+1, so the recovered ratings must re-order the models). Each
+    // iteration is p'_i = W_i / Σ_j n_ij/(p_i+p_j), computed entirely
+    // in int64 fixed-point (term = n·1e9 div (p_i+p_j), ppm ratings,
+    // normalization via one associative integer sum) so both engines
+    // agree bit-for-bit — no float ever appears. Scale shape: ONE
+    // corpus pass builds the ≤ M² pair table; every iteration joins
+    // BROADCAST M-row rating frames against it — iteration cost is
+    // independent of corpus size, exactly how an arena pipeline
+    // amortizes daily battles at 100 TB.
+    "eval_bt_ratings" -> ((s, dir) => {
+      val m = docs(s, dir).select(col("doc_id"))
+        .withColumn("a",
+          hex32(concat(lit("ma:"), col("doc_id").cast("string"))) % BtModels)
+        .withColumn("b", (col("a") + 1L +
+          hex32(concat(lit("mb:"), col("doc_id").cast("string"))) % (BtModels - 1)) % BtModels)
+        .withColumn("sa", col("a") + 1L)
+        .withColumn("sb", col("b") + 1L)
+        .withColumn("a_wins",
+          hex32(concat(lit("w:"), col("doc_id").cast("string"))) %
+            (col("sa") + col("sb")) < col("sa"))
+        .withColumn("i", least(col("a"), col("b")))
+        .withColumn("j", greatest(col("a"), col("b")))
+        .withColumn("win_i",
+          when(col("a_wins"), col("a") === col("i")).otherwise(col("b") === col("i")))
+      val pairs = m.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), count(when(col("win_i"), 1)).as("wi"))
+        .cache()
+      val totals = pairs.select(col("i").as("model"), col("n"), col("wi").as("w"))
+        .unionByName(pairs.select(col("j").as("model"), col("n"),
+          (col("n") - col("wi")).as("w")))
+        .groupBy(col("model"))
+        .agg(sum(col("n")).as("n_matches"), sum(col("w")).as("n_wins"))
+        .cache()
+      var r = totals.select(col("model"), lit(1000000L).as("p"))
+      for (k <- 0 until BtIters) {
+        val t = pairs
+          .join(broadcast(r.select(col("model").as("i"), col("p").as("pi"))), Seq("i"))
+          .join(broadcast(r.select(col("model").as("j"), col("p").as("pj"))), Seq("j"))
+          .withColumn("t", expr("(n * 1000000000) div (pi + pj)"))
+        val d = t.select(col("i").as("model"), col("t"))
+          .unionByName(t.select(col("j").as("model"), col("t")))
+          .groupBy(col("model")).agg(sum(col("t")).as("d"))
+        val raw = totals.join(d, Seq("model"))
+          .withColumn("raw", expr("(n_wins * 1000000000) div d"))
+          .select(col("model"), col("raw"))
+        val tot = raw.agg(sum(col("raw")).as("tot"))
+        r = raw.crossJoin(broadcast(tot))
+          .select(col("model"), expr(s"(raw * ${BtModels * 1000000L}) div tot").as("p"))
+        // r is referenced ~8× by the next iteration's plan (ri + rj in
+        // t, t twice in the union, raw twice in the normalization) —
+        // without a per-iteration lineage cut the plan grows 8^k and
+        // the measured cost was 54 s at sf0.1 for THREE iterations of
+        // an 8-row frame. Same medicine as search_mmr_rerank's greedy
+        // loop: localCheckpoint the (tiny) rating frame each round;
+        // the last round stays un-cut so the final plan keeps the
+        // iteration shape visible for the plan audit.
+        if (k < BtIters - 1) r = r.localCheckpoint()
+      }
+      totals.join(r, Seq("model"))
+        .select(col("model"), col("n_matches"), col("n_wins"), col("p").as("bt_ppm"))
+        .withColumn("winrate_ppm", expr("(n_wins * 1000000) div n_matches"))
     }),
 
     // Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
@@ -1399,6 +1499,32 @@ object TextOps {
          |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_tiebreak,
          |  ((sum(cnt) * 1000000) // (count(*) * $VoteAnnotators))::BIGINT AS winner_share_ppm
          |FROM win GROUP BY 1""".stripMargin,
+    // Bradley–Terry twin: identical hash matches, the MM iterations
+    // unrolled by the shared dkBtIters builder, integer-exact end to end.
+    "eval_bt_ratings" ->
+      s"""WITH m1 AS (SELECT doc_id,
+         |    ${Dk.hex32("'ma:' || doc_id::VARCHAR")} % $BtModels AS a,
+         |    ${Dk.hex32("'mb:' || doc_id::VARCHAR")} % ${BtModels - 1} AS boff,
+         |    ${Dk.hex32("'w:' || doc_id::VARCHAR")} AS wh
+         |  FROM documents),
+         |m2 AS (SELECT doc_id, a, (a + 1 + boff) % $BtModels AS b, wh FROM m1),
+         |m3 AS (SELECT *, a + 1 AS sa, b + 1 AS sb,
+         |    least(a, b) AS i, greatest(a, b) AS j FROM m2),
+         |m4 AS (SELECT i, j,
+         |    CASE WHEN wh % (sa + sb) < sa THEN (a = i) ELSE (b = i) END AS win_i
+         |  FROM m3),
+         |pairs AS (SELECT i, j, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN win_i THEN 1 ELSE 0 END)::BIGINT AS wi
+         |  FROM m4 GROUP BY 1, 2),
+         |totals AS (SELECT model, sum(n)::BIGINT AS n_matches, sum(w)::BIGINT AS n_wins
+         |  FROM (SELECT i AS model, n, wi AS w FROM pairs
+         |        UNION ALL SELECT j AS model, n, n - wi AS w FROM pairs)
+         |  GROUP BY 1),
+         |r0 AS (SELECT model, 1000000::BIGINT AS p FROM totals),
+         |$dkBtIters
+         |SELECT tt.model, tt.n_matches, tt.n_wins, r.p AS bt_ppm,
+         |  ((tt.n_wins * 1000000) // tt.n_matches)::BIGINT AS winrate_ppm
+         |FROM totals tt JOIN r$BtIters r ON r.model = tt.model""".stripMargin,
     // Span-corruption twin: identical per-position start draw, identical
     // trailing-window merge, identical run counting.
     "text_span_corruption" ->

@@ -2508,4 +2508,50 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.count(_.getAs[Boolean]("fim_applied")) > 0, "plant must apply FIM")
     assert(out.exists(r => !r.getAs[Boolean]("fim_applied")), "and pass some through")
   }
+
+  test("eval_bt_ratings matches a driver-side MM reference and recovers strengths") {
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val matches = ids.map { id =>
+      val a = h32(s"ma:$id") % 8
+      val b = (a + 1 + h32(s"mb:$id") % 7) % 8
+      val aWins = h32(s"w:$id") % (a + 1 + b + 1) < a + 1
+      val (i, j) = (math.min(a, b), math.max(a, b))
+      (i, j, if (aWins) a == i else b == i)
+    }
+    val pairs = matches.groupBy(x => (x._1, x._2)).map { case ((i, j), xs) =>
+      (i, j, xs.length.toLong, xs.count(_._3).toLong)
+    }.toSeq
+    val nM = Array.fill(8)(0L); val nW = Array.fill(8)(0L)
+    pairs.foreach { case (i, j, n, wi) =>
+      nM(i.toInt) += n; nM(j.toInt) += n
+      nW(i.toInt) += wi; nW(j.toInt) += n - wi
+    }
+    var p = Array.fill(8)(1000000L)
+    for (_ <- 0 until 3) {
+      val d = Array.fill(8)(0L)
+      pairs.foreach { case (i, j, n, _) =>
+        val t = n * 1000000000L / (p(i.toInt) + p(j.toInt))
+        d(i.toInt) += t; d(j.toInt) += t
+      }
+      val raw = (0 until 8).map(k => nW(k) * 1000000000L / d(k))
+      val tot = raw.sum
+      p = raw.map(r => r * 8000000L / tot).toArray
+    }
+    val out = SparkEntry.queries("eval_bt_ratings")(spark, dir).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      val k = r.getAs[Long]("model").toInt
+      assert(r.getAs[Long]("n_matches") == nM(k), s"model $k matches")
+      assert(r.getAs[Long]("n_wins") == nW(k), s"model $k wins")
+      assert(r.getAs[Long]("bt_ppm") == p(k), s"model $k rating")
+    }
+    // planted strengths are 1..8 — the fitted ratings must recover at
+    // least the extreme ordering and correlate with strength overall
+    val byModel = out.map(r => r.getAs[Long]("model") -> r.getAs[Long]("bt_ppm")).toMap
+    assert(byModel(7L) > byModel(0L), "strongest must out-rate weakest")
+    val concordant = (for (x <- 0 until 8; y <- x + 1 until 8)
+      yield if (byModel(y.toLong) > byModel(x.toLong)) 1 else 0).sum
+    assert(concordant >= 20, s"rating/strength concordance too low: $concordant/28")
+  }
 }

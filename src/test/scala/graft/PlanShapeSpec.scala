@@ -1072,6 +1072,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("BT ratings: iteration joins broadcast the M-row rating frames") {
+    val root = rootOf("eval_bt_ratings")
+    val p = root.toString
+    assert(!p.contains("CartesianProduct"), "normalization must broadcast, not cartesian")
+    val bhj = root.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    // the final (un-checkpointed) iteration keeps its 2 rating joins in
+    // the root plan; earlier iterations are behind the lineage cuts
+    assert(bhj.size >= 2, s"expected ≥2 broadcast rating joins, got ${bhj.size}")
+    shuffleCols(root).foreach { cols =>
+      assert(!cols.contains("text"), s"BT shuffle carries text: $cols")
+    }
+  }
+
   test("majority vote: partial-agg long-key shuffles only; no window, no text") {
     val root = rootOf("eval_majority_vote")
     val p = root.toString
