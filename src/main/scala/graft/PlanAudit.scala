@@ -87,8 +87,9 @@ object PlanAudit {
         "dedup_cdc_chunks", "q_chat_turns", "eval_majority_vote",
         "text_span_corruption", "text_fim_transform",
         // round 5, close: integer-exact unrolled BT-MM with broadcast
-        // M-row rating frames (iteration cost independent of corpus)
-        "eval_bt_ratings")
+        // M-row rating frames (iteration cost independent of corpus),
+        // zero-exchange instruction-density scan
+        "eval_bt_ratings", "text_instruction_density")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -64,6 +64,17 @@ object TextOps {
   private val BtModels = 8L
   private val BtIters  = 3
 
+  /** text_instruction_density: the imperative-verb lexicon (checked at
+    * sentence starts only), the per-signal score weights (permille of a
+    * token), and the keep threshold in score-ppm. */
+  private val InstrVerbs = Seq("write", "list", "explain", "describe",
+    "create", "make", "give", "find", "summarize", "translate", "compare",
+    "generate", "identify", "classify", "rewrite", "answer")
+  private val InstrWImp   = 500L
+  private val InstrWQ     = 300L
+  private val InstrWList  = 200L
+  private val InstrKeepPpm = 1500L
+
   /** The pass@k product Π_{i<k} (n−c−i)/(n−i), as a Column tree. Must
     * stay STRUCTURALLY IDENTICAL to [[dkPassAtK]] — same left-assoc
     * order — for the bit-exact double guarantee. */
@@ -411,6 +422,41 @@ object TextOps {
         .withColumn("input_len", col("n_tokens") - col("n_masked") + col("n_spans"))
         .withColumn("target_len", col("n_masked") + col("n_spans") + 1L)
         .withColumn("corruption_ppm", expr("(n_masked * 1000000) div n_tokens"))
+    }),
+
+    // Instruction-density mining (the Self-Instruct / instruction-mining
+    // selection heuristic): score documents by how instruction-shaped
+    // they are — imperative verbs at SENTENCE STARTS (first token, or
+    // any token after a [.!?]-terminated one), question marks, and
+    // enumeration markers ("1." / "2)" / "-" / "*") — then gate on a
+    // score threshold. Plant: every 5th doc gets an instruction header
+    // prepended (imperative + question + a two-item list), so the gate
+    // recovers exactly the instruction-shaped subset from a corpus
+    // whose organic text carries ~none of these signals. One narrow
+    // map-side scan, single-level lambdas only (scalar bodies — the
+    // text_span_corruption lesson), no shuffle.
+    "text_instruction_density" -> ((s, dir) => {
+      val planted = col("doc_id") % 5 === 0
+      val header = lit("Write a summary of the following items. " +
+        "What does this mean? 1. first 2) second - third ")
+      val t = docs(s, dir).select(col("doc_id"),
+          when(planted, concat(header, col("text"))).otherwise(col("text")).as("text"))
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n", size(col("toks")))
+      t.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          size(filter(sequence(lit(1), col("n")), i =>
+            (i === 1 || element_at(col("toks"), i - 1).rlike("[.!?]$")) &&
+              lower(element_at(col("toks"), i)).isin(InstrVerbs: _*)))
+            .cast("long").as("imp_starts"),
+          (length(col("text")) - length(regexp_replace(col("text"), "\\?", "")))
+            .cast("long").as("questions"),
+          size(filter(col("toks"), tk =>
+            tk.rlike("^[0-9]+[.)]$") || tk === "-" || tk === "*"))
+            .cast("long").as("list_markers"))
+        .withColumn("score_ppm", expr(
+          s"((imp_starts * $InstrWImp + questions * $InstrWQ + " +
+            s"list_markers * $InstrWList) * 1000) div n_tokens"))
+        .withColumn("kept", col("score_ppm") >= InstrKeepPpm)
     }),
 
     // Bradley–Terry arena ratings (the LMSYS/Chatbot-Arena aggregation;
@@ -1499,6 +1545,33 @@ object TextOps {
          |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_tiebreak,
          |  ((sum(cnt) * 1000000) // (count(*) * $VoteAnnotators))::BIGINT AS winner_share_ppm
          |FROM win GROUP BY 1""".stripMargin,
+    // Instruction-density twin: identical header plant, identical
+    // sentence-start rule (regexp anchored both engines), identical
+    // weights. questions uses non-regex replace — same count as the
+    // Spark side's regexp_replace of a literal '?'.
+    "text_instruction_density" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN 'Write a summary of the following items. What does this mean? 1. first 2) second - third ' || text
+         |      ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, text, ${Dk.tokens("text")} AS toks FROM base),
+         |t2 AS (SELECT doc_id, text, toks, len(toks) AS n FROM t),
+         |r AS (SELECT doc_id, n::BIGINT AS n_tokens,
+         |    len([i for i in generate_series(1, n)
+         |         if (i = 1 OR regexp_matches(toks[i-1], '[.!?]$$'))
+         |            AND lower(toks[i]) IN (${InstrVerbs.map(v => s"'$v'").mkString(", ")})])::BIGINT AS imp_starts,
+         |    (length(text) - length(replace(text, '?', '')))::BIGINT AS questions,
+         |    len([tk for tk in toks
+         |         if regexp_matches(tk, '^[0-9]+[.)]$$') OR tk IN ('-', '*')])::BIGINT AS list_markers
+         |  FROM t2)
+         |SELECT doc_id, n_tokens, imp_starts, questions, list_markers,
+         |  (((imp_starts * $InstrWImp + questions * $InstrWQ + list_markers * $InstrWList) * 1000)
+         |     // n_tokens)::BIGINT AS score_ppm,
+         |  ((((imp_starts * $InstrWImp + questions * $InstrWQ + list_markers * $InstrWList) * 1000)
+         |     // n_tokens) >= $InstrKeepPpm) AS kept
+         |FROM r""".stripMargin,
+
     // Bradley–Terry twin: identical hash matches, the MM iterations
     // unrolled by the shared dkBtIters builder, integer-exact end to end.
     "eval_bt_ratings" ->

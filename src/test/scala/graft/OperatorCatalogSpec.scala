@@ -2554,4 +2554,30 @@ class OperatorCatalogSpec extends AnyFunSuite with SparkSessionTestWrapper {
       yield if (byModel(y.toLong) > byModel(x.toLong)) 1 else 0).sum
     assert(concordant >= 20, s"rating/strength concordance too low: $concordant/28")
   }
+
+  test("text_instruction_density: header plant scores high; gate is consistent") {
+    val out = SparkEntry.queries("text_instruction_density")(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == nDocs.toInt)
+    out.foreach { r =>
+      val score = ((r.getAs[Long]("imp_starts") * 500 +
+        r.getAs[Long]("questions") * 300 +
+        r.getAs[Long]("list_markers") * 200) * 1000) / r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("score_ppm") == score, s"doc ${r.getAs[Long]("doc_id")} score")
+      assert(r.getAs[Boolean]("kept") == (score >= 1500L),
+        s"doc ${r.getAs[Long]("doc_id")} gate")
+    }
+    val (planted, organic) = out.partition(_.getAs[Long]("doc_id") % 5 == 0)
+    // the header contributes exactly 1 imperative start, 1 question mark
+    // and 3 list markers on top of the organic signals
+    planted.foreach { r =>
+      assert(r.getAs[Long]("imp_starts") >= 1 && r.getAs[Long]("questions") >= 1 &&
+        r.getAs[Long]("list_markers") >= 3, s"doc ${r.getAs[Long]("doc_id")} header signals")
+    }
+    val medOrganic = organic.map(_.getAs[Long]("score_ppm")).sorted.apply(organic.length / 2)
+    val medPlanted = planted.map(_.getAs[Long]("score_ppm")).sorted.apply(planted.length / 2)
+    assert(medPlanted > medOrganic, s"plant must raise the median score ($medPlanted vs $medOrganic)")
+    assert(planted.count(_.getAs[Boolean]("kept")) * 2 > planted.length,
+      "most planted docs must pass the gate")
+  }
 }

@@ -1064,7 +1064,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("span corruption and FIM: pure map-side passes — ZERO exchanges") {
-    for (q <- Seq("text_span_corruption", "text_fim_transform")) {
+    for (q <- Seq("text_span_corruption", "text_fim_transform",
+        "text_instruction_density")) {
       val root = rootOf(q)
       val ex = shuffleCols(root)
       assert(ex.isEmpty, s"$q must pipeline behind the scan, got ${ex.size} Exchanges")
