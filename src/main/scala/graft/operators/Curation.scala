@@ -268,6 +268,23 @@ object Curation {
       memoTag: Option[String] = None): DataFrame =
     curateStages(corpus, nBuckets, memoTag).packed
 
+  /** Keeper resolution over a (doc_id, cluster_id, quality) labeled
+    * frame — the `dedup_keep_best` core, exposed so the skew suite can
+    * drive it with a planted 10⁴-member hot cluster. max over
+    * (quality, −doc_id) ≡ first row of (quality DESC, doc_id ASC) —
+    * doc_id is unique, so the argmax is deterministic; the GROUP BY's
+    * partial aggregation collapses a hot cluster map-side to one
+    * candidate per task (where a per-cluster window funnelled the whole
+    * cluster through ONE sort task), and the (cluster_id, keeper_id)
+    * keepers broadcast back. */
+  private[graft] def keepBestResolve(labeled: DataFrame): DataFrame = {
+    val keepers = labeled.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keeper_id"))
+    labeled.join(broadcast(keepers), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 90/10 train/val split: md5 of a salted doc key — no
     // rand(), so reruns and incremental arrivals never reshuffle splits.
@@ -473,9 +490,14 @@ object Curation {
     // tie-break. Composition of three catalog operators: text_quality's
     // scoring, dedup_minhash_lsh's candidates, dedup_cc_labels' clusters.
     // Scale shape: quality is a narrow codegen'd scan; LSH/CC shuffle
-    // ids+band keys (capped) as ever; the resolution window partitions by
-    // cluster_id — cluster sizes are LSH-verified near-dup groups, and
-    // the windowed rows carry (doc_id, cluster_id, quality), never text.
+    // ids+band keys (capped) as ever; the keeper per cluster is a
+    // max_by(struct(quality, -doc_id)) GROUP BY — partial aggregation
+    // collapses even a viral 10⁶-member boilerplate cluster map-side to
+    // one candidate per task (the eval_majority_vote agg discipline),
+    // where the former per-cluster window funnelled the whole hot
+    // cluster through ONE sort task — and the (cluster_id, keeper_id)
+    // keepers broadcast-join back onto the labeled frame (ids + one
+    // double per row, never text).
     "dedup_keep_best" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val corpus = d.select(col("doc_id"),
@@ -485,14 +507,15 @@ object Curation {
       val pairs    = Dedup.minhashLsh(corpus, Some(s"$dir#keepbest")).select("doc_a", "doc_b")
       val clusters = Dedup.connectedComponents(pairs)
       val qual     = TextOps.qualityFrame(corpus).select(col("doc_id"), col("quality"))
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("quality").desc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      qual.join(clusters, Seq("doc_id"), "left")
+      // labeled feeds both the keeper agg and the final join UNCACHED:
+      // its expensive inputs are already materialized (minhashLsh
+      // localCheckpoints its verified pairs, connectedComponents its
+      // label rounds), so the second execution re-reads checkpoint
+      // blocks plus one cheap quality scan — a cache here only added a
+      // materialization barrier (measured +2 s at sf0.1)
+      val labeled = qual.join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-        .withColumn("keeper_id", first(col("doc_id")).over(w))
-        .select(col("doc_id"), col("cluster_id"), col("quality"), col("keeper_id"),
-          (col("doc_id") === col("keeper_id")).as("kept"))
+      keepBestResolve(labeled)
     }),
 
     // Train/val near-dup LEAKAGE AUDIT — the check a pipeline runs before
@@ -611,7 +634,7 @@ object Curation {
           lit(" theorem proof lemma corollary axiom theorem proof"))
         .when(col("doc_id") % 4 === 1, lit(" click buy cheap deal offer click buy"))
         .otherwise(lit(""))
-      val corpus = docs(s, dir)
+      val corpus = Par.fanOut(docs(s, dir))
         .select(col("doc_id"), concat(col("text"), suffix).as("text"))
       val hh = corpus.select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
         .filter(size(col("th")) >= 2)
@@ -619,11 +642,15 @@ object Curation {
         explode(transform(sequence(lit(1), size(col("th")) - 1), i =>
           ((element_at(col("th"), i) * ShingleC % ShingleM) + element_at(col("th"), i + 1))
             .mod(ShingleM).mod(DsirBuckets))).as("b"))
-      val rc   = big.groupBy(col("b")).agg(count(lit(1)).as("rc"))
-      val tc   = big.filter(col("doc_id") % 4 === 0).groupBy(col("b")).agg(count(lit(1)).as("tc"))
-      val tots = rc.agg(sum(col("rc")).as("rtot")).crossJoin(tc.agg(sum(col("tc")).as("ttot")))
-      val weights = rc.join(tc, Seq("b"), "left")
-        .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"), col("rc"))
+      // raw and target counts in ONE pass: tc is a conditional counter of
+      // the same groupBy (count(when) ≡ the former separate target-side
+      // agg + left join with coalesce(tc, 0)) — one corpus feature pass
+      // instead of two, one shuffle instead of two plus a join
+      val cnts = big.groupBy(col("b")).agg(count(lit(1)).as("rc"),
+        count(when(col("doc_id") % 4 === 0, 1)).as("tc"))
+        .cache() // ≤ DsirBuckets rows; read by tots AND weights
+      val tots = cnts.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
+      val weights = cnts
         .crossJoin(broadcast(tots))
         .select(col("b"),
           expr(s"($DsirScale * (tc + 1) * (rtot + $DsirBuckets)) " +

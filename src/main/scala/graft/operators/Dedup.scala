@@ -146,7 +146,7 @@ object Dedup {
   private[operators] def signatures(corpus: DataFrame, fastHash: Boolean = false): DataFrame = {
     val h: Column => Column = if (fastHash) hex32Fast else hex32
     val mhs = (0 until MinhashK).map(j => minhash(col("hs"), j).as(s"mh$j"))
-    corpus
+    Par.fanOut(corpus) // the per-token digest pass must not run on one scan task
       .withColumn("th", transform(tokens(col("text")), t => h(t)))
       .withColumn("hs", shingleHashes(col("th")))
       .select(col("doc_id") +: mhs: _*)
@@ -286,7 +286,12 @@ object Dedup {
     // th must be a NAMED column: shingleHashes references it per shingle
     // position inside its lambda, and an inlined tokenHashes subtree
     // would re-hash every token once per reference (the winnowSet/
-    // bandedKeys CollapseProject trap — measured 2× on this query)
+    // bandedKeys CollapseProject trap — measured 2× on this query).
+    // broadcast(ids): the survivor-id set is ids-only and small by the
+    // capped-band construction, so the semi-join must never shuffle the
+    // corpus TEXT by doc_id (guide §3.1) — the scan streams through a
+    // broadcast hash semi-join; fanOut keeps the shingle recompute off a
+    // single scan task at bench scale (no-op on a many-split input).
     val sets = corpus.join(ids, Seq("doc_id"), "left_semi")
       .withColumn("th", tokenHashes(tokens(col("text"))))
       .select(col("doc_id"), shingleHashes(col("th")).as("sh"))
@@ -340,8 +345,12 @@ object Dedup {
   private[graft] def connectedComponentsIter(
       pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // non-eager: the checkpoint materializes inside the round's
+    // convergence count() instead of as its own job — one action per
+    // round, not two (the per-round job floor is what dominates the CC
+    // cost on small-diameter graphs; the lineage cut is identical)
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
     val edges = ckpt(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
@@ -407,7 +416,8 @@ object Dedup {
     * hash), so band-bucket sizes stay ~corpus/65k instead of the
     * quadratic-shuffle corpus/16 the old width degenerated to. */
   private def simhash64(corpus: DataFrame): DataFrame =
-    simhash64From(corpus.select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
+    simhash64From(Par.fanOut(corpus)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
 
   /** 64-bit simhash from any (doc_id, tok) feature frame — token features
     * here, byte 4-grams for the media phash (`mm_phash_hamming`). */
@@ -662,7 +672,7 @@ object Dedup {
     // Direct n-gram Jaccard on adjacent-id pairs (the exact-verify kernel
     // in isolation, linear in corpus size).
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = Par.fanOut(docs(s, dir))
         .withColumn("th", tokenHashes(tokens(col("text"))))
         .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
       d.as("l").join(d.as("r"), col("r.doc_id") === col("l.doc_id") + 1)
@@ -692,7 +702,7 @@ object Dedup {
         base.filter(col("doc_id") % 20 === 0 && size(col("toks")) >= QuoteMinToks)
           .select((col("doc_id") + QuoteIdOffset).as("doc_id"),
             slice(col("toks"), QuoteFrom, QuoteLen).as("toks")))
-      val d = corpus
+      val d = Par.fanOut(corpus)
         .withColumn("th", tokenHashes(col("toks")))
         .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
         .cache() // ids + int sets only; feeds postings AND both verify sides
@@ -737,7 +747,7 @@ object Dedup {
       // CodegenFallback inside predicates, and the interpreted transform
       // re-evaluates the token-hash subtree per element_at — measured
       // 38.5 s vs 0.44 s on this corpus (graft.NovProbe).
-      val d = dupCorpus(s, dir)
+      val d = Par.fanOut(dupCorpus(s, dir))
         .filter(size(tokens(col("text"))) >= 3)
         .withColumn("th", tokenHashes(tokens(col("text"))))
         .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
@@ -769,7 +779,7 @@ object Dedup {
     // (feature-hash, id) and (id, int) only.
     "dedup_allpairs_cosine" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val d = dupCorpus(s, dir)
+      val d = Par.fanOut(dupCorpus(s, dir))
         .withColumn("th", tokenHashes(tokens(col("text"))))
         .select(col("doc_id"),
           array_distinct(shingleHashes(col("th"))).as("ts"))
@@ -821,7 +831,7 @@ object Dedup {
     // copies append " zzz" — prefix-identical, so they land adjacent.
     "dedup_sorted_neighborhood" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val c = dupCorpus(s, dir)
+      val c = Par.fanOut(dupCorpus(s, dir))
       val keyed = c.select(col("doc_id"),
           substring(col("text"), 1, SnmKeyChars).as("key"))
         .withColumn("bucket", substring(col("key"), 1, 1))
@@ -872,45 +882,60 @@ object Dedup {
     // original long doc carries cap-length duplicated suffixes.
     "dedup_suffix_lcp" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val t = dupCorpus(s, dir)
+      val t = Par.fanOut(dupCorpus(s, dir))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       val suf = t.select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("toks")) - 1), p =>
           substring(array_join(slice(col("toks"), p + 1, lit(SuffixKeyToks)), " "),
             1, SuffixKeyChars))).as("key"))
-      val bucketed = suf.withColumn("bucket", substring(col("key"), 1, 1))
-      val offs = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-        .withColumn("offset", coalesce(sum(col("cnt")).over(
-          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select(col("bucket"), col("offset"))
+      // 2-char bucket: bucket order is a PREFIX order, so (bucket; key,
+      // doc_id within bucket) ≡ the global (key, doc_id) suffix order —
+      // and a suffix's sorted-order neighbors are its lead/lag WITHIN its
+      // bucket window except at the two bucket edges, where the neighbor
+      // is the adjacent bucket's extreme key. That makes the whole
+      // neighbor-LCP pass ONE bucket-partitioned window (lead + lag ride
+      // the same sort the rank needed anyway) plus a broadcast of the
+      // per-bucket (prev-bucket max key, next-bucket min key) boundary
+      // frame — replacing the former global-rank machinery (rank window,
+      // cached rank table, and TWO rnk-keyed self-joins that re-shuffled
+      // every (rnk, key64) row twice more). The 2-char bucket (vs 1) also
+      // lifts window parallelism to the distinct-2-gram count (ADVICE r5).
+      val bucketed = suf.withColumn("bucket", substring(col("key"), 1, 2))
+      // ≤ |distinct 2-grams| rows; the single-partition window over it is
+      // the same tiny-frame discipline as the old prefix-sum offsets
+      val wb = Window.orderBy(col("bucket"))
+      val bounds = bucketed.groupBy(col("bucket"))
+        .agg(min(col("key")).as("bmin"), max(col("key")).as("bmax"))
+        .select(col("bucket"),
+          lag(col("bmax"), 1).over(wb).as("prev_max"),
+          lead(col("bmin"), 1).over(wb).as("next_min"))
+      // LCP: prefix equality is monotone in i, so the first mismatching
+      // position minus one IS the LCP. The dominant equal-key runs
+      // (planted copies) short-circuit to w with one comparison; the
+      // mismatch scan compares single chars (array_position over the
+      // per-position equality flags; 0 ⇒ one key is a prefix of the
+      // other ⇒ LCP = w). The null/empty guards: a missing neighbor
+      // (corpus edge) contributes 0, like the old left joins' coalesce.
+      def mmOf(a: Column, b: Column, w: Column): Column =
+        array_position(transform(sequence(lit(1), w),
+          i => a.substr(i, lit(1)) === b.substr(i, lit(1))), false)
+      def lcpOf(a: Column, b: Column): Column = {
+        val w = least(length(a), length(b))
+        when(b.isNull, lit(0L))
+          .when(w === 0, lit(0L))
+          .when(a === b, w.cast("long"))
+          .when(mmOf(a, b, w) === 0L, w.cast("long"))
+          .otherwise(mmOf(a, b, w) - 1L)
+      }
       // ties (identical keys) need no further ordering: every member of an
       // equal-key run gets dup_len = len(key) from its in-run neighbor, so
       // the per-doc rollup is permutation-invariant within runs
-      // cached: consumed by both sides of the neighbor join and the final
-      // rollup — (rnk, key64, doc_id) only, the frame a real pipeline
-      // would materialize as the suffix-array table
-      val ranked = bucketed.join(broadcast(offs), Seq("bucket"))
-        .withColumn("rnk", col("offset") + row_number().over(
-          Window.partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col("rnk"), col("key"))
-        .cache()
-      // lcpAt(rnk) = LCP(key at rnk, key at rnk+1); prefix equality is
-      // monotone in i, so counting matching prefixes IS the LCP
-      // the when-guard covers an empty key: Spark's sequence(1, 0)
-      // DESCENDS where DuckDB's generate_series returns empty
-      val lcpAt = ranked.select(col("rnk"), col("key").as("ka"))
-        .join(ranked.select((col("rnk") - 1).as("rnk"), col("key").as("kb")), Seq("rnk"))
-        .withColumn("w", least(length(col("ka")), length(col("kb"))))
-        .select(col("rnk"), when(col("w") === 0, lit(0)).otherwise(size(filter(
-          sequence(lit(1), col("w")),
-          i => col("ka").substr(lit(1), i) === col("kb").substr(lit(1), i)))).as("lcp"))
-      ranked
-        .join(lcpAt.withColumnRenamed("lcp", "lcp_next"), Seq("rnk"), "left")
-        .join(lcpAt.select((col("rnk") + 1).as("rnk"), col("lcp").as("lcp_prev")),
-          Seq("rnk"), "left")
+      val wk = Window.partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))
+      bucketed.join(broadcast(bounds), Seq("bucket"))
+        .withColumn("nk", coalesce(lead(col("key"), 1).over(wk), col("next_min")))
+        .withColumn("pk", coalesce(lag(col("key"), 1).over(wk), col("prev_max")))
         .withColumn("dup_len",
-          greatest(coalesce(col("lcp_next"), lit(0)), coalesce(col("lcp_prev"), lit(0))))
+          greatest(lcpOf(col("key"), col("nk")), lcpOf(col("key"), col("pk"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_suffixes"),
           max(col("dup_len")).cast("long").as("max_dup_len"),
@@ -933,7 +958,7 @@ object Dedup {
     // tokens, documented; degenerate runs of boundary tokens make short
     // chunks, never unbounded ones.
     "dedup_cdc_chunks" -> ((s, dir) => {
-      val t = cdcCorpus(s, dir)
+      val t = Par.fanOut(cdcCorpus(s, dir))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("n", size(col("toks")))
         .filter(col("n") >= 1)

@@ -564,12 +564,15 @@ object FrontierOps {
         .select(col("h"), substring(col("h"), 4, 6).cast("long").as("label"),
           lit(0L).as("round_assigned"))
       def propagate(labeled: DataFrame, round: Int): DataFrame = {
+        // argmax via max_by(struct(votes, -label)) ≡ rank 1 of (votes
+        // DESC, label ASC) — a partial-aggregating groupBy instead of a
+        // per-host window sort (one less sort pass per round; a hot host
+        // collapses map-side)
         val won = nb.join(labeled.select(col("h")), Seq("h"), "left_anti")
           .join(labeled.select(col("h").as("n"), col("label")), Seq("n"))
           .groupBy(col("h"), col("label")).agg(count(lit(1)).as("votes"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("h")).orderBy(col("votes").desc, col("label"))))
-          .filter(col("rn") === 1)
+          .groupBy(col("h"))
+          .agg(max_by(col("label"), struct(col("votes"), -col("label"))).as("label"))
           .select(col("h"), col("label"), lit(round.toLong).as("round_assigned"))
         labeled.unionByName(won)
       }
@@ -716,7 +719,12 @@ object FrontierOps {
     // window width, not a degree), then one partial-agg count keyed by
     // the (center, context) host pair.
     "q_walk_skipgrams" -> ((s, dir) => {
-      val w = queries("q_random_walks")(s, dir)
+      // materialized once: the walk trace is an RwLen-hop iterative chain
+      // (a join + struct-min agg per hop), and the skip-gram self-join
+      // reads it on BOTH sides — un-materialized, the whole chain
+      // executed twice (measured ~2× the standalone q_random_walks cost).
+      // walks × (RwLen+1) id rows only — trivially checkpointed.
+      val w = queries("q_random_walks")(s, dir).localCheckpoint()
       w.as("a").join(w.as("b"),
           col("a.walk") === col("b.walk") &&
             col("a.step") =!= col("b.step") &&

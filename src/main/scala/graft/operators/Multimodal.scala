@@ -134,7 +134,7 @@ object Multimodal {
             expr("""concat(substring(text, 1, cast(doc_id % 8 as int)), '~',
                    |substring(text, cast(doc_id % 8 + 2 as int), length(text)))""".stripMargin)
               .as("text")))
-      val grams = planted.select(col("doc_id"),
+      val grams = Par.fanOut(planted).select(col("doc_id"),
         explode(expr(
           "transform(sequence(1, greatest(1, length(text) - 3)), i -> substring(text, i, 4))"))
           .as("tok"))

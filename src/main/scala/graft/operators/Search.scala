@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextKernels._
 import graft.functions.{VectorKernels => VK}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,7 +72,7 @@ object Search {
   /** The ranked search: top-[[TopK]] docs per query by integer-scaled
     * BM25-style score. */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val t = docs(s, dir).select(col("doc_id"),
+    val t = graft.operators.Par.fanOut(docs(s, dir)).select(col("doc_id"),
       tokens(when(col("doc_id") % 100 === 0,
         concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
         .otherwise(col("text"))).as("toks"))
@@ -195,7 +195,7 @@ object Search {
     // text bodies. Second-pass retrieval then reuses text_bm25_topk
     // with qtoks ∪ expansion, unchanged machinery.
     "search_query_expand" -> ((s, dir) => {
-      val t = docs(s, dir).select(col("doc_id"),
+      val t = graft.operators.Par.fanOut(docs(s, dir)).select(col("doc_id"),
         tokens(when(col("doc_id") % 100 === 0,
           concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
           .otherwise(col("text"))).as("toks"))
@@ -230,7 +230,7 @@ object Search {
     // re-joins the pruned doc set by id to slice its text — whole docs
     // never shuffle with the hits.
     "search_snippet" -> ((s, dir) => {
-      val t = docs(s, dir).select(col("doc_id"),
+      val t = graft.operators.Par.fanOut(docs(s, dir)).select(col("doc_id"),
         tokens(when(col("doc_id") % 100 === 0,
           concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
           .otherwise(col("text"))).as("toks"))
@@ -310,41 +310,60 @@ object Search {
         .select(col("query_id"), col("a"), col("b"),
           expr("(inter * 1000000) div (na + nb - inter)").as("sim_ppm"))
         .cache() // queries × K² rows
-      var selected = cands
+      // The greedy trace runs as ONE pass: candidates, pair similarities
+      // and the round-1 seed group by query_id, and each query's whole
+      // MmrM-round selection happens inside a single task (a query's
+      // state is ≤ K rel rows + K² sim rows — bounded by construction).
+      // The former per-round formulation was MmrM−1 SEQUENTIAL tiny
+      // Spark jobs, each paying an anti-join + self-join + window + an
+      // eager localCheckpoint — a per-round job-scheduling floor that
+      // dominated the query's wall time (guide §1.2: fix the job shape
+      // first). Same integer arithmetic (λ·rel − (1−λ)·maxsim in int64,
+      // ties to smallest doc_id), so the trace is value-identical; the
+      // closure is per-GROUP driver-free work over ≤ K² longs, and
+      // queries parallelize across tasks — the at-scale shape for a
+      // greedy-by-definition rerank.
+      val lam = MmrLam
+      val oneMinusLam = 100 - MmrLam
+      val m = MmrM
+      val mmrTrace = udf((cs: Seq[Row], ss: Seq[Row], seed: Long) => {
+        val rel = cs.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val sim = ss.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+        val selected = scala.collection.mutable.ArrayBuffer[Long](seed)
+        out += ((seed, rel(seed), 0L, lam * rel(seed), 1L))
+        for (r <- 2 to m) {
+          val scored = rel.keysIterator.filterNot(selected.contains).toSeq.flatMap { c =>
+            val toSel = selected.flatMap(b => sim.get((c, b)))
+            if (toSel.isEmpty) None
+            else {
+              val ms = toSel.max
+              Some((c, rel(c), ms, lam * rel(c) - oneMinusLam * ms))
+            }
+          }
+          if (scored.nonEmpty) {
+            val best = scored.minBy { case (c, _, _, sc) => (-sc, c) }
+            out += ((best._1, best._2, best._3, best._4, r.toLong))
+            selected += best._1
+          }
+        }
+        out.toSeq
+      })
+      val grouped = cands
+        .groupBy(col("query_id"))
+        .agg(collect_list(struct(col("doc_id"), col("rel_ppm"))).as("cs"))
+        .join(sims.groupBy(col("query_id"))
+          .agg(collect_list(struct(col("a"), col("b"), col("sim_ppm"))).as("ss")),
+          Seq("query_id"))
         .join(broadcast(bm.filter(col("rank") === 1)
-          .select("query_id", "doc_id")), Seq("query_id", "doc_id"))
-        .select(col("query_id"), col("doc_id"), col("rel_ppm"),
-          lit(0L).as("maxsim_ppm"),
-          expr(s"$MmrLam * rel_ppm").as("mmr_score"), lit(1L).as("round"))
-      for (r <- 2 to MmrM) {
-        val scored = cands
-          .join(selected.select(col("query_id"), col("doc_id")),
-            Seq("query_id", "doc_id"), "left_anti")
-          .join(sims.withColumnRenamed("a", "doc_id"), Seq("query_id", "doc_id"))
-          .join(selected.select(col("query_id"), col("doc_id").as("b")),
-            Seq("query_id", "b"))
-          .groupBy(col("query_id"), col("doc_id"), col("rel_ppm"))
-          .agg(max(col("sim_ppm")).as("maxsim_ppm"))
-          .withColumn("mmr_score",
-            expr(s"$MmrLam * rel_ppm - ${100 - MmrLam} * maxsim_ppm"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("mmr_score").desc, col("doc_id"))
-        // localCheckpoint bounds the greedy loop's lineage: without it,
-        // round r's plan re-derives every earlier round (the union is an
-        // input to the next anti-join/self-join), so the DAG grows
-        // quadratically in MmrM. The checkpointed frame is queries × r
-        // rows — trivially materialized, and each round's plan then
-        // starts from blocks, not from round 1.
-        selected = selected.unionByName(
-          scored.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("query_id"), col("doc_id"), col("rel_ppm"),
-              col("maxsim_ppm"), col("mmr_score"), lit(r.toLong).as("round")))
-          .coalesce(1) // queries × r rows — one block beats 32 near-empty tasks/round
-          .localCheckpoint(true)
-      }
-      // The final frame reads checkpoint blocks only — the intermediate
-      // caches have served their purpose and can release executor memory.
+          .select(col("query_id"), col("doc_id").as("seed"))), Seq("query_id"))
+      val selected = grouped
+        .select(col("query_id"),
+          explode(mmrTrace(col("cs"), col("ss"), col("seed"))).as("r"))
+        .select(col("query_id"), col("r._1").as("doc_id"), col("r._2").as("rel_ppm"),
+          col("r._3").as("maxsim_ppm"), col("r._4").as("mmr_score"),
+          col("r._5").as("round"))
+        .localCheckpoint(true)
       bm.unpersist()
       cands.unpersist()
       sets.unpersist()
@@ -369,7 +388,7 @@ object Search {
     // (MaxBandGroup discipline) applies if a stop-word list is ever
     // tiered, and real deployments drop stop-words before tiering.
     "search_tiered_index" -> ((s, dir) => {
-      val tf = docs(s, dir)
+      val tf = graft.operators.Par.fanOut(docs(s, dir))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       val p  = Window.partitionBy(col("term"))
@@ -431,7 +450,8 @@ object Search {
     // deployment bucket-partitions the index by term (BucketedJoinSpec
     // shape) making the prune a zero-shuffle probe too.
     "search_phrase_match" -> ((s, dir) => {
-      val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      val t = graft.operators.Par.fanOut(docs(s, dir))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
       val q = t.filter(col("doc_id") % 100 === 0 && size(col("toks")) >= 6)
         .select((col("doc_id") + 800000L).as("query_id"),
           element_at(col("toks"), 5).as("t1"), element_at(col("toks"), 6).as("t2"))

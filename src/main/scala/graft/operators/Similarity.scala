@@ -127,6 +127,11 @@ object Similarity {
           .groupBy(col("cell"), col("pos"))
           .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
           .collect()
+        // driver-sink guard: the collect is bounded by k·dims BY
+        // CONSTRUCTION (cell × pos rollup); a future k/dims bump that
+        // silently turns this into a data-sized collect must fail loudly
+        require(stats.length <= KmeansK * Dims,
+          s"kmeansTrain collected ${stats.length} rows > k*dims (${KmeansK * Dims})")
         val byCell = stats.groupBy(_.getAs[Long]("cell"))
         cents = (0 until KmeansK).map { j =>
           byCell.get(j.toLong) match {
@@ -178,6 +183,8 @@ object Similarity {
             .groupBy(col("cell"), col("pos"))
             .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
             .collect()
+          require(stats.length <= PqK * PqSub, // bounded-collect guard (kmeansTrain rule)
+            s"pqTrain collected ${stats.length} rows > PqK*PqSub (${PqK * PqSub})")
           val byCell = stats.groupBy(_.getAs[Long]("cell"))
           cents = (0 until PqK).map { j =>
             byCell.get(j.toLong) match {
@@ -216,7 +223,7 @@ object Similarity {
 
   /** Quantized corpus with both PQ subvector columns. */
   private def pqVectors(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Par.fanOut(s.read.parquet(s"$dir/embeddings.parquet"))
       .select(col("vec_id"), quantize(col("embedding")).as("qf"))
       .withColumn("qlo", slice(col("qf"), 1, PqSub))
       .withColumn("qhi", slice(col("qf"), PqSub + 1, PqSub))
@@ -325,7 +332,7 @@ object Similarity {
     * folding norms inline, so results are bit-identical and the DuckDB
     * oracles (which spell out the full cosine) still match exactly. */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Par.fanOut(s.read.parquet(s"$dir/embeddings.parquet"))
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
@@ -358,6 +365,8 @@ object Similarity {
     val st = qz.select(posexplode(col("q")).as(Seq("i", "x")))
       .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("i")).collect()
+    require(st.length <= Dims, // bounded-collect guard (kmeansTrain rule)
+      s"sqCodes collected ${st.length} rows > Dims ($Dims)")
     val mins = st.map(_.getLong(1)).toSeq
     val rngs = st.map(r => math.max(1L, r.getLong(2) - r.getLong(1))).toSeq
     qz.select(col("vec_id"), transform(col("q"), (x, i) => {
@@ -663,7 +672,7 @@ object Similarity {
       val base = e0.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val pert = e0.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), (x, i) => x.cast("double") + lit(0.01) * ((i % 3) - 1)).as("v"))
-      val all = base.unionByName(pert)
+      val all = Par.fanOut(base.unionByName(pert))
       // candidate generation on (id, cell, bucket) longs only — cached:
       // both join sides read the keys, and without the cache the 8
       // distance folds + the planes×64-dim bucket fold run twice over the

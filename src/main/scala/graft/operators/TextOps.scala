@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextKernels._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -176,7 +176,7 @@ object TextOps {
     val sumLn = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
     val nStop = markerHits(toks, Stopwords).cast("long")
     val nPunc = length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))
-    d.withColumn("n_tokens", nTok)
+    Par.fanOut(d).withColumn("n_tokens", nTok)
       .withColumn("avg_token_len", round(sumLn / nTok, 4))
       .withColumn("stopword_ratio", round(nStop / nTok, 4))
       .withColumn("punct_ratio", round(nPunc / length(col("text")), 4))
@@ -412,7 +412,7 @@ object TextOps {
           x.cast("string"))) % 100L < CorruptStartPct
       def maskAt(j: Column): Column =
         candAt(j) || (j >= 2 && candAt(j - 1)) || (j >= 3 && candAt(j - 2))
-      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      Par.fanOut(docs(s, dir)).select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("n", size(col("toks")))
         .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
           size(filter(sequence(lit(1), col("n")), j => maskAt(j)))
@@ -497,32 +497,42 @@ object TextOps {
         .groupBy(col("model"))
         .agg(sum(col("n")).as("n_matches"), sum(col("w")).as("n_wins"))
         .cache()
-      var r = totals.select(col("model"), lit(1000000L).as("p"))
-      for (k <- 0 until BtIters) {
-        val t = pairs
-          .join(broadcast(r.select(col("model").as("i"), col("p").as("pi"))), Seq("i"))
-          .join(broadcast(r.select(col("model").as("j"), col("p").as("pj"))), Seq("j"))
-          .withColumn("t", expr("(n * 1000000000) div (pi + pj)"))
-        val d = t.select(col("i").as("model"), col("t"))
-          .unionByName(t.select(col("j").as("model"), col("t")))
-          .groupBy(col("model")).agg(sum(col("t")).as("d"))
-        val raw = totals.join(d, Seq("model"))
-          .withColumn("raw", expr("(n_wins * 1000000000) div d"))
-          .select(col("model"), col("raw"))
-        val tot = raw.agg(sum(col("raw")).as("tot"))
-        r = raw.crossJoin(broadcast(tot))
-          .select(col("model"), expr(s"(raw * ${BtModels * 1000000L}) div tot").as("p"))
-        // r is referenced ~8× by the next iteration's plan (ri + rj in
-        // t, t twice in the union, raw twice in the normalization) —
-        // without a per-iteration lineage cut the plan grows 8^k and
-        // the measured cost was 54 s at sf0.1 for THREE iterations of
-        // an 8-row frame. Same medicine as search_mmr_rerank's greedy
-        // loop: localCheckpoint the (tiny) rating frame each round;
-        // the last round stays un-cut so the final plan keeps the
-        // iteration shape visible for the plan audit.
-        if (k < BtIters - 1) r = r.localCheckpoint()
-      }
-      totals.join(r, Seq("model"))
+      // The MM fixpoint runs as ONE pass over the (≤ M²-row) pair table:
+      // the former per-iteration formulation was BtIters SEQUENTIAL tiny
+      // Spark jobs (2 broadcast joins + union-agg + normalization + a
+      // localCheckpoint each) whose job-scheduling floor dominated wall
+      // time — iteration cost is independent of corpus size by
+      // construction, so the whole fixpoint is per-GROUP arithmetic over
+      // ≤ M² longs (the search_mmr_rerank single-pass discipline). The
+      // arithmetic is the identical int64 fixed-point update — t =
+      // n·1e9 div (p_i+p_j); d_m = Σ t; raw = wins·1e9 div d;
+      // p = raw·M·1e6 div Σraw — integer sums are order-independent,
+      // so the trace is value-identical to the unrolled join form (the
+      // OperatorCatalogSpec driver-side MM reference pins it).
+      val iters = BtIters
+      val models = BtModels
+      val btMm = udf((ps: Seq[Row], ts: Seq[Row]) => {
+        val pl = ps.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // i, j, n
+        val wins = ts.map(r => r.getLong(0) -> r.getLong(1)).toMap       // model -> n_wins
+        var p = ts.map(r => r.getLong(0) -> 1000000L).toMap
+        for (_ <- 0 until iters) {
+          val d = scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+          pl.foreach { case (i, j, n) =>
+            val t = (n * 1000000000L) / (p(i) + p(j))
+            d(i) += t; d(j) += t
+          }
+          val raw = p.keysIterator.map(m => m -> (wins(m) * 1000000000L) / d(m)).toMap
+          val tot = raw.valuesIterator.sum
+          p = raw.map { case (m, rw) => m -> (rw * (models * 1000000L)) / tot }
+        }
+        p.toSeq
+      })
+      val rated = pairs.agg(collect_list(struct(col("i"), col("j"), col("n"))).as("ps"))
+        .crossJoin(totals.agg(collect_list(
+          struct(col("model"), col("n_wins"))).as("ts")))
+        .select(explode(btMm(col("ps"), col("ts"))).as("r"))
+        .select(col("r._1").as("model"), col("r._2").as("p"))
+      totals.join(broadcast(rated), Seq("model"))
         .select(col("model"), col("n_matches"), col("n_wins"), col("p").as("bt_ppm"))
         .withColumn("winrate_ppm", expr("(n_wins * 1000000) div n_matches"))
     }),
@@ -715,7 +725,7 @@ object TextOps {
 
     // Fingerprinting: rolling polynomial hash + winnowing-style min 8-gram.
     "text_fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(
+      Par.fanOut(docs(s, dir)).select(
         col("doc_id"),
         fingerprint(col("text")).as("fp"),
         winnowMin(col("text")).as("winnow_min"))),
@@ -796,7 +806,7 @@ object TextOps {
       val nln  = floor((size(toks) + LineW - 1) / LineW).cast("int")
       val lines = transform(sequence(lit(0), nln - 1), i =>
         array_join(slice(toks, i * LineW + 1, lit(LineW)), " "))
-      val base = docs(s, dir).filter(size(tokens(col("text"))) >= 1)
+      val base = Par.fanOut(docs(s, dir)).filter(size(tokens(col("text"))) >= 1)
         .select(col("doc_id"),
           when(col("doc_id") % 3 === 0, concat(lines, array(element_at(lines, 1))))
             .otherwise(lines).as("lines"))
@@ -849,7 +859,7 @@ object TextOps {
     // survives in exactly one doc corpus-wide (the hot-key case runs
     // through the same partial-agg path, no single-task funnel).
     "text_substr_dedup" -> ((s, dir) => {
-      val corpus = dupChunkCorpus(s, dir)
+      val corpus = Par.fanOut(dupChunkCorpus(s, dir))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("nch", floor(size(col("toks")) / ChunkW).cast("int"))
       val occ = corpus.filter(col("nch") >= 1)
@@ -900,7 +910,7 @@ object TextOps {
     // corpus LM has never seen); boilerplate scores high — the documented
     // reason CCNet pairs this with the dedup/repetition filters.
     "text_lm_familiarity" -> ((s, dir) => {
-      val base = docs(s, dir)
+      val base = Par.fanOut(docs(s, dir))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), tokenHashes(col("toks")).as("th"))
       val uni = base.select(col("doc_id"), explode(col("th")).as("h"))
@@ -1036,7 +1046,7 @@ object TextOps {
     // distinct terms only. Shuffles never carry more than a token and
     // two counters.
     "text_keyword_extract" -> ((s, dir) => {
-      val tf = docs(s, dir)
+      val tf = Par.fanOut(docs(s, dir))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1219,7 +1229,7 @@ object TextOps {
     // join touches only the vocab²-bounded collocation table against the
     // broadcast vocab-sized unigram counts.
     "text_collocations" -> ((s, dir) => {
-      val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      val toks = Par.fanOut(docs(s, dir)).select(col("doc_id"), tokens(col("text")).as("toks"))
       val uni = toks.select(explode(col("toks")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cf"))
       val bi = toks.filter(size(col("toks")) >= 2)
@@ -1255,7 +1265,7 @@ object TextOps {
     // pass), and a per-w1 window bounded by w1's distinct-continuation
     // count ≤ vocab — corpus growth fattens counters, not partitions.
     "text_bigram_lm" -> ((s, dir) => {
-      val toks = docs(s, dir).select(tokens(col("text")).as("toks"))
+      val toks = Par.fanOut(docs(s, dir)).select(tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
       val bg = toks.select(explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
@@ -1306,7 +1316,9 @@ object TextOps {
     // text CER at 100 TB chunks both sides and sums per-chunk distances
     // as an upper bound).
     "eval_cer" -> ((s, dir) => {
-      docs(s, dir)
+      // O(m·n) levenshtein per row is the catalog's heaviest per-row
+      // kernel — fanOut keeps it off a single scan task (guide §2)
+      Par.fanOut(docs(s, dir))
         .select(col("doc_id"), substring(col("text"), 1, CerSampleChars).as("golden"))
         .withColumn("corruption", col("doc_id") % 4)
         .withColumn("pred",
@@ -1341,7 +1353,7 @@ object TextOps {
         aggregate(array_distinct(h), lit(0L), (acc, t) =>
           acc + least(size(filter(h, x => x === t)),
             size(filter(r, x => x === t))).cast("long"))
-      docs(s, dir)
+      Par.fanOut(docs(s, dir)) // O(distinct·len) clipping per row — off one task
         .select(col("doc_id"), substring(col("text"), 1, CerSampleChars).as("golden"))
         .withColumn("corruption", col("doc_id") % 4)
         .withColumn("pred",

@@ -187,7 +187,7 @@ object WebOps {
     // doc so each host has a true positive. Line counts shuffle as (source,
     // md5(line)); text moves once in the doc_id-keyed rebuild.
     "text_host_boilerplate" -> ((s, dir) => {
-      val withToks = docs(s, dir).select(col("doc_id"), col("source"),
+      val withToks = Par.fanOut(docs(s, dir)).select(col("doc_id"), col("source"),
         tokens(concat(hostHeader, col("text"))).as("toks"))
       val nln = floor((size(col("toks")) + LineW - 1) / LineW).cast("int")
       val withLines = withToks.select(col("doc_id"), col("source"),
@@ -243,7 +243,7 @@ object WebOps {
     // doc-sorted posting list split into BlockSize-entry blocks, each block
     // head absolute and the rest gap-encoded; df/cf are global per term.
     "search_postings" -> ((s, dir) => {
-      val tf = docs(s, dir)
+      val tf = Par.fanOut(docs(s, dir))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .withColumn("shard", expr(s"doc_id div $ShardSpan"))

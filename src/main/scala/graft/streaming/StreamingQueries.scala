@@ -29,6 +29,26 @@ object StreamingQueries {
 
   private val qId = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Replay-feed bound. The driver-side collect below is the TEST HARNESS
+    * feeding MemoryStream (which is by nature a driver-side source); the
+    * production paths ([[StreamingOps]] readStream forms) never collect.
+    * At a large enough sf the HARNESS would OOM the driver long before
+    * the operators misbehaved — so the feed is capped loudly: the
+    * `limit(cap+1)` bounds what ever reaches the driver, and exceeding
+    * the cap fails with instructions instead of an OOM. */
+  private val ReplayMaxRows = 1000000
+
+  private implicit class BoundedCollect[T](ds: org.apache.spark.sql.Dataset[T]) {
+    def collectBounded(): Array[T] = {
+      val rows = ds.limit(ReplayMaxRows + 1).collect()
+      require(rows.length <= ReplayMaxRows,
+        s"streaming replay harness would collect > $ReplayMaxRows input rows; " +
+          "the MemoryStream oracle harness is bounded by design — drive the " +
+          "production readStream path (StreamingOps) for inputs this size")
+      rows
+    }
+  }
+
   /** Chronological replay batches. Two halves: every stateful operator
     * still proves cross-batch state (the second half's matches reach back
     * into state built by the first), while each extra micro-batch costs a
@@ -64,7 +84,7 @@ object StreamingQueries {
       val rows = ss.read.parquet(s"$dir/events.parquet")
         .select(col("ts").cast("timestamp").as("event_time"),
           col("event_id").cast("string").as("doc_id"), col("event_type").as("kind"))
-        .as[SpanEvent].collect()
+        .as[SpanEvent].collectBounded()
         .sortBy(e => (e.event_time.getTime, e.doc_id))
       val maxTs = rows.map(_.event_time.getTime).max
       val in    = MemoryStream[SpanEvent]
@@ -99,7 +119,7 @@ object StreamingQueries {
       val rows = ss.read.parquet(s"$dir/events.parquet")
         .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
           col("event_id").cast("long"))
-        .as[(Long, Timestamp, Long)].collect()
+        .as[(Long, Timestamp, Long)].collectBounded()
         .sortBy(r => (r._2.getTime, r._3))
         .map(r => UserEvent(r._1, r._2))
       val maxTs = rows.map(_.event_time.getTime).max
@@ -134,7 +154,7 @@ object StreamingQueries {
       val rows = ss.read.parquet(s"$dir/events.parquet")
         .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
           col("event_id").cast("long"))
-        .as[(Long, Timestamp, Long)].collect()
+        .as[(Long, Timestamp, Long)].collectBounded()
         .sortBy(r => (r._2.getTime, r._3))
         .map(r => UserEvent(r._1, r._2))
       val maxTs = rows.map(_.event_time.getTime).max
@@ -173,7 +193,7 @@ object StreamingQueries {
         .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
           when(col("event_type") === "click", 1).otherwise(0).as("side"),
           col("event_id").cast("long"))
-        .as[(Long, Timestamp, Int, Long)].collect()
+        .as[(Long, Timestamp, Int, Long)].collectBounded()
         .sortBy(r => (r._2.getTime, r._4))
         .map(r => StreamingOps.TaggedEvent(r._1, r._2, r._3, r._4))
       val maxTs = rows.map(_.event_time.getTime).max
@@ -217,7 +237,7 @@ object StreamingQueries {
         .filter(col("event_type") === tp)
         .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
           col("event_id").cast("long"))
-        .as[(Long, Timestamp, Long)].collect()
+        .as[(Long, Timestamp, Long)].collectBounded()
         .sortBy(r => (r._2.getTime, r._3)).toSeq
         .map(r => StreamingOps.RangeEvent(r._1, r._2, r._3))
       val inC  = MemoryStream[StreamingOps.RangeEvent]
@@ -259,7 +279,7 @@ object StreamingQueries {
         .filter(col("event_type") === tp)
         .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
           col("event_id").cast("long"))
-        .as[(Long, Timestamp, Long)].collect()
+        .as[(Long, Timestamp, Long)].collectBounded()
         .sortBy(r => (r._2.getTime, r._3)).toSeq
         .map(r => StreamingOps.RangeEvent(r._1, r._2, r._3))
       val inC  = MemoryStream[StreamingOps.RangeEvent]
@@ -308,7 +328,7 @@ object StreamingQueries {
       val rows = ss.read.parquet(s"$dir/events.parquet")
         .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
           col("event_id").cast("long"))
-        .as[(Long, Timestamp, Long)].collect()
+        .as[(Long, Timestamp, Long)].collectBounded()
         .sortBy(r => (r._2.getTime, r._3))
         .map(r => StreamingOps.EnrichEvent(r._1, r._2, r._3))
       val dim = ss.read.parquet(s"$dir/events.parquet")
@@ -344,7 +364,7 @@ object StreamingQueries {
       val t0 = new Timestamp(86400L * 1000)
       val base = ss.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
+        .as[(Long, String)].collectBounded().sortBy(_._1)
       // copies interleave with late originals across batches
       val batches = Seq(
         base.take(base.length / 2).map { case (id, tx) => (t0, id.toString, tx) },
@@ -376,7 +396,7 @@ object StreamingQueries {
       val t0 = new Timestamp(86400L * 1000)
       val base = ss.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
+        .as[(Long, String)].collectBounded().sortBy(_._1)
       val copies = base.map { case (id, tx) => (id + 1000000L, tx + " zzz") }
       val batches = Seq(
         base.take(base.length / 2).map { case (id, tx) => (t0, id, tx) },
@@ -409,7 +429,7 @@ object StreamingQueries {
         .select((col("user_id") % 97L).as("host_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"),
           col("event_id").cast("long").as("event_id"))
-        .as[StreamingOps.FetchReq].collect()
+        .as[StreamingOps.FetchReq].collectBounded()
         .sortBy(e => (e.us, e.event_id))
       val in   = MemoryStream[StreamingOps.FetchReq]
       val name = s"srl_${qId.incrementAndGet()}"

@@ -54,6 +54,40 @@ class SkewSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "hot-content copies changed the curated output")
   }
 
+  test("keep-best resolves a 10^4-member hot cluster via partial max_by agg, no window") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    // one viral boilerplate cluster (the exact thing keep-best exists
+    // for): 10^4 members of cluster 7, best member planted mid-cluster
+    // with max quality and NOT the smallest id — plus singleton clusters
+    val hot = spark.range(10000).select(
+      (col("id") + 100L).as("doc_id"), lit(7L).as("cluster_id"),
+      when(col("id") === 4321L, lit(0.99)).otherwise((col("id") % 97).cast("double") / 1000.0)
+        .as("quality"))
+    val singles = spark.range(50).select(
+      (col("id") + 2000000L).as("doc_id"), (col("id") + 2000000L).as("cluster_id"),
+      lit(0.5).as("quality"))
+    val labeled  = hot.unionByName(singles)
+    val resolved = Curation.keepBestResolve(labeled)
+    // the resolution plan must be the partial-agg + broadcast-join shape:
+    // no per-cluster window (the single-task hot-key sort this replaces)
+    val plan = resolved.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keeper resolution windowed:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), s"keepers not broadcast:\n${plan.take(2000)}")
+    val rows = resolved.collect()
+    assert(rows.length == 10050)
+    val hotRows = rows.filter(_.getLong(1) == 7L)
+    assert(hotRows.forall(_.getLong(3) == 4421L), "hot-cluster keeper is not the max-quality member")
+    assert(hotRows.count(_.getBoolean(4)) == 1)
+    // quality ties inside the 97-value grid: keeper must beat every member
+    // on (quality, -doc_id) — spot-check the deterministic tie-break on a
+    // two-member tie cluster
+    val tie = Curation.keepBestResolve(
+      spark.range(2).select((col("id") + 10L).as("doc_id"), lit(1L).as("cluster_id"),
+        lit(0.25).as("quality"))).collect()
+    assert(tie.forall(_.getLong(3) == 10L), "tie must keep the smallest doc_id")
+  }
+
   test("hot-key self-join fanout is capped (q_link_cocitation / q_mirror_hosts discipline)") {
     // A favicon.ico-class sink: ONE target cited by 2000 hosts. Uncapped,
     // the pair-minting self-join would square it (2000*1999/2 ≈ 2M rows);
