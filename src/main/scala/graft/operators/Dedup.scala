@@ -416,8 +416,7 @@ object Dedup {
     * hash), so band-bucket sizes stay ~corpus/65k instead of the
     * quadratic-shuffle corpus/16 the old width degenerated to. */
   private def simhash64(corpus: DataFrame): DataFrame =
-    simhash64From(Par.fanOut(corpus)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
+    simhash64From(corpus.select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
 
   /** 64-bit simhash from any (doc_id, tok) feature frame — token features
     * here, byte 4-grams for the media phash (`mm_phash_hamming`). */
@@ -702,7 +701,7 @@ object Dedup {
         base.filter(col("doc_id") % 20 === 0 && size(col("toks")) >= QuoteMinToks)
           .select((col("doc_id") + QuoteIdOffset).as("doc_id"),
             slice(col("toks"), QuoteFrom, QuoteLen).as("toks")))
-      val d = Par.fanOut(corpus)
+      val d = corpus
         .withColumn("th", tokenHashes(col("toks")))
         .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
         .cache() // ids + int sets only; feeds postings AND both verify sides
@@ -747,7 +746,7 @@ object Dedup {
       // CodegenFallback inside predicates, and the interpreted transform
       // re-evaluates the token-hash subtree per element_at — measured
       // 38.5 s vs 0.44 s on this corpus (graft.NovProbe).
-      val d = Par.fanOut(dupCorpus(s, dir))
+      val d = dupCorpus(s, dir)
         .filter(size(tokens(col("text"))) >= 3)
         .withColumn("th", tokenHashes(tokens(col("text"))))
         .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
@@ -958,7 +957,7 @@ object Dedup {
     // tokens, documented; degenerate runs of boundary tokens make short
     // chunks, never unbounded ones.
     "dedup_cdc_chunks" -> ((s, dir) => {
-      val t = Par.fanOut(cdcCorpus(s, dir))
+      val t = cdcCorpus(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("n", size(col("toks")))
         .filter(col("n") >= 1)

@@ -399,7 +399,7 @@ object Relational {
         "o_totalprice" -> floor(col("o_totalprice")).cast("long").cast("string"),
         "o_orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
         "o_orderpriority" -> col("o_orderpriority"))
-      t(s, dir, "orders")
+      Par.fanOut(t(s, dir, "orders"))
         .select(explode(array(reprs.map { case (n, c) =>
           struct(lit(n).as("col_name"), c.as("val")) }: _*)).as("kv"))
         .select(col("kv.col_name").as("col_name"), col("kv.val").as("val"))

@@ -72,7 +72,7 @@ object Search {
   /** The ranked search: top-[[TopK]] docs per query by integer-scaled
     * BM25-style score. */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val t = graft.operators.Par.fanOut(docs(s, dir)).select(col("doc_id"),
+    val t = docs(s, dir).select(col("doc_id"),
       tokens(when(col("doc_id") % 100 === 0,
         concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
         .otherwise(col("text"))).as("toks"))
@@ -195,7 +195,7 @@ object Search {
     // text bodies. Second-pass retrieval then reuses text_bm25_topk
     // with qtoks ∪ expansion, unchanged machinery.
     "search_query_expand" -> ((s, dir) => {
-      val t = graft.operators.Par.fanOut(docs(s, dir)).select(col("doc_id"),
+      val t = docs(s, dir).select(col("doc_id"),
         tokens(when(col("doc_id") % 100 === 0,
           concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
           .otherwise(col("text"))).as("toks"))
@@ -230,7 +230,7 @@ object Search {
     // re-joins the pruned doc set by id to slice its text — whole docs
     // never shuffle with the hits.
     "search_snippet" -> ((s, dir) => {
-      val t = graft.operators.Par.fanOut(docs(s, dir)).select(col("doc_id"),
+      val t = docs(s, dir).select(col("doc_id"),
         tokens(when(col("doc_id") % 100 === 0,
           concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
           .otherwise(col("text"))).as("toks"))
@@ -388,7 +388,7 @@ object Search {
     // (MaxBandGroup discipline) applies if a stop-word list is ever
     // tiered, and real deployments drop stop-words before tiering.
     "search_tiered_index" -> ((s, dir) => {
-      val tf = graft.operators.Par.fanOut(docs(s, dir))
+      val tf = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       val p  = Window.partitionBy(col("term"))
@@ -450,8 +450,7 @@ object Search {
     // deployment bucket-partitions the index by term (BucketedJoinSpec
     // shape) making the prune a zero-shuffle probe too.
     "search_phrase_match" -> ((s, dir) => {
-      val t = graft.operators.Par.fanOut(docs(s, dir))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
       val q = t.filter(col("doc_id") % 100 === 0 && size(col("toks")) >= 6)
         .select((col("doc_id") + 800000L).as("query_id"),
           element_at(col("toks"), 5).as("t1"), element_at(col("toks"), 6).as("t2"))

@@ -859,7 +859,7 @@ object TextOps {
     // survives in exactly one doc corpus-wide (the hot-key case runs
     // through the same partial-agg path, no single-task funnel).
     "text_substr_dedup" -> ((s, dir) => {
-      val corpus = Par.fanOut(dupChunkCorpus(s, dir))
+      val corpus = dupChunkCorpus(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("nch", floor(size(col("toks")) / ChunkW).cast("int"))
       val occ = corpus.filter(col("nch") >= 1)
@@ -1046,7 +1046,7 @@ object TextOps {
     // distinct terms only. Shuffles never carry more than a token and
     // two counters.
     "text_keyword_extract" -> ((s, dir) => {
-      val tf = Par.fanOut(docs(s, dir))
+      val tf = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1229,7 +1229,7 @@ object TextOps {
     // join touches only the vocab²-bounded collocation table against the
     // broadcast vocab-sized unigram counts.
     "text_collocations" -> ((s, dir) => {
-      val toks = Par.fanOut(docs(s, dir)).select(col("doc_id"), tokens(col("text")).as("toks"))
+      val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
       val uni = toks.select(explode(col("toks")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cf"))
       val bi = toks.filter(size(col("toks")) >= 2)
@@ -1265,7 +1265,7 @@ object TextOps {
     // pass), and a per-w1 window bounded by w1's distinct-continuation
     // count ≤ vocab — corpus growth fattens counters, not partitions.
     "text_bigram_lm" -> ((s, dir) => {
-      val toks = Par.fanOut(docs(s, dir)).select(tokens(col("text")).as("toks"))
+      val toks = docs(s, dir).select(tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
       val bg = toks.select(explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))

@@ -243,7 +243,7 @@ object WebOps {
     // doc-sorted posting list split into BlockSize-entry blocks, each block
     // head absolute and the rest gap-encoded; df/cf are global per term.
     "search_postings" -> ((s, dir) => {
-      val tf = Par.fanOut(docs(s, dir))
+      val tf = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .withColumn("shard", expr(s"doc_id div $ShardSpan"))

@@ -905,10 +905,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(count(p1, "Exchange") == 0,
       s"readability introduced a shuffle:\n${p1.take(2000)}")
     assert(p1.contains("*("), "no codegen span")
-    val p2 = plan("q_data_profiler")
-    // partial per-column agg + the exact countDistinct second phase
-    assert(count(p2, "Exchange") == 2,
-      s"profiler expected exactly 2 Exchanges:\n${p2.take(3000)}")
+    // partial per-column agg + the exact countDistinct second phase (the
+    // round-robin fan-out of the scan is exempt — input rebalance, no key)
+    val keyed = shuffleCols(rootOf("q_data_profiler"))
+    assert(keyed.size == 2,
+      s"profiler expected exactly 2 keyed Exchanges, got ${keyed.size}: $keyed")
   }
 
   test("context fit / shard balance / schema drift: counter shuffles only") {
