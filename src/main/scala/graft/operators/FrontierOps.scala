@@ -402,9 +402,15 @@ object FrontierOps {
     // the rounds are the hyperball joins; the summary collapses to ≤3
     // (radius, int64) rows map-side — nothing else shuffles.
     "q_effective_diameter" -> ((s, dir) => {
+      // nf and q cached: both are ≤3-row (radius, int64) frames, but nf
+      // feeds the delta window AND the threshold agg, and q feeds the
+      // mean-distance agg, the interpolation agg AND the final select —
+      // uncached, each reader re-derived the whole HyperBall round chain
+      // (the q_conductance core discipline)
       val nf = hyperballEstimates(s, dir)
         .select(col("radius"), round(col("estimate") * 10000).cast("long").as("e4"))
         .groupBy(col("radius")).agg(sum(col("e4")).as("nf_e4"))
+        .cache()
       val w = Window.orderBy(col("radius"))
       val d = nf
         .withColumn("delta_e4",
@@ -412,7 +418,7 @@ object FrontierOps {
       val tot = nf.agg(max(struct(col("radius"), col("nf_e4"))).as("t"))
         .select(col("t.nf_e4").as("nf_max_e4"),
           expr("(9 * t.nf_e4) div 10").as("thr_e4"))
-      val q = d.crossJoin(broadcast(tot))
+      val q = d.crossJoin(broadcast(tot)).cache()
       val avg = q.agg(sum(col("radius") * col("delta_e4")).as("mass"),
           max(col("nf_max_e4")).as("nmax"))
         .select(expr("(mass * 1000000) div nmax").as("avg_dist_ppm"))
@@ -454,9 +460,13 @@ object FrontierOps {
       def peel(ed: DataFrame, rm: DataFrame): DataFrame =
         ed.join(rm.withColumnRenamed("page", "a"), Seq("a"), "left_anti")
           .join(rm.withColumnRenamed("page", "b"), Seq("b"), "left_anti")
-      val d0  = degOf(und, "deg0")
+      // d0/d1 cached: each feeds BOTH the next peel round and the final
+      // degree-trajectory join — uncached, the deeper rounds re-derive
+      // every earlier round's agg+anti-join chain (page-count-sized
+      // (page, int64) frames, the q_conductance core discipline)
+      val d0  = degOf(und, "deg0").cache()
       val e1  = peel(und, d0.filter(col("deg0") < KCoreK).select(col("page")))
-      val d1  = degOf(e1, "deg1")
+      val d1  = degOf(e1, "deg1").cache()
       val e2  = peel(e1, d1.filter(col("deg1") < KCoreK).select(col("page")))
       val d2  = degOf(e2, "deg2")
       d0.join(d1, Seq("page"), "left").join(d2, Seq("page"), "left")
@@ -489,7 +499,11 @@ object FrontierOps {
       val e1   = peel(und, d0.filter(col("deg0") < KCoreK).select(col("page")))
       val d1   = degOf(e1, "deg1")
       val e2   = peel(e1, d1.filter(col("deg1") < KCoreK).select(col("page")))
+      // cached: core is read THREE times (both membership broadcasts +
+      // the n_core agg) and each read otherwise re-derives the whole
+      // two-round peel chain; the frame is page ids only
       val core = degOf(e2, "deg2").select(col("page")).withColumn("in_core", lit(1))
+        .cache()
       val tagged = und
         .join(broadcast(core.select(col("page").as("a"), col("in_core").as("ia"))), Seq("a"), "left")
         .join(broadcast(core.select(col("page").as("b"), col("in_core").as("ib"))), Seq("b"), "left")
