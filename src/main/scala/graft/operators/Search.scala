@@ -309,7 +309,9 @@ object Search {
           size(col("shb")).cast("long").as("nb"))
         .select(col("query_id"), col("a"), col("b"),
           expr("(inter * 1000000) div (na + nb - inter)").as("sim_ppm"))
-        .cache() // queries × K² rows
+      // sims is UNcached since the single-pass rewrite: its one consumer
+      // is the per-query sims rollup — the former per-round loop read it
+      // MmrM−1 times and pinned it; a cache now is only a barrier
       // The greedy trace runs as ONE pass: candidates, pair similarities
       // and the round-1 seed group by query_id, and each query's whole
       // MmrM-round selection happens inside a single task (a query's
@@ -367,7 +369,6 @@ object Search {
       bm.unpersist()
       cands.unpersist()
       sets.unpersist()
-      sims.unpersist()
       selected
     }),
 
