@@ -346,43 +346,59 @@ object Dedup {
       pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     // non-eager: the checkpoint materializes inside the round's
-    // convergence count() instead of as its own job — one action per
+    // convergence action instead of as its own job — one action per
     // round, not two (the per-round job floor is what dominates the CC
     // cost on small-diameter graphs; the lineage cut is identical)
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
-    val edges = ckpt(pairs
+    val sym = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var changed = 1L
-    var iter    = 0
-    while (changed > 0 && iter < maxIter) {
-      // 1) propagate: l1(u) = min(l(u), min over neighbors' labels)
-      val nbr = edges.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
-        .groupBy(col("e.dst").as("nid")).agg(min(col("l.label")).as("nbr_label"))
-      // cached: the compress self-join reads prop on BOTH sides — without
-      // the cache the propagate join+groupBy would execute twice per round
-      val prop = labels.join(nbr, col("id") === col("nid"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
-        .cache()
-      // 2) compress: label(u) = l1(l1(u)) — l1 values are node ids, so the
-      //    lookup is a self-join; labels are monotone decreasing, so
-      //    l1(l1(u)) <= l1(u) (least() keeps that explicit for the planner)
-      val next = ckpt(prop.as("a")
-        .join(prop.select(col("id").as("cid"), col("l1").as("cl")).as("b"),
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct()
+    // CLOSED-neighborhood edge list (self-loops appended): the propagate
+    // min then needs ONE equi-join + ONE partial-aggregating groupBy per
+    // round — the former open-neighborhood formulation paid a second
+    // labels join per round just to fold each node's own label back in
+    // (and a prop cache + a chg-flag count on top; measured ~6 Exchange
+    // rounds vs ~3 here, the dominant per-round floor at bench scale).
+    val edges = ckpt(sym.unionByName(
+      nodes.select(col("id").as("src"), col("id").as("dst"))))
+    var labels = ckpt(nodes.withColumn("label", col("id")))
+    // Convergence: labels only ever DECREASE, so Σlabel strictly drops
+    // iff any label changed — an exact DECIMAL(38,0) sum compare replaces
+    // the old chg-column count (one scalar aggregate per round, no old-
+    // vs-new label join). Exact at any node count: ids < 2^63, nodes
+    // < 2^63 ⇒ Σ < 2^126 < 10^38.
+    def sumOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0) // null ⇔ no nodes
+    var prev      = sumOf(labels)
+    var converged = false
+    var iter      = 0
+    while (!converged && iter < maxIter) {
+      // 1) propagate: l1(u) = min label over the CLOSED neighborhood
+      //    (self-loops make the min total — no coalesce join needed)
+      val l1 = edges.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
+        .groupBy(col("e.dst").as("id")).agg(min(col("l.label")).as("l1"))
+      // 2) compress: label(u) = min(l1(u), l1(l1(u))) — l1 values are node
+      //    ids and l1 is total over nodes, so the lookup is a self-join
+      //    (left + coalesce kept for planner clarity; it always matches).
+      //    Labels are monotone decreasing, so l1(l1(u)) <= l1(u).
+      //    The l1 subtrees on both sides share their exchange in-plan
+      //    (ReuseExchange); the b side is an ids-only rollup the planner
+      //    broadcasts when small.
+      val next = ckpt(l1.as("a")
+        .join(l1.select(col("id").as("cid"), col("l1").as("cl")).as("b"),
           col("a.l1") === col("b.cid"), "left")
-        .select(col("id"), col("old"),
-          least(col("l1"), coalesce(col("cl"), col("l1"))).as("label"))
-        .withColumn("chg", col("label") < col("old")))
-      changed = next.filter(col("chg")).count()
-      prop.unpersist()
-      labels = next.select("id", "label")
+        .select(col("a.id").as("id"),
+          least(col("a.l1"), coalesce(col("cl"), col("a.l1"))).as("label")))
+      val cur = sumOf(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
       iter += 1
     }
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds 2^maxIter (or the edge frame is " +
