@@ -570,8 +570,12 @@ object FrontierOps {
     "q_label_prop" -> ((s, dir) => {
       val und = hostEdges(s, dir).select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b")).distinct()
+      // host-pair rows only (≤ |hosts|² and tiny in practice) — nb feeds
+      // FOUR joins (anti + label per propagate round) and hosts; uncached,
+      // each consumer re-ran the docs scan + distinct edge derivation
       val nb = und.select(col("a").as("h"), col("b").as("n"))
         .unionByName(und.select(col("b").as("h"), col("a").as("n")))
+        .cache()
       val hosts = nb.select(col("h")).distinct()
       val seeds = hosts
         .filter(substring(col("h"), 4, 6).cast("int") < LabelSeeds)
@@ -590,7 +594,10 @@ object FrontierOps {
           .select(col("h"), col("label"), lit(round.toLong).as("round_assigned"))
         labeled.unionByName(won)
       }
-      hosts.join(propagate(propagate(seeds, 1), 2), Seq("h"), "left_outer")
+      // round-1 labels are read twice by round 2 (anti-join + label join);
+      // the pin keeps the round-1 vote aggregation single-execution
+      val l1 = propagate(seeds, 1).cache()
+      hosts.join(propagate(l1, 2), Seq("h"), "left_outer")
         .select(col("h").as("host"),
           coalesce(col("label"), lit(-1L)).as("label"),
           coalesce(col("round_assigned"), lit(-1L)).as("round_assigned"))
