@@ -292,9 +292,13 @@ object Dedup {
     // corpus TEXT by doc_id (guide §3.1) — the scan streams through a
     // broadcast hash semi-join; fanOut keeps the shingle recompute off a
     // single scan task at bench scale (no-op on a many-split input).
+    // array_distinct ONCE here, not per pair inside jaccard: a doc's set
+    // appears in every candidate pair it survives into, and the verify
+    // join ships it — pre-distincting shrinks the cached/shuffled arrays
+    // and jaccard's value is unchanged (set semantics either way)
     val sets = corpus.join(ids, Seq("doc_id"), "left_semi")
       .withColumn("th", tokenHashes(tokens(col("text"))))
-      .select(col("doc_id"), shingleHashes(col("th")).as("sh"))
+      .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
       .cache()
     val verified = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -415,10 +419,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_groups"),
         sum(greatest(col("g") - MaxBandGroup, lit(0L))).as("dropped_rows"))
 
-  /** |A∩B| / |A∪B| over shingle SETS (distinct), 4 dp. */
+  /** |A∩B| / |A∪B| over shingle SETS, 4 dp. CONTRACT: both inputs are
+    * already-distinct arrays (every caller pre-distincts at set build,
+    * where it runs once per doc instead of once per candidate pair). */
   private def jaccard(a: Column, b: Column): Column = {
     val i = size(array_intersect(a, b))
-    round(i / (size(array_distinct(a)) + size(array_distinct(b)) - i), 4)
+    round(i / (size(a) + size(b) - i), 4)
   }
 
   /** 64-bit SimHash of the whitespace tokens of `text` (multiset votes),
@@ -537,7 +543,7 @@ object Dedup {
     def sets(src: DataFrame, ids: DataFrame, idc: String) =
       src.join(ids.select(col(idc).as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
         .withColumn("th", tokenHashes(tokens(col("text"))))
-        .select(col("doc_id"), shingleHashes(col("th")).as("sh"))
+        .select(col("doc_id"), array_distinct(shingleHashes(col("th"))).as("sh"))
     val shN = sets(keepers, cand, "n_id")
     val shO = sets(old, cand, "o_id")
     // materialize the verified near-ids (tiny), then release cand: `near`
