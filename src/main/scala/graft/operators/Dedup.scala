@@ -358,7 +358,9 @@ object Dedup {
     val sym = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val nodes = sym.select(col("src").as("id")).distinct()
+    // checkpointed: the distinct node set feeds BOTH the self-loop union
+    // and the labels init — one materialization instead of two executions
+    val nodes = ckpt(sym.select(col("src").as("id")).distinct())
     // CLOSED-neighborhood edge list (self-loops appended): the propagate
     // min then needs ONE equi-join + ONE partial-aggregating groupBy per
     // round — the former open-neighborhood formulation paid a second
@@ -372,11 +374,13 @@ object Dedup {
     // iff any label changed — an exact DECIMAL(38,0) sum compare replaces
     // the old chg-column count (one scalar aggregate per round, no old-
     // vs-new label join). Exact at any node count: ids < 2^63, nodes
-    // < 2^63 ⇒ Σ < 2^126 < 10^38.
+    // < 2^63 ⇒ Σ < 2^126 < 10^38. `prev` starts null (no init action):
+    // round 1 always decreases some label when any pair exists, and the
+    // empty-graph case converges via 0 == 0 on round 2's compare.
     def sumOf(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0) // null ⇔ no nodes
-    var prev      = sumOf(labels)
+    var prev: java.math.BigDecimal = null
     var converged = false
     var iter      = 0
     while (!converged && iter < maxIter) {
@@ -397,7 +401,7 @@ object Dedup {
         .select(col("a.id").as("id"),
           least(col("a.l1"), coalesce(col("cl"), col("a.l1"))).as("label")))
       val cur = sumOf(next)
-      converged = cur.compareTo(prev) == 0
+      converged = prev != null && cur.compareTo(prev) == 0
       prev = cur
       labels = next
       iter += 1
