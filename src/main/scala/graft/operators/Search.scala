@@ -69,20 +69,38 @@ object Search {
         concat(array(concat(lit("qk"), col("doc_id").cast("string"))),
           slice(col("toks"), 5, 2)).as("qtoks"))
 
-  /** The ranked search: top-[[TopK]] docs per query by integer-scaled
-    * BM25-style score. */
-  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val t = docs(s, dir).select(col("doc_id"),
+  /** The tokenized corpus (query-marker terms appended) every search
+    * operator starts from. */
+  private def tokFrame(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
       tokens(when(col("doc_id") % 100 === 0,
         concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
         .otherwise(col("text"))).as("toks"))
+
+  /** Per-(doc, term) tf table over [[tokFrame]] — the index-build pass. */
+  private def tfOf(t: DataFrame): DataFrame =
+    t.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Distinct (query, term) rows over [[tokFrame]]'s query set. */
+  private def qtOf(t: DataFrame): DataFrame =
+    queryFrame(t)
+      .select(col("query_id"), explode(col("qtoks")).as("term")).distinct()
+
+  /** The ranked search: top-[[TopK]] docs per query by integer-scaled
+    * BM25-style score. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val t = tokFrame(s, dir)
+    bm25From(t, tfOf(t), qtOf(t))
+  }
+
+  /** [[bm25TopK]] against caller-supplied tokenized/tf/query frames, so a
+    * composite operator (query expansion) can SHARE its index-build pass
+    * with the first-pass ranker instead of tokenizing the corpus twice. */
+  private def bm25From(t: DataFrame, tf: DataFrame, qt: DataFrame): DataFrame = {
     val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tdl"))
       .select(col("n"), (col("tdl").cast("double") / col("n")).as("avgdl"))
-    val tf = t.select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val qt = queryFrame(t)
-      .select(col("query_id"), explode(col("qtoks")).as("term")).distinct()
     val ptf = tf.join(broadcast(qt), Seq("term"))
     val df  = ptf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val idf = (col("n") - col("df") + 0.5) / (col("df") + 0.5)
@@ -195,15 +213,14 @@ object Search {
     // text bodies. Second-pass retrieval then reuses text_bm25_topk
     // with qtoks ∪ expansion, unchanged machinery.
     "search_query_expand" -> ((s, dir) => {
-      val t = docs(s, dir).select(col("doc_id"),
-        tokens(when(col("doc_id") % 100 === 0,
-          concat(col("text"), lit(" qk"), col("doc_id").cast("string")))
-          .otherwise(col("text"))).as("toks"))
-      val tf = t.select(col("doc_id"), explode(col("toks")).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val qt = queryFrame(t)
-        .select(col("query_id"), explode(col("qtoks")).as("term")).distinct()
-      val fb = bm25TopK(s, dir).filter(col("rank") <= FbDocs)
+      val t = tokFrame(s, dir)
+      // tf/qt are SHARED subtrees with the first-pass ranker below —
+      // bit-identical exchanges, so in-plan ReuseExchange dedups the
+      // index-build pass (an explicit cache here measured as a pure
+      // materialization barrier, +1 s — the q_hits lesson)
+      val tf = tfOf(t)
+      val qt = qtOf(t)
+      val fb = bm25From(t, tf, qt).filter(col("rank") <= FbDocs)
         .select(col("query_id"), col("doc_id"))
       val cand = tf.join(broadcast(fb), Seq("doc_id"))
         .join(broadcast(qt), Seq("query_id", "term"), "left_anti")
