@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stage-decomposition probe for the LSH-chain queries (guide §1: measure
@@ -46,6 +46,57 @@ object StageProbe {
     qlist.foreach { q =>
       t(q)(noop(SparkEntry.queries(q)(spark, sfDir)))
     }
+
+
+    // --- suffix-lcp decomposition: plumbing vs LCP expression cost ---
+    {
+      val SuffixKeyToks = 16; val SuffixKeyChars = 64
+      import org.apache.spark.sql.expressions.Window
+      def dup(s0: SparkSession): DataFrame = {
+        val d = s0.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+        d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text")))
+      }
+      val t0f = graft.operators.Par.fanOut(dup(spark))
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val suf = t0f.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 1), p =>
+          substring(array_join(slice(col("toks"), p + 1, lit(SuffixKeyToks)), " "),
+            1, SuffixKeyChars))).as("key"))
+      val bucketed = suf.withColumn("bucket", substring(col("key"), 1, 2))
+      val wb = Window.orderBy(col("bucket"))
+      val bounds = bucketed.groupBy(col("bucket"))
+        .agg(min(col("key")).as("bmin"), max(col("key")).as("bmax"))
+        .select(col("bucket"),
+          lag(col("bmax"), 1).over(wb).as("prev_max"),
+          lead(col("bmin"), 1).over(wb).as("next_min"))
+      def mmOf(a: Column, b: Column, w: Column): Column =
+        array_position(transform(sequence(lit(1), w),
+          i => a.substr(i, lit(1)) === b.substr(i, lit(1))), false)
+      def lcpOf(a: Column, b: Column): Column = {
+        val w = least(length(a), length(b))
+        when(b.isNull, lit(0L)).when(w === 0, lit(0L)).when(a === b, w.cast("long"))
+          .when(mmOf(a, b, w) === 0L, w.cast("long"))
+          .otherwise(mmOf(a, b, w) - 1L)
+      }
+      val wk = Window.partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))
+      def pipe(dupLen: (Column, Column, Column, Column) => Column): DataFrame =
+        bucketed.join(broadcast(bounds), Seq("bucket"))
+          .withColumn("nk", coalesce(lead(col("key"), 1).over(wk), col("next_min")))
+          .withColumn("pk", coalesce(lag(col("key"), 1).over(wk), col("prev_max")))
+          .withColumn("dup_len", dupLen(col("key"), col("nk"), col("key"), col("pk")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_suffixes"),
+            max(col("dup_len")).cast("long").as("max_dup_len"),
+            count(when(col("dup_len") >= 30, 1)).as("n_dup_spans"))
+      t("lcp: plumbing only")(noop(pipe((a, nk, _, pk) => length(a).cast("long"))))
+      t("lcp: eq-fastpath only")(noop(pipe((a, nk, _, pk) =>
+        greatest(when(a === nk, least(length(a), length(nk))).otherwise(lit(0)).cast("long"),
+          when(a === pk, least(length(a), length(pk))).otherwise(lit(0)).cast("long")))))
+      t("lcp: full")(noop(pipe((a, nk, _, pk) =>
+        greatest(lcpOf(a, nk), lcpOf(a, pk)))))
+    }
+    spark.stop()
 
     // --- round-level timing of the CC loop (replica, probe-only) ---
     {
