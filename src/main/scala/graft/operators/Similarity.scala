@@ -359,16 +359,26 @@ object Similarity {
     * near-randomly (measured recall 0.04) — the reason FAISS ADC decodes
     * against the codebook instead of dotting codes. Max |d| ≈ 1.5e6, so a
     * 64-dim dot is ≤ ~1.4e14 ≪ 2^63 — exact. */
+  /** Per-dim (min, range) SQ8 training stats, memoized per corpus dir
+    * like [[kmeansMemo]]/[[pqMemo]] — the quantizer bounds are a trained
+    * codebook artifact (≤ Dims rows of driver-side longs) shipped with
+    * the index, not per-query state; the memo spares each of the three
+    * SQ queries a full quantize + per-dim min/max pass per invocation. */
+  private val sqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Long], Seq[Long])]()
+
   private def sqCodes(s: SparkSession, dir: String): DataFrame = {
     val qz = emb(s, dir).select(col("vec_id"),
       quantize(transform(col("v"), x => x / col("nrm"))).as("q"))
-    val st = qz.select(posexplode(col("q")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .orderBy(col("i")).collect()
-    require(st.length <= Dims, // bounded-collect guard (kmeansTrain rule)
-      s"sqCodes collected ${st.length} rows > Dims ($Dims)")
-    val mins = st.map(_.getLong(1)).toSeq
-    val rngs = st.map(r => math.max(1L, r.getLong(2) - r.getLong(1))).toSeq
+    val (mins, rngs) = sqMemo.computeIfAbsent(dir, _ => {
+      val st = qz.select(posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .orderBy(col("i")).collect()
+      require(st.length <= Dims, // bounded-collect guard (kmeansTrain rule)
+        s"sqCodes collected ${st.length} rows > Dims ($Dims)")
+      (st.map(_.getLong(1)).toSeq,
+        st.map(r => math.max(1L, r.getLong(2) - r.getLong(1))).toSeq)
+    })
     qz.select(col("vec_id"), transform(col("q"), (x, i) => {
       val d = (x - element_at(typedLit(mins), i + 1)) * 255L
       val r = element_at(typedLit(rngs), i + 1)
