@@ -96,7 +96,6 @@ object StageProbe {
       t("lcp: full")(noop(pipe((a, nk, _, pk) =>
         greatest(lcpOf(a, nk), lcpOf(a, pk)))))
     }
-    spark.stop()
 
     // --- round-level timing of the CC loop (replica, probe-only) ---
     {
