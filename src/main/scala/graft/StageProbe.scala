@@ -97,6 +97,45 @@ object StageProbe {
         greatest(lcpOf(a, nk), lcpOf(a, pk)))))
     }
 
+
+    // --- streaming replay phase decomposition (stream_events_window) ---
+    (0 until 2).foreach { rep =>
+      import java.sql.Timestamp
+      import graft.streaming.StreamingOps
+      import graft.streaming.StreamingOps.SpanEvent
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      var t0 = System.nanoTime()
+      def lap(m: String): Unit = {
+        if (rep == 1) println(f"  sew: $m%-22s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        t0 = System.nanoTime()
+      }
+      val rows = ss.read.parquet(s"$sfDir/events.parquet")
+        .select(col("ts").cast("timestamp").as("event_time"),
+          col("event_id").cast("string").as("doc_id"), col("event_type").as("kind"))
+        .as[SpanEvent].collect()
+        .sortBy(e => (e.event_time.getTime, e.doc_id))
+      lap("collect+sort")
+      val maxTs = rows.map(_.event_time.getTime).max
+      val in = MemoryStream[SpanEvent]
+      val name = s"sewprobe_$rep"
+      val q = StreamingOps.windowedKindCounts(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      lap("start")
+      val half = math.max(1, (rows.length + 1) / 2)
+      rows.grouped(half).foreach { b => in.addData(b.toSeq); q.processAllAvailable(); lap("batch") }
+      in.addData(SpanEvent(new Timestamp(maxTs + 3600L * 1000), "::s::", "::sentinel::"))
+      q.processAllAvailable()
+      lap("sentinel")
+      q.stop()
+      lap("stop")
+      ss.table(name).filter(col("kind") =!= "::sentinel::").write.format("noop").mode("overwrite").save()
+      lap("result read")
+    }
+
     // --- round-level timing of the CC loop (replica, probe-only) ---
     {
       val pairs = graft.operators.Dedup.minhashLsh(kbCorpus, tag).select("doc_a", "doc_b")
